@@ -1,0 +1,124 @@
+"""Relational core: the operator surface of SURVEY.md §2.1-§2.9.
+
+Every function here builds a declarative logical plan and returns a
+DataFrame — no actions, no collect, no driver-side loops — so Catalyst
+handles pushdown, column pruning, partial aggregation, and join-strategy
+selection. These are the engine-level composites; trivial one-call
+operators (select/filter/orderBy/limit/union/...) are the DataFrame API
+itself, exercised and pinned by tests/test_relational.py and by the
+driver's oracle queries in __spark_entry__.py.
+
+Scale notes (100 TB):
+- group_count / avg_by compile to two-phase hash aggregation
+  (partial map-side combine → shuffle on the group key → final), the
+  right shape for any cardinality of groups.
+- top_k compiles to TakeOrderedAndProject: each partition keeps a
+  k-sized heap, the driver merges — no global sort, no full shuffle.
+- join_dims broadcasts the dimension side explicitly so the fact table
+  never shuffles for a dim join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_count(df: DataFrame, *keys: str, name: str = "count") -> DataFrame:
+    """``df.groupBy(k).count()`` (reference A1, SteelPred.py:45,49,53),
+    with a stable output alias."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(name))
+
+
+def avg_by(
+    df: DataFrame,
+    key: str,
+    value: str,
+    alias: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Group-average sorted by the average (reference A2+O1,
+    SteelPred.py:57,66,75)."""
+    out = alias or f"avg_{value}"
+    agg = df.groupBy(key).agg(F.avg(value).alias(out))
+    order = F.desc(out) if descending else F.asc(out)
+    return agg.orderBy(order)
+
+
+def corr_columns(df: DataFrame, c1: str, c2: str, alias: str = "corr") -> DataFrame:
+    """Whole-table Pearson correlation (reference A3, SteelPred.py:125).
+    Single aggregate job: sums/sums-of-squares/cross-products reduce
+    map-side; no data leaves the executors but one row."""
+    return df.select(F.corr(c1, c2).alias(alias))
+
+
+def top_k(
+    df: DataFrame,
+    order: Sequence[Column],
+    k: int,
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Total-order top-k (reference O1-O3). Plans as
+    TakeOrderedAndProject — per-partition heaps, no full sort."""
+    out = df.orderBy(*order).limit(k)
+    return out.select(*cols) if cols else out
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k within each group via row_number window — the standard
+    Spark pattern (one shuffle on the partition keys)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop(rank_col)
+    )
+
+
+def join_dims(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Column]],
+    how: str = "inner",
+) -> DataFrame:
+    """Join a fact table against small dimension tables, broadcasting
+    every dim. At 100 TB the fact side must never shuffle for a dim
+    join; broadcast-hash keeps it map-side."""
+    out = fact
+    for dim, cond in dims:
+        out = out.join(F.broadcast(dim), cond, how)
+    return out
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+) -> DataFrame:
+    """Deterministic 'keep first row per key' — unlike dropDuplicates,
+    which keeps an arbitrary row, this pins the survivor by an explicit
+    order (needed for reproducible pipelines)."""
+    return top_k_per_group(df, keys, order, k=1)
+
+
+def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Bulk rename (reference P4, SteelPred.py:139-146). Single Project
+    node via withColumnsRenamed, collapsed by Catalyst."""
+    return df.withColumnsRenamed(mapping)
+
+
+def seeded_split(
+    df: DataFrame, weights: Sequence[float], seed: int
+) -> list[DataFrame]:
+    """``randomSplit`` (reference R1, SteelPred.py:155). Per-row
+    Bernoulli draw seeded per partition: reproducible for a fixed
+    partitioning, NOT across repartitionings — callers that need exact
+    reproducibility must pin the input partitioning first (SURVEY §7.4)."""
+    return df.randomSplit(list(weights), seed=seed)

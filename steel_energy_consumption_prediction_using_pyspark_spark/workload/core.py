@@ -1,0 +1,630 @@
+"""Relational core workload — SURVEY.md §2.1-§2.9 operators, each as a
+(PySpark impl, DuckDB oracle SQL) pair on the TPC-H-ish fixtures.
+
+The reference exercises these shapes on its single steel table
+(SteelPred.py:45-125 and the Databricks-generated SQL at
+SteelPred.ipynb:130659-132279); here each shape runs on the fixture
+star schema, plus the join/window/setop surface the reference lacks
+but the engine must provide (SURVEY §2.3, §2.5, §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.functions.scalar import (
+    histogram,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+    avg_by,
+    corr_columns,
+    group_count,
+    join_dims,
+    top_k,
+    top_k_per_group,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+    T,
+    register,
+    ts_str,
+)
+
+
+# --- S3/A6: scans + counts --------------------------------------------------
+
+def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan count + distinct count (reference S3, SteelPred.py:32).
+    count(distinct) shuffles only the distinct keys (partial distinct
+    map-side first)."""
+    return T(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# --- A1: group-by count -----------------------------------------------------
+
+def q_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().count() (reference A1, SteelPred.py:45)."""
+    return group_count(T(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus", name="cnt")
+
+
+# --- A2+O1: group-avg ordered by the average (the flagship shape) -----------
+
+def q_avg_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature EDA shape (SteelPred.py:57):
+    groupBy → avg → orderBy desc."""
+    out = avg_by(T(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice", alias="_raw")
+    return out.select("o_orderpriority", F.round("_raw", 4).alias("avg_price")).orderBy(
+        F.desc("avg_price"), "o_orderpriority"
+    )
+
+
+# --- A4: multi-aggregate group-by (TPC-H Q1 shape) --------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- A3: correlation --------------------------------------------------------
+
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson corr (reference A3, SteelPred.py:125)."""
+    out = corr_columns(T(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity", alias="_c")
+    return out.select(F.round("_c", 6).alias("corr_price_qty"))
+
+
+# --- A5/A6: whole-table min/max/avg/count ----------------------------------
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.count("o_totalprice").alias("n_nonnull"),
+    )
+
+
+# --- A8: scalar subquery ----------------------------------------------------
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in the SELECT list, the
+    Databricks-generated pattern (reference A8, SteelPred.ipynb:131375).
+    SQL path on purpose: exercises parser → analyzer → subquery
+    planning (planned as a 1-row subquery stage broadcast into the
+    main aggregate)."""
+    register(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(max(o_totalprice), 2) AS max_price,
+               round((SELECT max(o_totalprice) FROM orders), 2) AS global_max
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# --- A9: histogram ----------------------------------------------------------
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram (reference A9: the WIDTH_BUCKET
+    visualization SQL at SteelPred.ipynb:131375)."""
+    return histogram(T(spark, sf_dir, "orders"), "o_totalprice", nbins=10)
+
+
+# --- O1-O3: top-k -----------------------------------------------------------
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy().limit() — plans as TakeOrderedAndProject (per-partition
+    heaps, no global sort). Tiebreak on the unique key keeps the row
+    set deterministic."""
+    return top_k(
+        T(spark, sf_dir, "orders"),
+        order=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=10,
+        cols=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+
+# --- P1-P7: filter + projection (pushdown path) -----------------------------
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + column pruning: both reach the parquet scan
+    (PushedFilters / ReadSchema asserted in tests/test_plans.py)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# --- P6/F5: conditional expressions ----------------------------------------
+
+def q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise + least + null guards (reference P6/F5: the
+    IF(ISNULL(...), ..., LEAST(...)) histogram clamp)."""
+    c = T(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).cast("long").alias("n_negative"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(F.avg(F.least(F.col("c_acctbal"), F.lit(5000.0))), 4).alias("avg_capped"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- joins (SURVEY §2.3) ----------------------------------------------------
+
+def q_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact→dim star join, both dims broadcast: zero shuffle of the
+    customer side for the join itself (asserted in tests/test_plans.py)."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    joined = join_dims(
+        c,
+        [
+            (n, F.col("c_nationkey") == F.col("n_nationkey")),
+            (r, F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_join_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (lineitem ⋈ orders). At scale this is the
+    shuffle that matters: both sides hash-partition on the order key;
+    AQE picks sort-merge vs shuffled-hash and splits skewed partitions."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti = NOT EXISTS without materializing a null-padded join.
+    (Filtered to recent orders so the anti set is nonempty at every sf.)"""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+    inactive = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return group_count(inactive, "c_mktsegment", name="n_inactive").orderBy("c_mktsegment")
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi = EXISTS; dedupes the probe side for free."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    active = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    return group_count(active, "c_mktsegment", name="n_big_spenders").orderBy("c_mktsegment")
+
+
+# --- set operations (SURVEY §2.7) -------------------------------------------
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).select(F.lit("both").alias("tag"), "nationkey")
+    cust_only = cust.subtract(supp).select(F.lit("cust_only").alias("tag"), "nationkey")
+    return both.unionByName(cust_only)
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+        .orderBy("segment")
+    )
+
+
+# --- windows (SURVEY §2.5) --------------------------------------------------
+
+def q_window_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer: row_number over (customer, date desc)
+    — one shuffle on o_custkey, deterministic via orderkey tiebreak."""
+    return top_k_per_group(
+        T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
+        partition_by=["o_custkey"],
+        order=[F.desc("o_orderdate"), F.asc("o_orderkey")],
+        k=1,
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer — cumulative frame, same shuffle as
+    above; sums accumulate in a deterministic order (date, orderkey) so
+    the fp result is reproducible across engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("run_total"),
+    )
+
+
+# --- rollup (SURVEY §2.4 extensions) ----------------------------------------
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.asc_nulls_first("n_name"), F.asc_nulls_first("c_mktsegment"))
+    )
+
+
+# --- pivot ------------------------------------------------------------------
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let Spark scan for
+    distinct pivot values on big data)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    ).orderBy("l_returnflag")
+
+
+# --- F3: datetime extraction ------------------------------------------------
+
+def q_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datetime family the reference imports but never calls
+    (SteelPred.py:13), applied to real timestamps."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            "value",
+        )
+        .groupBy("y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("h").alias("min_hour"),
+            F.max("h").alias("max_hour"),
+        )
+        .orderBy("y", "m", "d")
+    )
+
+
+# --- JSON props (extension surface, events.props) ---------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value", "event_type")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# --- sessionization (stream-shaped batch op) --------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize events per user with a 30-minute inactivity gap:
+    lag() to detect session starts, then count starts per user. One
+    shuffle on user_id; both the window and the aggregate reuse that
+    partitioning (Catalyst elides the second exchange)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # Interval comparison, not epoch-seconds cast: keeps sub-second
+    # precision so the gap threshold agrees with the oracle exactly.
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        e.select("user_id", new_sess.alias("new_sess"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --- tumbling window (streaming semantics on batch, SURVEY §2.10) -----------
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window tumbling aggregation — identical semantics to the
+    Structured Streaming version in streaming/windows.py, run on batch
+    data (same plan shape minus the state store)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("wstart"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+        .orderBy("wstart", "event_type")
+    )
+
+
+QUERIES = {
+    "scan_count": q_scan_count,
+    "groupby_count": q_groupby_count,
+    "avg_orderby": q_avg_orderby,
+    "pricing_summary": q_pricing_summary,
+    "corr": q_corr,
+    "table_stats": q_table_stats,
+    "scalar_subquery": q_scalar_subquery,
+    "histogram": q_histogram,
+    "topk": q_topk,
+    "filter_project": q_filter_project,
+    "conditional": q_conditional,
+    "join_dims": q_join_dims,
+    "join_fact": q_join_fact,
+    "join_anti": q_join_anti,
+    "join_semi": q_join_semi,
+    "setops": q_setops,
+    "distinct": q_distinct,
+    "window_latest": q_window_latest,
+    "window_running": q_window_running,
+    "rollup": q_rollup,
+    "pivot": q_pivot,
+    "datetime_extract": q_datetime_extract,
+    "json_extract": q_json_extract,
+    "sessionize": q_sessionize,
+    "tumbling_window": q_tumbling_window,
+}
+
+ORACLES = {
+    "scan_count": """
+        SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+    """,
+    "groupby_count": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "avg_orderby": """
+        SELECT o_orderpriority, round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY avg_price DESC, o_orderpriority
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "corr": """
+        SELECT round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty
+        FROM lineitem
+    """,
+    "table_stats": """
+        SELECT round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               round(avg(o_totalprice), 4) AS avg_price,
+               count(o_totalprice) AS n_nonnull
+        FROM orders
+    """,
+    "scalar_subquery": """
+        SELECT o_orderpriority,
+               round(max(o_totalprice), 2) AS max_price,
+               round((SELECT max(o_totalprice) FROM orders), 2) AS global_max
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "histogram": """
+        WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+        SELECT CASE WHEN mx = mn THEN 1
+                    ELSE least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 10.0)) AS INTEGER) + 1, 10)
+               END AS bin,
+               count(*) AS cnt
+        FROM orders, s
+        GROUP BY 1 ORDER BY 1
+    """,
+    "topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_quantity > 45
+    """,
+    "conditional": """
+        SELECT c_mktsegment,
+               CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+               count(*) AS n_total,
+               round(avg(least(c_acctbal, 5000.0)), 4) AS avg_capped
+        FROM customer
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "join_dims": """
+        SELECT r_name, n_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+    "join_fact": """
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "join_anti": """
+        SELECT c_mktsegment, count(*) AS n_inactive
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        )
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "join_semi": """
+        SELECT c_mktsegment, count(*) AS n_big_spenders
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "setops": """
+        SELECT 'both' AS tag, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT 'cust_only' AS tag, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+    """,
+    "distinct": """
+        SELECT DISTINCT c_mktsegment AS segment FROM customer ORDER BY segment
+    """,
+    "window_latest": """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    "window_running": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS run_total
+        FROM orders
+    """,
+    "rollup": """
+        SELECT n_name, c_mktsegment, count(*) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, c_mktsegment)
+        ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    """,
+    "pivot": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "datetime_extract": """
+        SELECT CAST(year(ts) AS INTEGER) AS y,
+               CAST(month(ts) AS INTEGER) AS m,
+               CAST(day(ts) AS INTEGER) AS d,
+               count(*) AS cnt,
+               round(avg(value), 4) AS avg_value,
+               CAST(min(hour(ts)) AS INTEGER) AS min_hour,
+               CAST(max(hour(ts)) AS INTEGER) AS max_hour
+        FROM events
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+               count(*) AS cnt,
+               round(avg(value), 4) AS avg_value,
+               count(DISTINCT event_type) AS n_types
+        FROM events
+        GROUP BY 1 ORDER BY 1
+    """,
+    "sessionize": f"""
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                > INTERVAL {SESSION_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        )
+        SELECT user_id,
+               CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM flagged GROUP BY user_id
+    """,
+    "tumbling_window": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+               event_type,
+               count(*) AS cnt,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+}

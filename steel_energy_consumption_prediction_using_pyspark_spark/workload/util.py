@@ -1,0 +1,49 @@
+"""Shared helpers for workload queries."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong read the ns column as raw int64; truncate to µs
+        # with integer division (`div`, not `/`: the ~1.7e18 ns epoch
+        # exceeds double's 2^53 mantissa, float division would corrupt
+        # low-order digits). Matches DuckDB's truncating ns→µs reader.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views for SQL-path queries
+    (reference entry point B, SteelPred.py:106)."""
+    for n in names:
+        T(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def ts_str(col: Column) -> Column:
+    return F.date_format(col, TS_FMT_SPARK)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — built-in higher-order
+    functions only (JVM-side codegen, no Python): zip_with multiply,
+    then left-to-right aggregate sum (matches DuckDB list_dot_product's
+    sequential accumulation so oracle fp results agree)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
