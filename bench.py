@@ -1,0 +1,106 @@
+"""Benchmark harness: runs the headline workload at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan build → execution) into a `noop`
+sink, which materializes every output row without driver-side collect
+overhead — the number a cluster deployment would care about.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: every operator family, excluding the O(n²) pair
+# generators (ngram_jaccard / embedding_neardup / minhash_lsh are
+# correctness-scale ops; their bench-scale path is the LSH tier).
+BENCH_QUERIES = [
+    "scan_count",
+    "groupby_count",
+    "avg_orderby",
+    "pricing_summary",
+    "corr",
+    "table_stats",
+    "scalar_subquery",
+    "histogram",
+    "topk",
+    "filter_project",
+    "conditional",
+    "join_dims",
+    "join_fact",
+    "join_anti",
+    "join_semi",
+    "setops",
+    "distinct",
+    "window_latest",
+    "window_running",
+    "rollup",
+    "pivot",
+    "datetime_extract",
+    "json_extract",
+    "sessionize",
+    "tumbling_window",
+    "session_window",
+    "text_stats",
+    "token_count_bpe",
+    "text_quality",
+    "lang_id",
+    "fingerprint_dedup",
+    "dedup_exact_survivors",
+    "token_histogram",
+    "multimodal_meta",
+    "knn_bruteforce",
+    "embedding_stats",
+    "ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.session import (
+        get_session,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
+        all_queries,
+    )
+
+    spark = get_session("bench")
+    qs = all_queries()
+
+    # JVM/codegen warm-up on a trivial plan so q1 doesn't pay session cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "workload_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,303 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine — the standard near-dup ladder for
+LLM-pretraining corpora (cf. Lee et al. 2021 "Deduplicating Training
+Data Makes Language Models Better"; Broder 1997 resemblance/minhash).
+
+Design for 100 TB:
+- Exact dedup is a hash-groupBy: one shuffle on the 128-bit content
+  fingerprint, survivor chosen deterministically (min id), never
+  `dropDuplicates` (which keeps an arbitrary row).
+- MinHash signatures are computed per-row with higher-order array
+  functions (no explode): k seeded xxhash64 mins over the shingle
+  array. LSH banding then shuffles only (band_id, band_hash, doc_id)
+  triples — b*n rows of a few bytes, not the documents.
+- Candidate pairs are verified with exact Jaccard BEFORE being
+  reported (LSH alone has false positives).
+- SimHash is one 64-bit signature per doc computed in-place;
+  near-dup = Hamming distance ≤ t via banded equality on nibbles or
+  direct xor-popcount on the (much smaller) candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+    fingerprint,
+    normalize_text,
+    shingles,
+    tokens,
+)
+
+
+# --- exact ------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row per normalized-content fingerprint.
+    Two-phase hash agg on the fingerprint, then a semi-join back to
+    recover full rows without shuffling document bodies twice."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col)).drop("_fp")
+    return df.join(keep, id_col, "left_semi")
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fingerprint → (n_copies, keep_id); the audit view of exact_dedup."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 32, shingle_n: int = 3
+) -> Column:
+    """k-permutation MinHash over word shingles, all in-place:
+    signature[i] = min over shingles of xxhash64(shingle, seed_i).
+    Empty shingle sets get LONG_MAX sentinels (never collide)."""
+    sh = shingles(text, n=shingle_n)
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))
+                ),
+                F.lit(2**63 - 1),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, then exact-Jaccard
+    verification of the candidates.
+
+    b bands × r rows (r = num_hashes/b) targets the usual S-curve
+    threshold (1/b)^(1/r). Only the banded signature triples shuffle;
+    the exact verification joins shingle sets for candidate pairs only.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, num_hashes, shingle_n).alias("_sig"),
+    )
+    # band hash = xxhash64 over the band's slice of the signature
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.element_at("_sig", b * r + i + 1).cast("string") for i in range(r)]
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bhash")
+
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bhash") == F.col("y.bhash"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    verified = (
+        cand.join(sh.withColumnsRenamed({"_sid": "id_a", "_sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"_sid": "id_b", "_sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def simhash64(text: Column | str) -> Column:
+    """Charikar SimHash: sign-sum of token-hash bit vectors, folded to
+    one int64. Computed entirely with higher-order functions per row —
+    no explode, no shuffle, scales with bytes scanned.
+
+    Packing detail: Spark's shiftleft takes a literal shift amount and
+    ANSI long arithmetic overflow-checks, so the 64 sign bits are
+    Horner-folded into two uint32 halves (each < 2^32, overflow-free)
+    and OR'd as bit patterns."""
+    toks = F.array_distinct(tokens(normalize_text(text)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # acc: array of 64 signed counts (index i ↔ bit i-1); one zip_with
+    # per reduce step; getbit extracts with a column-valued position.
+    zeros = F.array_repeat(F.lit(0), 64)
+    bitsum = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.getbit(h, b) * 2 - 1,
+            ),
+            lambda a, bit: a + bit,
+        ),
+    )
+    bits = F.transform(
+        bitsum, lambda c: F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    )
+    def horner(slice_col: Column) -> Column:
+        # MSB-first fold: acc*2 + bit, max 2^32-1 — no long overflow.
+        return F.aggregate(
+            F.reverse(slice_col),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + b,
+        )
+    lo = horner(F.slice(bits, 1, 32))    # bits 0..31
+    hi = horner(F.slice(bits, 33, 32))   # bits 32..63
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Pairs are blocked on
+    `block_col` when given (at 100 TB an unblocked self-join is never
+    acceptable; production use bands the 64 bits into (64/t)-bit keys so
+    any pair within distance t shares ≥1 exact band — same trick as
+    minhash_lsh_pairs)."""
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        simhash64(text_col).alias("_sh"),
+    )
+    cond = F.col("x._id") < F.col("y._id")
+    if block_col:
+        cond = cond & (F.col("x._blk") == F.col("y._blk"))
+    return (
+        sig.alias("x")
+        .join(sig.alias("y"), cond)
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            hamming64(F.col("x._sh"), F.col("y._sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- n-gram Jaccard (blocked exact) -----------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs sharing a block key.
+    The honest O(n²/blocks) baseline the sketch methods approximate."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    cond = F.col("x._id") < F.col("y._id")
+    if block_col:
+        cond = cond & (F.col("x._blk") == F.col("y._blk"))
+    inter = F.size(F.array_intersect(F.col("x._sh"), F.col("y._sh")))
+    union = F.size(F.array_union(F.col("x._sh"), F.col("y._sh")))
+    return (
+        sh.alias("x")
+        .join(sh.alias("y"), cond)
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            (inter / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs whose embedding cosine ≥ threshold. Blocked self-join;
+    for unblocked scale use similarity.lsh_bucket_topk's hyperplane
+    buckets as the block key."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+        cosine,
+    )
+
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cond = F.col("x._id") < F.col("y._id")
+    if block_col:
+        cond = cond & (F.col("x._blk") == F.col("y._blk"))
+    return (
+        v.alias("x")
+        .join(v.alias("y"), cond)
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            cosine(F.col("x._v"), F.col("y._v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

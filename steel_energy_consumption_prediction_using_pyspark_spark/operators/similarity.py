@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, trading recall for scan cost:
+
+1. brute_force_topk — exact cosine top-k. The query side is broadcast
+   (queries are small); the corpus scan stays partitioned, each task
+   scores its slice, and only per-query candidates shuffle for the
+   final top-k. Baseline for recall evaluation.
+2. lsh_bucket_topk — random-hyperplane (SimHash-for-vectors) bucketing:
+   corpus and queries hash to sign-pattern buckets; only same-bucket
+   pairs are scored. Sub-linear scan at the cost of recall; multi-probe
+   (flipping the lowest-margin bits) recovers most of it.
+3. mllib_brp_topk — the built-in BucketedRandomProjectionLSH
+   (Euclidean) via approxSimilarityJoin, for parity with stock MLlib
+   pipelines.
+
+All cosine math is built-in higher-order functions in doubles —
+JVM-codegen, deterministic, bit-identical to the DuckDB oracle
+(verified: aggregate(zip_with) ≡ list_dot_product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+    cosine,
+    dot,
+)
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. Plan: broadcast nested-loop of the
+    (small) query set against the partitioned corpus → window top-k on
+    (query, sim desc, id). Deterministic tiebreak on neighbor id.
+
+    Scale note: the window shuffles |corpus|×|queries| score rows; for
+    big query sets, pre-reduce per partition (mapInPandas local top-k)
+    before the global window — the LSH tier below is the designed path
+    once the corpus no longer fits a full scan per query batch.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col("_qid").alias(query_id_col),
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
+def hyperplane_bucket(
+    vec: Column, dim: int, num_planes: int = 8, seed: int = 42
+) -> Column:
+    """Sign-pattern bucket id from `num_planes` pseudo-random
+    hyperplanes. The planes are derived deterministically from
+    xxhash64(seed, plane, coordinate) → values in [-0.5, 0.5); fully
+    engine-portable (no RNG state, reproducible across runs/executors).
+    """
+    v = _as_double(vec)
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        coeffs = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i, p=p: (
+                F.pmod(
+                    F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(1_000_000)
+                ).cast("double")
+                / 1_000_000.0
+                - 0.5
+            ),
+        )
+        proj = dot(v, coeffs)
+        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    num_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: score only corpus vectors in the query's hyperplane
+    bucket. One equi-join on the bucket id replaces the full cross
+    product — at 1000 executors the corpus stays bucket-partitioned and
+    each query touches |corpus|/2^planes vectors in expectation."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes, seed).alias("_bkt"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes, seed).alias("_bkt"),
+    )
+    scored = c.join(F.broadcast(q), "_bkt").select(
+        F.col("_qid").alias(query_id_col),
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
+def mllib_brp_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 5.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Stock-MLlib path: BucketedRandomProjectionLSH approxSimilarityJoin
+    on Euclidean distance (pyspark.ml.feature, public API)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        array_to_vector(_as_double(F.col(vec_col))).alias("features"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias(query_id_col),
+        array_to_vector(_as_double(F.col(vec_col))).alias("features"),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = brp.fit(c)
+    joined = model.approxSimilarityJoin(q, c, threshold, distCol="dist")
+    return joined.select(
+        F.col(f"datasetA.{query_id_col}").alias(query_id_col),
+        F.col("datasetB.neighbor_id").alias("neighbor_id"),
+        F.round("dist", 4).alias("dist"),
+    )

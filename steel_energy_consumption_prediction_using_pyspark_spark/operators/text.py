@@ -1,0 +1,176 @@
+"""Text analysis operators for LLM-data pipelines.
+
+All hot-path expressions are built-in Catalyst functions (split,
+regexp, higher-order array functions) — zero Python in the row path,
+so every operator whole-stage-codegens and scales linearly with input
+bytes. These are the operators a 100 TB pretraining-data pipeline
+runs over every document: token counting, quality scoring,
+language ID, fingerprinting.
+
+The reference has no text surface (SURVEY.md §2.8: no string
+functions at all); this module is the north-star extension mandated
+by the build plan (SURVEY.md §7.2 M4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer: matches both Java regex (Spark) and RE2
+# (DuckDB oracle) semantics for this pattern.
+TOKEN_SEP = " "
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately minimal and deterministic — language ID at 100 TB scale
+# is a first-pass router, not a classifier of record.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens. split('a b ', ' ') keeps the trailing empty
+    string in both Spark (Java split, limit=-1) and the oracle — pinned
+    by tests so the count semantics never drift."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, TOKEN_SEP)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_tokens(text: Column | str) -> Column:
+    """BPE-ish word/number/symbol tokenization via regexp — the
+    'how many model tokens is this, roughly' estimator."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+
+
+def stopword_ratio(
+    text: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    return hits / F.size(toks).cast("double")
+
+
+def char_stats(text: Column | str) -> dict[str, Column]:
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c).cast("double")
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    return {
+        "n_chars": F.length(c),
+        "alpha_ratio": alpha / n,
+        "digit_ratio": digit / n,
+        "space_ratio": (F.length(c) - nonspace) / n,
+    }
+
+
+def quality_score(
+    text: Column | str,
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> Column:
+    """Deterministic [0,1] quality heuristic in the spirit of
+    Gopher/C4-style document filters: length in range, healthy
+    stopword density, words not absurdly long. Pure arithmetic on
+    built-ins → identical in any ANSI engine."""
+    toks = tokens(text)
+    nt = F.size(toks).cast("double")
+    length_ok = F.when(
+        (nt >= min_tokens) & (nt <= max_tokens), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    stop = stopword_ratio(text, stopwords)
+    stop_ok = F.when((stop >= 0.01) & (stop <= 0.7), F.lit(1.0)).otherwise(F.lit(0.0))
+    mean_wlen = F.aggregate(
+        toks, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / nt
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return (length_ok * 0.4 + stop_ok * 0.3 + wlen_ok * 0.3)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-hit count per language (the lang-ID features)."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda w: w.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_guess(text: Column | str, min_hits: int = 1) -> Column:
+    """Argmax over marker-hit counts with deterministic tiebreak
+    (language code order); 'und' when nothing matched."""
+    scores = lang_scores(text)
+    best = None
+    best_score = None
+    for lang in sorted(scores):  # deterministic tiebreak: first max wins
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score >= min_hits, best).otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse
+    whitespace, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint = md5 of the normalized text. md5 is
+    engine-portable (same digest everywhere); xxhash64 is the faster
+    Spark-internal alternative used by the dedup module."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings, via higher-order functions
+    (sequence → transform → element_at): no explode, no shuffle —
+    each row computes its shingle array in place."""
+    toks = tokens(normalize_text(text))
+    # Guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark,
+    # so short texts need an explicit empty index array.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience projection appending the full feature set."""
+    cs = char_stats(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "n_word_tokens": F.size(word_tokens(text_col)),
+            "stop_ratio": F.round(stopword_ratio(text_col), 6),
+            "quality": quality_score(text_col),
+            "lang_guess": lang_guess(text_col),
+            "fp": fingerprint(text_col),
+            "alpha_ratio": F.round(cs["alpha_ratio"], 6),
+        }
+    )

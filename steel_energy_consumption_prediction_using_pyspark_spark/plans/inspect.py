@@ -70,5 +70,8 @@ def assert_no_shuffle(df: DataFrame) -> None:
 
 
 def assert_whole_stage_codegen(df: DataFrame) -> None:
+    """Under AQE the codegen annotations only appear once the adaptive
+    plan finalizes — execute first, then inspect the final plan."""
+    df.collect()
     plan = physical_plan(df)
-    assert "WholeStageCodegen" in plan, f"no WholeStageCodegen spans:\n{plan}"
+    assert "codegen id" in plan, f"no WholeStageCodegen spans:\n{plan}"

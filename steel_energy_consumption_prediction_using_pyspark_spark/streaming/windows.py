@@ -1,0 +1,129 @@
+"""Structured Streaming surface (SURVEY.md §2.10 extension).
+
+The reference is batch-only; the engine adds the streaming upgrade
+path with IDENTICAL transformation code for batch and stream — the
+aggregations below accept either a batch DataFrame or a streaming one
+(spark.readStream), because F.window / session_window / watermarks are
+the same logical operators in both modes. Tests drive them with the
+parquet fixtures through a memory sink using availableNow, which is
+exactly how a backfill replays history before switching to a live
+source (kafka/kinesis) — same code, different reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Schema of events.parquet as Spark reads it under nanosAsLong (the ns
+# column arrives as int64; we convert after load, exactly like the
+# batch path in workload/util.py::T).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns since epoch (converted below)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based streaming source over the events fixture. On a real
+    deployment this is a kafka reader; the transformation code below
+    does not change."""
+    # The file stream source requires a DIRECTORY; select the single
+    # fixture file with a glob filter.
+    reader = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(sf_dir)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_window_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows + watermark. On a stream the
+    watermark bounds state: windows older than (max event time -
+    watermark) finalize and evict; late rows beyond it drop. On batch
+    the watermark is a no-op and semantics match workload/core.py's
+    q_tumbling_window oracle exactly."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (dynamic-length, gap-based). Batch-mode
+    result agrees with the window-lag sessionization in
+    workload/core.py::q_sessionize on session counts."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(
+    agg: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming aggregation to completion with availableNow
+    (bounded backfill), leaving results queryable as table `name`."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -22,11 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
     core,
     ml,
+    multimodal,
     text,
     vector,
 )
 
-_MODULES = [core, text, vector, ml]
+_MODULES = [core, text, vector, multimodal, ml]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

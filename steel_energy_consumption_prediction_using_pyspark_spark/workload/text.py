@@ -1,4 +1,283 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis + dedup workload over the `documents` fixture.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Oracle-parity notes:
+- DuckDB `regexp_replace` replaces the FIRST match unless passed the
+  'g' flag; Spark replaces all — every oracle regex uses 'g'.
+- `string_split(text, ' ')` (DuckDB) and `split(text, ' ')` (Spark)
+  both keep trailing empty fields — pinned by tests.
+- All ratio arithmetic is division of exact ints → identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.functions.scalar import (
+    histogram,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+    dedup as D,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+    text as X,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+STOPWORDS = X.DEFAULT_STOPWORDS
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+_WORD_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+            F.round(F.avg(X.token_count("text")), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex word/number/symbol token counting (the BPE-ish estimator)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(X.word_tokens("text"))).alias("total_word_tokens"),
+            F.round(F.avg(F.size(X.word_tokens("text"))), 4).alias("avg_word_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score (length/stopword/word-length gates)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        F.round(X.stopword_ratio("text", STOPWORDS), 6).alias("stop_ratio"),
+        F.round(X.quality_score("text"), 2).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language guess vs the labeled lang column."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("lang", X.lang_guess("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "guess")
+    )
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup audit per source: doc count vs distinct normalized
+    fingerprints, plus the deterministic survivor count."""
+    d = T(spark, sf_dir, "documents")
+    fps = d.select("source", X.fingerprint("text").alias("fp"), "doc_id")
+    return (
+        fps.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup as a row-level operator: survivors of min-id-per-
+    fingerprint, aggregated for a stable small output."""
+    d = T(spark, sf_dir, "documents")
+    kept = D.exact_dedup(d, "text", "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    ).orderBy("lang")
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram op (A9) applied to a derived column: token counts."""
+    d = T(spark, sf_dir, "documents").select(
+        X.token_count("text").alias("n_toks")
+    )
+    return histogram(d, "n_toks", nbins=10)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard pairs within same-source blocks."""
+    d = T(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "text", "doc_id", block_col="source", shingle_n=3, threshold=0.03
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def _with_planted_dups(d: DataFrame, n: int = 10, offset: int = 10_000_000) -> DataFrame:
+    """Deterministic near-dup test harness: re-inject the first `n`
+    docs (by id) with offset ids so sketch-based dedup has guaranteed
+    positives to find."""
+    clones = (
+        d.orderBy("doc_id")
+        .limit(n)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    )
+    return d.unionByName(clones)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (no SQL oracle: seeded xxhash64
+    signatures are Spark-internal). Planted exact clones guarantee
+    recall>0; pytest pins that every planted pair is found."""
+    d = _with_planted_dups(T(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (no SQL oracle: xxhash64-based)."""
+    d = _with_planted_dups(T(spark, sf_dir, "documents"))
+    pairs = D.simhash_pairs(d, "text", "doc_id", max_hamming=4, block_col="lang")
+    return pairs
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "token_count_bpe": q_token_count_bpe,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "dedup_exact_survivors": q_dedup_exact_survivors,
+    "token_histogram": q_token_histogram,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+}
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = "string_split(text, ' ')"
+
+_LANG_SCORE = {
+    lang: f"len(list_filter({_TOKS}, w -> w IN ({', '.join(repr(m) for m in markers)})))"
+    for lang, markers in X.LANG_MARKERS.items()
+}
+
+ORACLES = {
+    "text_stats": f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(length(text)), 4) AS avg_len,
+               round(avg(len({_TOKS})), 4) AS avg_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "token_count_bpe": f"""
+        SELECT source,
+               CAST(sum(len(regexp_extract_all(text, '{_WORD_TOKEN_RE}'))) AS BIGINT)
+                   AS total_word_tokens,
+               round(avg(len(regexp_extract_all(text, '{_WORD_TOKEN_RE}'))), 4)
+                   AS avg_word_tokens
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "text_quality": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS nt,
+                   len(list_filter({_TOKS}, w -> w IN ({_STOP_SQL}))) AS stop_hits,
+                   CAST(list_sum(list_transform({_TOKS}, w -> length(w))) AS DOUBLE) AS char_sum
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(nt AS INTEGER) AS n_tokens,
+               round(stop_hits / CAST(nt AS DOUBLE), 6) AS stop_ratio,
+               -- e0-suffixed literals force DOUBLE (plain 1.0 is DECIMAL in
+               -- DuckDB, and decimal arithmetic would change the result type)
+               round(
+                   (CASE WHEN nt >= 20 AND nt <= 5000 THEN 1.0e0 ELSE 0.0e0 END) * 0.4e0
+                 + (CASE WHEN stop_hits / CAST(nt AS DOUBLE) >= 0.01e0
+                          AND stop_hits / CAST(nt AS DOUBLE) <= 0.7e0 THEN 1.0e0 ELSE 0.0e0 END) * 0.3e0
+                 + (CASE WHEN char_sum / nt >= 2.0e0 AND char_sum / nt <= 12.0e0
+                         THEN 1.0e0 ELSE 0.0e0 END) * 0.3e0
+               , 2) AS quality
+        FROM t
+    """,
+    "lang_id": f"""
+        WITH s AS (
+            SELECT lang,
+                   {_LANG_SCORE['de']} AS s_de,
+                   {_LANG_SCORE['en']} AS s_en,
+                   {_LANG_SCORE['es']} AS s_es,
+                   {_LANG_SCORE['fr']} AS s_fr,
+                   {_LANG_SCORE['zh']} AS s_zh
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) < 1 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en = greatest(s_en, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es = greatest(s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = greatest(s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS guess,
+               count(*) AS cnt
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "fingerprint_dedup": f"""
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT md5({_NORM})) AS n_unique,
+               min(doc_id) AS first_doc
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "dedup_exact_survivors": f"""
+        WITH keep AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents GROUP BY md5({_NORM})
+        )
+        SELECT lang, count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+        FROM documents d JOIN keep USING (doc_id)
+        GROUP BY lang ORDER BY lang
+    """,
+    "token_histogram": f"""
+        WITH t AS (SELECT len({_TOKS}) AS v FROM documents),
+             s AS (SELECT min(v) AS mn, max(v) AS mx FROM t)
+        SELECT CASE WHEN mx = mn THEN 1
+                    ELSE least(CAST(floor((v - mn) / ((mx - mn) / 10.0)) AS INTEGER) + 1, 10)
+               END AS bin,
+               count(*) AS cnt
+        FROM t, s GROUP BY 1 ORDER BY 1
+    """,
+    "ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
+                           i -> string_split({_NORM}, ' ')[i] || ' ' ||
+                                string_split({_NORM}, ' ')[i+1] || ' ' ||
+                                string_split({_NORM}, ' ')[i+2]
+                       )
+                   ) AS sh
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))
+                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4)
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.03
+    """,
+}

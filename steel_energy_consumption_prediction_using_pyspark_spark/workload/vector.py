@@ -1,4 +1,143 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search workload over the `embeddings` fixture.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The cosine math is bit-identical across engines (verified:
+aggregate(zip_with(·,·,*)) in doubles ≡ DuckDB list_dot_product on
+DOUBLE[]), so ranking by the UNROUNDED similarity with a unique-id
+tiebreak is fully deterministic; only displayed values are rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+    dedup as D,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+    similarity as S,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+N_QUERY = 5
+TOP_K = 5
+
+_COS = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    "  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: first N_QUERY vectors against the rest."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERY)
+    return S.brute_force_topk(corpus, queries, k=TOP_K)
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-ish stats: exercises array element access +
+    elementwise math on the vector column."""
+    e = T(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        e.select("label", v[0].alias("e0"), norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("e0"), 4).alias("avg_first"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs blocked on label (same-cluster check)."""
+    e = T(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs(
+        e, "embedding", "vec_id", threshold=0.32, block_col="label"
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-bucketed ANN top-k (no SQL oracle: seeded xxhash64
+    hyperplanes are Spark-internal; recall vs brute force pinned in
+    pytest)."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERY)
+    return S.lsh_bucket_topk(corpus, queries, k=TOP_K, dim=64, num_planes=4)
+
+
+def q_ann_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approxSimilarityJoin (no SQL
+    oracle: MLlib-internal hashing)."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERY)
+    return S.mllib_brp_join(corpus, queries, threshold=1.25)
+
+
+QUERIES = {
+    "knn_bruteforce": q_knn_bruteforce,
+    "embedding_stats": q_embedding_stats,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh": q_ann_lsh,
+    "ann_mllib_brp": q_ann_mllib_brp,
+}
+
+ORACLES = {
+    "knn_bruteforce": f"""
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS} AS cs
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < {N_QUERY} AND b.vec_id >= {N_QUERY}
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cs,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cs DESC, neighbor_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "embedding_stats": """
+        WITH t AS (
+            SELECT label,
+                   CAST(embedding AS DOUBLE[])[1] AS e0,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        )
+        SELECT label, count(*) AS n_vecs,
+               round(avg(e0), 4) AS avg_first,
+               round(avg(nrm), 4) AS avg_norm,
+               round(min(nrm), 4) AS min_norm,
+               round(max(nrm), 4) AS max_norm
+        FROM t GROUP BY label ORDER BY label
+    """,
+    "embedding_neardup": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_COS} >= 0.32e0
+    """,
+}

@@ -1,0 +1,68 @@
+"""Physical-plan pins: the properties that matter at 100 TB.
+
+Correct results with a bad plan is a failing test here — these assert
+pushdown, pruning, broadcast strategy, and codegen on the actual
+workload queries.
+"""
+
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    assert_whole_stage_codegen,
+    physical_plan,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload import core
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = core.q_filter_project(spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate", "l_quantity")
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    df = core.q_filter_project(spark, sf_dir)
+    assert_read_schema_pruned(
+        df,
+        {"l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"},
+    )
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = core.q_join_dims(spark, sf_dir)
+    assert_broadcast_join(df, count=2)
+
+
+def test_aggregate_is_partial_final(spark, sf_dir):
+    """Every groupBy must plan two-phase hash aggregation (map-side
+    partial combine before the shuffle)."""
+    plan = physical_plan(core.q_groupby_count(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = physical_plan(core.q_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_codegen_on_hot_path(spark, sf_dir):
+    assert_whole_stage_codegen(core.q_pricing_summary(spark, sf_dir))
+
+
+def test_scan_count_no_wide_read(spark, sf_dir):
+    """count + countDistinct over one column must read only that column."""
+    df = core.q_scan_count(spark, sf_dir)
+    assert_read_schema_pruned(df, {"l_orderkey"})
+
+
+def test_semi_join_not_inner(spark, sf_dir):
+    plan = physical_plan(core.q_join_semi(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_strategy(spark, sf_dir):
+    plan = physical_plan(core.q_join_anti(spark, sf_dir))
+    assert "LeftAnti" in plan

@@ -1,0 +1,106 @@
+"""Operator-level invariants for the relational core (SURVEY.md §2)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.functions.scalar import (
+    format_number_col,
+    histogram,
+    parse_reference_date,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+    dedup_keep_first,
+    group_count,
+    seeded_split,
+    top_k,
+    top_k_per_group,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.sources.readers import (
+    normalize_column_name,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+
+def test_group_count_totals(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    counts = group_count(li, "l_returnflag").collect()
+    assert sum(r["count"] for r in counts) == li.count()
+
+
+def test_top_k_deterministic(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    a = top_k(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 5).collect()
+    b = top_k(o.repartition(7), [F.desc("o_totalprice"), F.asc("o_orderkey")], 5).collect()
+    assert [r.o_orderkey for r in a] == [r.o_orderkey for r in b]
+
+
+def test_dedup_keep_first_pins_survivor(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", v=3), Row(k="a", v=1), Row(k="b", v=2)]
+    )
+    out = {r.k: r.v for r in dedup_keep_first(df, ["k"], [F.asc("v")]).collect()}
+    assert out == {"a": 1, "b": 2}
+
+
+def test_seeded_split_proportions(spark, sf_dir):
+    """randomSplit (reference R1, SteelPred.py:155): sizes ≈ weights;
+    disjoint and exhaustive."""
+    o = T(spark, sf_dir, "orders")
+    train, test = seeded_split(o, [0.75, 0.25], seed=64)
+    n, nt, ns = o.count(), train.count(), test.count()
+    assert nt + ns == n
+    assert 0.70 < nt / n < 0.80
+
+
+def test_histogram_counts_sum(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    h = histogram(o, "o_totalprice", nbins=10).collect()
+    assert sum(r.cnt for r in h) == o.count()
+    assert all(1 <= r.bin <= 10 for r in h)
+
+
+def test_histogram_constant_column(spark):
+    df = spark.createDataFrame([Row(x=5.0)] * 7)
+    h = histogram(df, "x", nbins=10).collect()
+    assert len(h) == 1 and h[0].bin == 1 and h[0].cnt == 7
+
+
+def test_histogram_nulls_separate_bin(spark):
+    df = spark.createDataFrame([Row(x=1.0), Row(x=2.0), Row(x=None)])
+    h = {r.bin: r.cnt for r in histogram(df, "x", nbins=2).collect()}
+    assert h.get(None) == 1
+    assert sum(v for k, v in h.items() if k is not None) == 2
+
+
+def test_normalize_column_name():
+    assert (
+        normalize_column_name("Lagging_Current_Reactive.Power_kVarh")
+        == "Lagging_Current_Reactive_Power_kVarh"
+    )
+    assert normalize_column_name("CO2(tCO2)") == "CO2"
+    assert normalize_column_name("plain") == "plain"
+
+
+def test_format_number_is_string(spark):
+    """Reference F1 (SteelPred.py:57): format_number returns a STRING
+    with thousands separators, 2dp."""
+    df = spark.range(1).select(format_number_col(F.lit(61810.401), 2).alias("s"))
+    assert df.collect()[0].s == "61,810.40"
+
+
+def test_parse_reference_date(spark):
+    """F3: dd/MM/yyyy HH:mm parsing (the reference's date format)."""
+    df = spark.createDataFrame([Row(d="01/02/2018 00:15")]).select(
+        parse_reference_date("d").alias("ts")
+    )
+    ts = df.collect()[0].ts
+    assert (ts.year, ts.month, ts.day, ts.hour, ts.minute) == (2018, 2, 1, 0, 15)
+
+
+def test_top_k_per_group(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    latest = top_k_per_group(
+        o, ["o_custkey"], [F.desc("o_orderdate"), F.asc("o_orderkey")], k=2
+    )
+    counts = latest.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert counts <= 2

@@ -1,0 +1,68 @@
+"""Structured Streaming: the same aggregation code must produce the
+same results via readStream + availableNow as on batch."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory_sink,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return T(spark, sf_dir, "events")
+
+
+def _collect_sorted(df, *keys):
+    return [tuple(r) for r in df.orderBy(*keys).collect()]
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, batch_events):
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    agg = tumbling_window_agg(stream)
+    run_to_memory_sink(agg, "tumbling_out", output_mode="complete")
+    got = _collect_sorted(spark.table("tumbling_out"), "wstart", "event_type")
+    want = _collect_sorted(tumbling_window_agg(batch_events), "wstart", "event_type")
+    assert got == want
+
+
+def test_sliding_window_batch(batch_events):
+    out = sliding_window_agg(batch_events).collect()
+    assert len(out) > 0
+    # every event lands in window_size/slide = 4 windows
+    total = sum(r.cnt for r in out)
+    assert total == 4 * batch_events.count()
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir, batch_events):
+    stream = read_events_stream(spark, sf_dir)
+    agg = session_window_agg(stream)
+    run_to_memory_sink(agg, "session_out", output_mode="complete")
+    got = _collect_sorted(spark.table("session_out"), "user_id", "session_start")
+    want = _collect_sorted(session_window_agg(batch_events), "user_id", "session_start")
+    assert got == want
+
+
+def test_session_counts_match_lag_sessionize(spark, sf_dir, batch_events):
+    """session_window and the window-lag sessionization (core workload)
+    must agree on sessions per user."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.core import (
+        q_sessionize,
+    )
+
+    native = (
+        session_window_agg(batch_events)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    lag_based = q_sessionize(spark, sf_dir).select("user_id", "n_sessions")
+    a = {(r.user_id, r.n_sessions) for r in native.collect()}
+    b = {(r.user_id, r.n_sessions) for r in lag_based.collect()}
+    assert a == b

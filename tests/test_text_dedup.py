@@ -1,0 +1,117 @@
+"""Text operators + the dedup ladder: planted-duplicate recall and
+semantic pins that the oracle queries rely on."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+    dedup as D,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+    text as X,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+
+def test_split_keeps_trailing_empty(spark):
+    """The oracle parity contract: split('a b ', ' ') has 3 elements in
+    Spark AND DuckDB. If Spark ever changes limit semantics, every
+    token-count oracle breaks — pin it."""
+    df = spark.createDataFrame([Row(t="a b ")])
+    assert df.select(F.size(X.tokens("t")).alias("n")).collect()[0].n == 3
+
+
+def test_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([Row(t="one two")])
+    out = df.select(X.shingles("t", 3).alias("s")).collect()[0].s
+    assert out == []
+
+
+def test_shingles_content(spark):
+    df = spark.createDataFrame([Row(t="a b c d")])
+    out = df.select(X.shingles("t", 3).alias("s")).collect()[0].s
+    assert out == ["a b c", "b c d"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [Row(a="Hello   World", b="hello world "), Row(a="x", b="y")]
+    )
+    got = df.select(
+        (X.fingerprint("a") == X.fingerprint("b")).alias("eq")
+    ).collect()
+    assert [r.eq for r in got] == [True, False]
+
+
+def test_lang_guess_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat sat of the mat and a dog is"),
+            Row(t="el perro de la casa que los gatos"),
+            Row(t="qqq zzz www"),
+        ]
+    )
+    got = [r.g for r in df.select(X.lang_guess("t").alias("g")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_quality_score_range(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    stats = d.select(X.quality_score("text").alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).collect()[0]
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def _planted(spark, sf_dir, n=5):
+    d = T(spark, sf_dir, "documents")
+    clones = d.orderBy("doc_id").limit(n).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    return d.unionByName(clones), n
+
+
+def test_exact_dedup_removes_planted(spark, sf_dir):
+    d, n = _planted(spark, sf_dir)
+    kept = D.exact_dedup(d, "text", "doc_id")
+    assert kept.count() == d.count() - n
+    # survivors are the min ids — no clone id survives
+    assert kept.filter(F.col("doc_id") >= 10_000_000).count() == 0
+
+
+def test_minhash_lsh_finds_planted(spark, sf_dir):
+    d, n = _planted(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8)
+    found = {
+        (r.id_a, r.id_b)
+        for r in pairs.filter(F.col("id_b") >= 10_000_000).collect()
+    }
+    expected = {(i, i + 10_000_000) for i in range(n)}
+    assert expected <= found  # exact clones MUST be found (jaccard 1.0)
+
+
+def test_simhash_identical_distance_zero(spark, sf_dir):
+    d, _ = _planted(spark, sf_dir, n=3)
+    sig = d.select("doc_id", D.simhash64("text").alias("sh")).collect()
+    by_id = {r.doc_id: r.sh for r in sig}
+    for i in range(3):
+        assert by_id[i] == by_id[i + 10_000_000]
+
+
+def test_simhash_pairs_planted(spark, sf_dir):
+    d, n = _planted(spark, sf_dir, n=3)
+    pairs = D.simhash_pairs(d, "text", "doc_id", max_hamming=0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 10_000_000) for i in range(3)} <= got
+
+
+def test_ngram_jaccard_clone_is_one(spark, sf_dir):
+    d, n = _planted(spark, sf_dir, n=3)
+    d = d.withColumn("blk", F.col("doc_id") % 10_000_000 % 1000)
+    pairs = D.ngram_jaccard_pairs(
+        d, "text", "doc_id", block_col=None, threshold=0.99
+    )
+    clones = pairs.filter(F.col("id_b") == F.col("id_a") + 10_000_000)
+    rows = clones.collect()
+    assert len(rows) >= 3
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in rows)
