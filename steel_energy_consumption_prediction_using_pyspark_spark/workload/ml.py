@@ -1,4 +1,75 @@
-"""Placeholder — populated in a later milestone."""
+"""ML workload entries (rows-only: MLlib fits have no DuckDB-SQL
+equivalent — the driver records the weaker check; the full invariants
+live in tests/test_ml.py).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Runs on the synthetic steel_energy fixture (sources/steel.py), sized
+down so the driver's per-query budget stays sane: the point here is
+the end-to-end fit→transform→evaluate dataflow (reference entry point
+C, SURVEY.md §3.3), not model quality — tests pin quality on the
+bigger fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.ml.evaluate import (
+    comparison_table,
+    evaluate_predictions,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.ml.models import (
+    baseline_regressors,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.ml.pipeline import (
+    build_pipeline,
+    feature_stages,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.sources.steel import (
+    steel_energy,
+)
+
+QUERY_ROWS = 96 * 30  # one month of 15-min intervals
+
+
+def q_ml_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature stages only (M1-M3): index 3 categoricals, assemble 9
+    features, scale. Output: per-Load_Type feature stats proving the
+    indexer ordinals follow frequencyDesc and the vectors exist."""
+    from pyspark.ml import Pipeline
+
+    data = steel_energy(spark, QUERY_ROWS)
+    model = Pipeline(stages=feature_stages()).fit(data)
+    out = model.transform(data)
+    return (
+        out.groupBy("Load_Type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("Load_Type_index").alias("load_type_index"),
+            F.round(F.avg("Usage_kWh"), 2).alias("avg_usage"),
+        )
+        .orderBy("load_type_index")
+    )
+
+
+def q_ml_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit LinearRegression + DecisionTree pipelines on a seeded 75/25
+    split (reference R1 seed=64, SteelPred.py:155) and return the
+    ranked comparison table (reference SteelPred.py:283-294)."""
+    data = steel_energy(spark, QUERY_ROWS).coalesce(4)
+    train, test = data.randomSplit([0.75, 0.25], seed=64)
+    models = baseline_regressors()
+    results = {}
+    for name in ("LinearRegression", "DecisionTreeRegressor"):
+        fitted = build_pipeline(models[name]).fit(train)
+        preds = fitted.transform(test)
+        results[name] = evaluate_predictions(preds)
+    return comparison_table(spark, results)
+
+
+QUERIES = {
+    "ml_feature_pipeline": q_ml_feature_pipeline,
+    "ml_regression": q_ml_regression,
+}
+
+ORACLES: dict[str, str] = {}
