@@ -57,6 +57,18 @@ def duplicate_groups(
 
 # --- MinHash + LSH ----------------------------------------------------------
 
+def _seeded_hasher(seed: int):
+    """Single-arg lambda factory for F.transform.
+
+    CAUTION: PySpark higher-order functions dispatch on the callable's
+    ARITY — a two-parameter lambda is called as (element, array_index),
+    so the `lambda s, seed=seed:` default-arg idiom silently rebinds
+    the seed to the element position and every hash family collapses
+    into one. A closure over a single-parameter lambda is the safe way
+    to parameterize."""
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
 def minhash_signature(
     text: Column | str, num_hashes: int = 32, shingle_n: int = 3
 ) -> Column:
@@ -67,9 +79,7 @@ def minhash_signature(
     return F.array(
         *[
             F.coalesce(
-                F.array_min(
-                    F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))
-                ),
+                F.array_min(F.transform(sh, _seeded_hasher(i))),
                 F.lit(2**63 - 1),
             )
             for i in range(num_hashes)
@@ -98,9 +108,25 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    sig = df.select(
+    # Materialize the distinct shingle set ONCE as a named column; the
+    # k min-hash folds and the exact-Jaccard verification all read it.
+    # (Expensive aliased expressions referenced k times are not inlined
+    # by CollapseProject, so the shingle array is built once per row.)
+    shingled = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("_sig"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    sig = shingled.select(
+        "_id",
+        F.array(
+            *[
+                F.coalesce(
+                    F.array_min(F.transform("_sh", _seeded_hasher(i))),
+                    F.lit(2**63 - 1),
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("_sig"),
     )
     # band hash = xxhash64 over the band's slice of the signature
     banded = sig.select(
@@ -134,13 +160,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = df.select(
-        F.col(id_col).alias("_sid"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
-    )
+    sh = shingled
     verified = (
-        cand.join(sh.withColumnsRenamed({"_sid": "id_a", "_sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"_sid": "id_b", "_sh": "sh_b"}), "id_b")
+        cand.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}), "id_b")
         .select(
             "id_a",
             "id_b",

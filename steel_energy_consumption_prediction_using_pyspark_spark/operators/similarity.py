@@ -75,26 +75,26 @@ def brute_force_topk(
 def hyperplane_bucket(
     vec: Column, dim: int, num_planes: int = 8, seed: int = 42
 ) -> Column:
-    """Sign-pattern bucket id from `num_planes` pseudo-random
-    hyperplanes. The planes are derived deterministically from
-    xxhash64(seed, plane, coordinate) → values in [-0.5, 0.5); fully
-    engine-portable (no RNG state, reproducible across runs/executors).
-    """
+    """Sign-pattern bucket id from `num_planes` seeded pseudo-random
+    hyperplanes. Coefficients are generated ONCE driver-side
+    (random.Random(seed) — deterministic across runs, machines and
+    executors) and embedded as literal arrays, so per row only the
+    dot products remain; deriving coefficients with per-row hash
+    expressions would cost dim×planes hash evaluations per vector."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.uniform(-0.5, 0.5) for _ in range(dim)] for _ in range(num_planes)
+    ]
     v = _as_double(vec)
     bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        coeffs = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i, p=p: (
-                F.pmod(
-                    F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(1_000_000)
-                ).cast("double")
-                / 1_000_000.0
-                - 0.5
-            ),
-        )
-        proj = dot(v, coeffs)
-        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0))
+    for p, coeffs in enumerate(planes):
+        lit_plane = F.array(*[F.lit(c) for c in coeffs])
+        proj = dot(v, lit_plane)
+        bucket = bucket + F.when(
+            proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
+        ).otherwise(F.lit(0))
     return bucket
 
 
@@ -108,21 +108,40 @@ def lsh_bucket_topk(
     dim: int = 64,
     num_planes: int = 6,
     seed: int = 42,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """ANN top-k: score only corpus vectors in the query's hyperplane
     bucket. One equi-join on the bucket id replaces the full cross
     product — at 1000 executors the corpus stays bucket-partitioned and
-    each query touches |corpus|/2^planes vectors in expectation."""
+    each query touches |corpus|/2^planes vectors in expectation.
+
+    multi_probe additionally probes every bucket at Hamming distance 1
+    from the query's (flip each plane's bit): recall roughly doubles on
+    weakly-clustered data for a (planes+1)× scan of the QUERY side only
+    — the corpus side is still touched once per matching bucket."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_cv"),
         hyperplane_bucket(F.col(vec_col), dim, num_planes, seed).alias("_bkt"),
     )
-    q = queries.select(
+    qbase = queries.select(
         F.col(query_id_col).alias("_qid"),
         _as_double(F.col(vec_col)).alias("_qv"),
-        hyperplane_bucket(F.col(vec_col), dim, num_planes, seed).alias("_bkt"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes, seed).alias("_b0"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("_b0"),
+            *[
+                F.col("_b0").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(num_planes)
+            ],
+        )
+        q = qbase.select(
+            "_qid", "_qv", F.explode(probes).alias("_bkt")
+        )
+    else:
+        q = qbase.withColumnRenamed("_b0", "_bkt")
     scored = c.join(F.broadcast(q), "_bkt").select(
         F.col("_qid").alias(query_id_col),
         "neighbor_id",

@@ -10,12 +10,18 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from steel_energy_consumption_prediction_using_pyspark_spark.session import (
         get_session,
     )
 
-    s = get_session("engine-tests", master="local[4]", shuffle_partitions=4)
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_session(
+        "engine-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
 
 

@@ -1,0 +1,39 @@
+"""Custom stateful streaming operator (applyInPandasWithState)."""
+
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.streaming.stateful import (
+    running_totals_per_user,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
+    read_events_stream,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+
+def test_running_totals_match_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = running_totals_per_user(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode may emit a key several times across batches — the
+    # LAST emission per key is the final state; with availableNow over
+    # one file there is one batch, so rows are final.
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.table("state_out").collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
