@@ -291,6 +291,55 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cube / grouping sets ---------------------------------------------------
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys — all 4 grouping combinations in one pass
+    (partial aggregation expands grouping ids map-side)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL path (parser → analyzer →
+    Expand operator)."""
+    register(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL++ count-distinct, GK quantiles) — the
+    100 TB answer to COUNT(DISTINCT)/percentile. No SQL oracle: sketch
+    algorithms differ across engines; accuracy vs exact is pinned in
+    tests/test_relational.py::test_approx_within_tolerance."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
 # --- pivot ------------------------------------------------------------------
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,6 +474,9 @@ QUERIES = {
     "window_latest": q_window_latest,
     "window_running": q_window_running,
     "rollup": q_rollup,
+    "cube": q_cube,
+    "grouping_sets": q_grouping_sets,
+    "approx_stats": q_approx_stats,
     "pivot": q_pivot,
     "datetime_extract": q_datetime_extract,
     "json_extract": q_json_extract,
@@ -578,6 +630,21 @@ ORACLES = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP(n_name, c_mktsegment)
         ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    """,
+    "cube": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "grouping_sets": """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
     """,
     "pivot": """
         SELECT l_returnflag,

@@ -67,9 +67,32 @@ def q_ml_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comparison_table(spark, results)
 
 
+def q_steel_eda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature EDA chain, verbatim shape
+    (SteelPred.py:57): groupBy → dict-style avg agg (auto-named
+    `avg(Usage_kWh)`) → orderBy desc → withColumnRenamed →
+    format_number STRING output. Rows-only: format_number's
+    thousands-separator string has no DuckDB equivalent; the numeric
+    pipeline is oracle-covered by avg_orderby."""
+    data = steel_energy(spark, QUERY_ROWS)
+    return (
+        data.groupBy("Day_of_week")
+        .agg({"Usage_kWh": "avg"})
+        .orderBy("avg(Usage_kWh)", ascending=False)
+        .withColumnRenamed("avg(Usage_kWh)", "avg_energy_consumption")
+        .select(
+            "Day_of_week",
+            F.format_number("avg_energy_consumption", 2).alias(
+                "avg_energy_consumption"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "ml_feature_pipeline": q_ml_feature_pipeline,
     "ml_regression": q_ml_regression,
+    "steel_eda": q_steel_eda,
 }
 
 ORACLES: dict[str, str] = {}

@@ -97,6 +97,20 @@ def test_parse_reference_date(spark):
     assert (ts.year, ts.month, ts.day, ts.hour, ts.minute) == (2018, 2, 1, 0, 15)
 
 
+def test_approx_within_tolerance(spark, sf_dir):
+    """HLL++ count-distinct within its default 5% rsd; GK median within
+    5% of exact (the accuracy contract behind q_approx_stats)."""
+    li = T(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+    assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.05
+
+
 def test_top_k_per_group(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     latest = top_k_per_group(
