@@ -114,6 +114,39 @@ def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     return df.withColumnsRenamed(mapping)
 
 
+def salted_sum_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    salt_buckets: int = 16,
+    sum_name: str = "sum_value",
+    count_name: str = "cnt",
+) -> DataFrame:
+    """Skew-resistant aggregation: salt the group key so one hot key
+    spreads over `salt_buckets` reducers, then combine the partials.
+
+    Decomposable aggregates only (sum/count/min/max — avg = sum/count
+    at the end). AQE's skew handling covers *joins*; for aggregations a
+    hot key still funnels into a single partial→final path, and at
+    100 TB one key with 10% of all rows stalls the stage — salting is
+    the standard fix. The salt is derived from a hash of the row's
+    whole-tuple fingerprint, not rand(): deterministic, retry-safe.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(
+            F.sum(value).alias("_psum"),
+            F.count(F.lit(1)).alias("_pcnt"),
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_psum").alias(sum_name),
+        F.sum("_pcnt").cast("long").alias(count_name),
+    )
+
+
 def seeded_split(
     df: DataFrame, weights: Sequence[float], seed: int
 ) -> list[DataFrame]:

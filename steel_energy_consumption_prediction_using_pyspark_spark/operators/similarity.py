@@ -157,6 +157,73 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: k-means partitions the corpus into inverted
+    lists; each query scores only the `n_probe` lists whose centroids
+    are nearest. The scale path when the corpus is re-queried often:
+    centroids are trained once, corpus stays hash-partitioned by list
+    id, and each query batch touches n_probe/n_centroids of the data.
+
+    Built from public MLlib KMeans + the same broadcast-join + window
+    top-k machinery as the other tiers.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_feat", array_to_vector("_cv"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="_feat", predictionCol="_list")
+    model = km.fit(c)
+    c_assigned = model.transform(c).select("neighbor_id", "_cv", "_list")
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    cent_rows = [(i, centroids[i]) for i in range(len(centroids))]
+    cent_df = queries.sparkSession.createDataFrame(
+        cent_rows, "cid int, cvec array<double>"
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    # rank centroids per query, keep n_probe nearest (tiny cross join:
+    # |queries| × n_centroids)
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        "_qid", "_qv", "cid", cosine(F.col("_qv"), F.col("cvec")).alias("_csim")
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.desc("_csim"), F.asc("cid"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("_qid", "_qv", F.col("cid").alias("_list"))
+    )
+
+    scored = c_assigned.join(F.broadcast(probes), "_list").select(
+        F.col("_qid").alias(query_id_col),
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
 def mllib_brp_join(
     corpus: DataFrame,
     queries: DataFrame,

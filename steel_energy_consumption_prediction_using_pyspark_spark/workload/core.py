@@ -230,6 +230,75 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_count(active, "c_mktsegment", name="n_big_spenders").orderBy("c_mktsegment")
 
 
+# --- classic multi-join analytics (TPC-H shapes on the fixtures) ------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both sides of a fact-fact
+    join, aggregate, top-10. Filters push to both parquet scans; the
+    join shuffles only surviving rows; top-k avoids a global sort."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        agg.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            ts_str(F.col("o_orderdate")).alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join (fact + 4 dims, all broadcast)
+    → one shuffle total (the final aggregation)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: filtered fact join + group on a higher-
+    cardinality key (customer) + top-20 by measure."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = joined.groupBy("c_custkey", "c_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
 # --- set operations (SURVEY §2.7) -------------------------------------------
 
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,6 +538,9 @@ QUERIES = {
     "join_fact": q_join_fact,
     "join_anti": q_join_anti,
     "join_semi": q_join_semi,
+    "shipping_priority": q_shipping_priority,
+    "regional_volume": q_regional_volume,
+    "returned_items": q_returned_items,
     "setops": q_setops,
     "distinct": q_distinct,
     "window_latest": q_window_latest,
@@ -589,6 +661,42 @@ ORACLES = {
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
         )
         GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+               o_orderpriority
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "regional_volume": """
+        SELECT r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "returned_items": """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
     "setops": """
         SELECT 'both' AS tag, nationkey FROM (

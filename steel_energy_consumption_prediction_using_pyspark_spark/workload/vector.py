@@ -82,6 +82,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(corpus, queries, k=TOP_K, dim=64, num_planes=4)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means inverted lists + n_probe nearest lists per
+    query (no SQL oracle: MLlib k-means training; recall vs brute
+    force pinned in pytest)."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERY)
+    return S.ivf_topk(corpus, queries, k=TOP_K, n_centroids=16, n_probe=4)
+
+
 def q_ann_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approxSimilarityJoin (no SQL
     oracle: MLlib-internal hashing)."""
@@ -98,6 +110,7 @@ QUERIES = {
     "embedding_stats": q_embedding_stats,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "ann_mllib_brp": q_ann_mllib_brp,
 }
 

@@ -97,6 +97,27 @@ def test_parse_reference_date(spark):
     assert (ts.year, ts.month, ts.day, ts.hour, ts.minute) == (2018, 2, 1, 0, 15)
 
 
+def test_salted_agg_matches_direct(spark, sf_dir):
+    """Salted two-phase aggregation ≡ direct aggregation (the skew
+    recipe must not change results)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        salted_sum_count,
+    )
+
+    e = T(spark, sf_dir, "events")
+    direct = {
+        r.event_type: (round(r.s, 6), r.c)
+        for r in e.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted = {
+        r.event_type: (round(r.sum_value, 6), r.cnt)
+        for r in salted_sum_count(e, ["event_type"], "value", 16).collect()
+    }
+    assert direct == salted
+
+
 def test_approx_within_tolerance(spark, sf_dir):
     """HLL++ count-distinct within its default 5% rsd; GK median within
     5% of exact (the accuracy contract behind q_approx_stats)."""

@@ -65,6 +65,21 @@ def test_lsh_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_ivf_recall(spark, sf_dir):
+    """IVF with n_probe=4/16 lists: recall ≥ 40% vs brute force on the
+    fixture (higher than single-table LSH since probing is adaptive)."""
+    c, q = _split(spark, sf_dir)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(c, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(c, q, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    assert len(approx & truth) / len(truth) >= 0.4
+
+
 def test_mllib_brp_join_runs(spark, sf_dir):
     c, q = _split(spark, sf_dir)
     out = S.mllib_brp_join(c, q, threshold=2.0)
