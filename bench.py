@@ -36,16 +36,24 @@ BENCH_QUERIES = [
     "join_fact",
     "join_anti",
     "join_semi",
+    "shipping_priority",
+    "regional_volume",
+    "returned_items",
     "setops",
     "distinct",
     "window_latest",
     "window_running",
     "rollup",
+    "cube",
+    "grouping_sets",
+    "approx_stats",
+    "percentiles",
     "pivot",
     "datetime_extract",
     "json_extract",
     "sessionize",
     "tumbling_window",
+    "sliding_window",
     "session_window",
     "text_stats",
     "token_count_bpe",
@@ -58,6 +66,7 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "embedding_stats",
     "ann_lsh",
+    "ann_ivf",
 ]
 
 

@@ -184,8 +184,20 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_cv"),
     ).withColumn("_feat", array_to_vector("_cv"))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="_feat", predictionCol="_list")
-    model = km.fit(c)
+    # Coarse quantizer: bucketing quality saturates quickly, so cap the
+    # iterations and train on a bounded sample — at 100 TB you never
+    # run k-means over the full corpus to place 2^k centroids; a
+    # deterministic sample is the standard IVF training set.
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=5,
+        featuresCol="_feat", predictionCol="_list",
+    )
+    train = c.select("_feat")
+    n_corpus = train.count()
+    max_train = max(n_centroids * 100, 2000)
+    if n_corpus > max_train:
+        train = train.sample(fraction=max_train / n_corpus, seed=seed)
+    model = km.fit(train)
     c_assigned = model.transform(c).select("neighbor_id", "_cv", "_list")
 
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]

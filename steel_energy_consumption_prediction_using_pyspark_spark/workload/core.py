@@ -522,6 +522,41 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window, 15min slide): every event lands in 4
+    windows. Same operator the streaming path uses
+    (streaming/windows.py::sliding_window_agg)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("wstart"),
+            "cnt",
+            "total_value",
+        )
+        .orderBy("wstart")
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the exact counterpart
+    of approx_stats' sketches)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_p50"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "scan_count": q_scan_count,
     "groupby_count": q_groupby_count,
@@ -554,6 +589,8 @@ QUERIES = {
     "json_extract": q_json_extract,
     "sessionize": q_sessionize,
     "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "percentiles": q_percentiles,
 }
 
 ORACLES = {
@@ -793,6 +830,25 @@ ORACLES = {
                CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM flagged GROUP BY user_id
+    """,
+    "sliding_window": """
+        -- each event belongs to 4 sliding windows: starts on the 15-min
+        -- grid at offsets 0..3 behind the event's grid slot (µs integer
+        -- arithmetic — exact, matching Spark's window() assignment)
+        SELECT strftime(
+                   make_timestamp((epoch_us(ts) // 900000000 - i) * 900000000),
+                   '%Y-%m-%d %H:%M:%S') AS wstart,
+               count(*) AS cnt,
+               round(sum(value), 2) AS total_value
+        FROM events, unnest([0, 1, 2, 3]) AS t(i)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+               round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "tumbling_window": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
