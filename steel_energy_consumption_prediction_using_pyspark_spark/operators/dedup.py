@@ -115,7 +115,10 @@ def minhash_lsh_pairs(
     shingled = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
-    )
+    ).filter(F.size("_sh") > 0)
+    # Contentless docs (no shingles) are excluded: their sentinel
+    # signatures would band-match each other and the Jaccard union
+    # would be empty (ANSI divide-by-zero). Exact-dedup handles them.
     sig = shingled.select(
         "_id",
         F.array(
@@ -188,7 +191,9 @@ def simhash64(text: Column | str) -> Column:
     ANSI long arithmetic overflow-checks, so the 64 sign bits are
     Horner-folded into two uint32 halves (each < 2^32, overflow-free)
     and OR'd as bit patterns."""
-    toks = F.array_distinct(tokens(normalize_text(text)))
+    toks = F.filter(
+        F.array_distinct(tokens(normalize_text(text))), lambda w: F.length(w) > 0
+    )
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     # acc: array of 64 signed counts (index i ↔ bit i-1); one zip_with
     # per reduce step; getbit extracts with a column-valued position.
@@ -272,7 +277,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
         F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
-    )
+    ).filter(F.size("_sh") > 0)
     cond = F.col("x._id") < F.col("y._id")
     if block_col:
         cond = cond & (F.col("x._blk") == F.col("y._blk"))

@@ -522,6 +522,55 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex scalar surface (absent in the reference, required
+    by the text extensions): substring, regexp_extract, upper/lower,
+    concat_ws, coalesce/nullif, lpad."""
+    p = T(spark, sf_dir, "part")
+    brand_num = F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int")
+    return (
+        p.select(
+            F.upper(F.substring("p_type", 1, 3)).alias("type3"),
+            brand_num.alias("brand_num"),
+            F.split("p_name", " ")[0].alias("color"),
+            F.length("p_name").alias("name_len"),
+            "p_retailprice",
+        )
+        .groupBy("type3")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("brand_num").alias("max_brand"),
+            F.countDistinct("color").alias("n_colors"),
+            F.round(F.avg("name_len"), 4).alias("avg_name_len"),
+            F.concat_ws(
+                "|", F.min("color"), F.max("color")
+            ).alias("color_range"),
+        )
+        .orderBy("type3")
+    )
+
+
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing (from_json → typed struct), the
+    contrast to q_json_extract's path-extraction."""
+    e = T(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+        "value",
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+            F.round(F.avg("p.k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1h window, 15min slide): every event lands in 4
     windows. Same operator the streaming path uses
@@ -591,6 +640,8 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
     "percentiles": q_percentiles,
+    "string_funcs": q_string_funcs,
+    "from_json": q_from_json,
 }
 
 ORACLES = {
@@ -830,6 +881,35 @@ ORACLES = {
                CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM flagged GROUP BY user_id
+    """,
+    "string_funcs": """
+        WITH t AS (
+            SELECT upper(substr(p_type, 1, 3)) AS type3,
+                   CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INTEGER) AS brand_num,
+                   string_split(p_name, ' ')[1] AS color,
+                   length(p_name) AS name_len,
+                   p_retailprice
+            FROM part
+        )
+        SELECT type3,
+               count(*) AS cnt,
+               CAST(max(brand_num) AS INTEGER) AS max_brand,
+               count(DISTINCT color) AS n_colors,
+               round(avg(name_len), 4) AS avg_name_len,
+               min(color) || '|' || max(color) AS color_range
+        FROM t GROUP BY type3 ORDER BY type3
+    """,
+    "from_json": """
+        WITH t AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+        SELECT event_type, count(*) AS cnt,
+               CAST(min(k) AS INTEGER) AS min_k,
+               CAST(max(k) AS INTEGER) AS max_k,
+               round(avg(k), 4) AS avg_k
+        FROM t GROUP BY event_type ORDER BY event_type
     """,
     "sliding_window": """
         -- each event belongs to 4 sliding windows: starts on the 15-min

@@ -66,3 +66,23 @@ def test_semi_join_not_inner(spark, sf_dir):
 def test_anti_join_strategy(spark, sf_dir):
     plan = physical_plan(core.q_join_anti(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_join_hints_respected(spark, sf_dir):
+    """Strategy hints override the planner: merge → SortMergeJoin,
+    shuffle_hash → ShuffledHashJoin (the knobs used when AQE's choice
+    is wrong for a known workload)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in physical_plan(merged)
+    hashed = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in physical_plan(hashed)
+
+
+def test_partition_count_tracks_parallelism(spark, sf_dir):
+    """Shuffle output partitions follow spark.sql.shuffle.partitions
+    (pre-AQE plan) — the knob that must scale with cluster size."""
+    df = core.q_groupby_count(spark, sf_dir)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert f"hashpartitioning(l_returnflag" in physical_plan(df)
