@@ -23,7 +23,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -101,6 +103,45 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload", id_col: str =
             )
 
     return df.mapInPandas(kernel, IMAGE_META_SCHEMA)
+
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-extraction kernel over mapInPandas: payload bytes → a
+    FEATURE_DIM float vector (here a deterministic byte-histogram
+    projection standing in for a CNN/audio embedding — the output
+    schema, Arrow batching, and downstream array<float> compatibility
+    with the similarity operators are the real contract)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * FEATURE_DIM)
+                    continue
+                # bucket byte values into FEATURE_DIM histogram bins,
+                # normalized — deterministic, codec-free
+                hist = np.bincount(arr // (256 // FEATURE_DIM), minlength=FEATURE_DIM)
+                feats.append((hist / arr.size).astype("float32").tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "feature": feats}
+            )
+
+    return df.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 def decode_image_pixels(*_args, **_kwargs):

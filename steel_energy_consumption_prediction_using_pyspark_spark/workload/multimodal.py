@@ -9,8 +9,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimodal import (
     decode_image_meta,
+    extract_features,
     pack_blob,
 )
 from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
@@ -35,8 +38,37 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(e, gap="30 minutes")
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """payload → Arrow-batched feature extraction (byte-histogram fake
+    embedding) → per-source aggregate. Rows-only: the kernel's numpy
+    float32 arithmetic has no faithful SQL twin; shape/determinism
+    pinned in tests/test_multimodal.py."""
+    d = T(spark, sf_dir, "documents")
+    blobs = pack_blob(d, "text", "doc_id")
+    feats = extract_features(blobs)
+    joined = feats.join(d.select("doc_id", "source"), "doc_id")
+    v = F.col("feature").cast("array<double>")
+    return (
+        joined.select(
+            "source",
+            F.round(v[0], 4).alias("f0"),
+            F.round(
+                F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 4
+            ).alias("nrm"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("f0"), 4).alias("avg_f0"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
     "session_window": q_session_window,
 }
 

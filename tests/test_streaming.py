@@ -50,6 +50,28 @@ def test_session_window_stream_equals_batch(spark, sf_dir, batch_events):
     assert got == want
 
 
+def test_watermark_append_emits_closed_windows(spark, sf_dir):
+    """Append mode + watermark: only windows older than (max event time
+    − watermark) finalize. With a tight watermark most of the month of
+    fixture data finalizes; the tail stays in state — so append output
+    is non-empty but strictly smaller than the complete result."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_window_agg(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    appended = spark.table("wm_out").count()
+    complete = tumbling_window_agg(
+        T(spark, sf_dir, "events"), window="1 hour"
+    ).count()
+    assert 0 < appended < complete
+
+
 def test_session_counts_match_lag_sessionize(spark, sf_dir, batch_events):
     """session_window and the window-lag sessionization (core workload)
     must agree on sessions per user."""
