@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "approx_stats",
     "percentiles",
     "pivot",
+    "string_funcs",
+    "from_json",
+    "array_agg",
+    "token_topk",
     "datetime_extract",
     "json_extract",
     "sessionize",
@@ -63,6 +67,7 @@ BENCH_QUERIES = [
     "dedup_exact_survivors",
     "token_histogram",
     "multimodal_meta",
+    "multimodal_features",
     "knn_bruteforce",
     "embedding_stats",
     "ann_lsh",

@@ -571,6 +571,37 @@ def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list → sort → join): line numbers per
+    order as a deterministic CSV string (string output keeps the
+    cross-engine hash stable — raw array values render differently)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("l_linenumber"))), ","
+            ).alias("lines_csv"),
+            F.round(F.sum("l_extendedprice"), 2).alias("order_total"),
+        )
+    )
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode → count → top-k: the corpus vocabulary histogram."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") > 0
+    )
+    return (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(10)
+    )
+
+
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1h window, 15min slide): every event lands in 4
     windows. Same operator the streaming path uses
@@ -642,6 +673,8 @@ QUERIES = {
     "percentiles": q_percentiles,
     "string_funcs": q_string_funcs,
     "from_json": q_from_json,
+    "array_agg": q_array_agg,
+    "token_topk": q_token_topk,
 }
 
 ORACLES = {
@@ -881,6 +914,22 @@ ORACLES = {
                CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM flagged GROUP BY user_id
+    """,
+    "array_agg": """
+        SELECT l_orderkey,
+               count(*) AS n_lines,
+               string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+                   AS lines_csv,
+               round(sum(l_extendedprice), 2) AS order_total
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "token_topk": """
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        )
+        SELECT w, count(*) AS cnt FROM toks
+        WHERE length(w) > 0
+        GROUP BY w ORDER BY cnt DESC, w LIMIT 10
     """,
     "string_funcs": """
         WITH t AS (
