@@ -454,6 +454,24 @@ def q_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- JSON props (extension surface, events.props) ---------------------------
 
+def q_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weekday()/dayofweek() — the F3 functions with engine-specific
+    numbering. Spark: weekday()=0..6 Mon..Sun, dayofweek()=1..7
+    Sun..Sat; DuckDB isodow()=1..7 Mon..Sun. Oracle maps explicitly —
+    the mapping itself is the thing worth pinning."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.weekday("ts").alias("wd"),
+            F.dayofweek("ts").alias("dow"),
+            F.date_format("ts", "EEEE").alias("day_name"),
+        )
+        .groupBy("wd", "dow", "day_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("wd")
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
@@ -666,6 +684,7 @@ QUERIES = {
     "approx_stats": q_approx_stats,
     "pivot": q_pivot,
     "datetime_extract": q_datetime_extract,
+    "weekday": q_weekday,
     "json_extract": q_json_extract,
     "sessionize": q_sessionize,
     "tumbling_window": q_tumbling_window,
@@ -892,6 +911,14 @@ ORACLES = {
                CAST(max(hour(ts)) AS INTEGER) AS max_hour
         FROM events
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "weekday": """
+        SELECT CAST(isodow(ts) - 1 AS INTEGER) AS wd,
+               CAST(isodow(ts) % 7 + 1 AS INTEGER) AS dow,
+               dayname(ts) AS day_name,
+               count(*) AS cnt
+        FROM events
+        GROUP BY 1, 2, 3 ORDER BY 1
     """,
     "json_extract": """
         SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,

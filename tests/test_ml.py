@@ -210,6 +210,25 @@ def test_param_grids_shapes():
     }
 
 
+def test_create_dataframe_drops_unknown_dict_keys(spark):
+    """Reference quirk Q3 (SteelPred.py:284-291): the comparison-table
+    dicts carry a 'Pipeline' key absent from the declared schema; Spark
+    silently drops unknown keys. Pin the permissive behavior the
+    reference relies on."""
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("Model", StringType(), True),
+            StructField("R2", DoubleType(), True),
+        ]
+    )
+    rows = [{"Model": "LR", "R2": 0.9, "Pipeline": object()}]
+    df = spark.createDataFrame(rows, schema)
+    assert df.columns == ["Model", "R2"]
+    assert df.collect()[0].Model == "LR"
+
+
 # --- tuning (M15-M16) -------------------------------------------------------
 
 def test_tvs_picks_at_least_default_quality(spark, split):
