@@ -454,6 +454,34 @@ def q_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- JSON props (extension surface, events.props) ---------------------------
 
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics end-to-end: nullif-style construction, na.fill,
+    na.drop, null-safe aggregation (count(col) skips nulls,
+    count(*) doesn't)."""
+    c = T(spark, sf_dir, "customer")
+    with_nulls = c.select(
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")).alias("bal_or_null"),
+    )
+    filled = with_nulls.na.fill({"bal_or_null": -1.0})
+    dropped = with_nulls.na.drop(subset=["bal_or_null"])
+    agg_nulls = with_nulls.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("bal_or_null").alias("n_nonnull"),
+    )
+    agg_filled = filled.groupBy("c_mktsegment").agg(
+        F.round(F.sum("bal_or_null"), 2).alias("sum_filled")
+    )
+    agg_dropped = dropped.groupBy("c_mktsegment").agg(
+        F.round(F.avg("bal_or_null"), 4).alias("avg_pos")
+    )
+    return (
+        agg_nulls.join(agg_filled, "c_mktsegment")
+        .join(agg_dropped, "c_mktsegment")
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """weekday()/dayofweek() — the F3 functions with engine-specific
     numbering. Spark: weekday()=0..6 Mon..Sun, dayofweek()=1..7
@@ -684,6 +712,7 @@ QUERIES = {
     "approx_stats": q_approx_stats,
     "pivot": q_pivot,
     "datetime_extract": q_datetime_extract,
+    "null_handling": q_null_handling,
     "weekday": q_weekday,
     "json_extract": q_json_extract,
     "sessionize": q_sessionize,
@@ -911,6 +940,19 @@ ORACLES = {
                CAST(max(hour(ts)) AS INTEGER) AS max_hour
         FROM events
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "null_handling": """
+        WITH w AS (
+            SELECT c_mktsegment,
+                   CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS bal_or_null
+            FROM customer
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_rows,
+               count(bal_or_null) AS n_nonnull,
+               round(sum(coalesce(bal_or_null, -1.0)), 2) AS sum_filled,
+               round(avg(bal_or_null), 4) AS avg_pos
+        FROM w GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "weekday": """
         SELECT CAST(isodow(ts) - 1 AS INTEGER) AS wd,
