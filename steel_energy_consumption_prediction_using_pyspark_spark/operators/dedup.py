@@ -95,6 +95,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, then exact-Jaccard
     verification of the candidates.
@@ -103,6 +104,12 @@ def minhash_lsh_pairs(
     threshold (1/b)^(1/r). Only the banded signature triples shuffle;
     the exact verification joins shingle sets for candidate pairs only.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``persist`` caches the (id, shingle-set) projection, which feeds
+    the signature pass AND both sides of the verification join —
+    without it the shingling recomputes ~4×. At true 100 TB the same
+    role is played by materializing the signature table to parquet
+    once per corpus snapshot.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -119,6 +126,8 @@ def minhash_lsh_pairs(
     # Contentless docs (no shingles) are excluded: their sentinel
     # signatures would band-match each other and the Jaccard union
     # would be empty (ANSI divide-by-zero). Exact-dedup handles them.
+    if persist:
+        shingled = shingled.persist()
     sig = shingled.select(
         "_id",
         F.array(

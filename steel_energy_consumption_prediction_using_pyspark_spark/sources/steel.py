@@ -64,21 +64,43 @@ def steel_energy(spark: SparkSession, n_rows: int = FULL_YEAR_ROWS) -> DataFrame
         .otherwise("Maximum_Load")
     )
 
-    # Usage: load-type base + hour shape + noise; weekends run lighter.
-    base_kwh = (
-        F.when(hour < 12, 4.0).when(hour < 19, 28.0).otherwise(55.0)
+    # Usage: a STEP shape over dayparts deliberately misaligned with
+    # the Load_Type bands (6h grid vs 12/7/5h bands) plus
+    # heteroscedastic multiplicative noise. Step functions of NSM are
+    # what trees capture and linear models can't — this reproduces the
+    # reference's quality ordering (GBT/DT ≈ 0.99 > LR ≈ 0.978,
+    # BASELINE.md) instead of a linearly-solvable target.
+    # 3-hour step grid: enough structure that trees reach the ≥0.99
+    # band while linear models top out near the reference's 0.978 —
+    # the LR ceiling comes from the unmodellable steps + the leak
+    # noise below, NOT from irreducible noise (which would cap trees).
+    daypart_level = (
+        F.when(hour < 3, 5.0)
+        .when(hour < 6, 9.0)
+        .when(hour < 9, 16.0)
+        .when(hour < 12, 30.0)
+        .when(hour < 15, 48.0)
+        .when(hour < 18, 60.0)
+        .when(hour < 21, 70.0)
+        .otherwise(52.0)
     )
     weekday_factor = F.when(weekend, 0.55).otherwise(1.0)
-    usage = (
-        (base_kwh + _noise(F.col("id"), 1, 0.0, 1.0) ** F.lit(2.0) * 60.0)
-        * weekday_factor
+    rel_noise = 0.93 + 0.14 * _noise(F.col("id"), 1, 0.0, 1.0) ** F.lit(2.0)
+    usage = daypart_level * weekday_factor * rel_noise + _noise(
+        F.col("id"), 7, 0.0, 1.0
     )
 
-    # CO2 tracks usage almost linearly (reference corr 0.98818,
-    # SteelPred.ipynb:132859); tiny independent noise keeps it <1.
-    co2 = usage * 0.0004 + _noise(F.col("id"), 2, 0.0, 0.004)
+    # CO2 tracks usage with mild relative noise (reference corr
+    # 0.98818, SteelPred.ipynb:132859).
+    co2 = usage * 0.0004 * (
+        1.0 + 0.38 * (_noise(F.col("id"), 2, 0.0, 1.0) - 0.5)
+    ) + _noise(F.col("id"), 8, 0.0, 0.0006)
 
-    lagging_rp = usage * 0.6 + _noise(F.col("id"), 3, 0.0, 8.0)
+    # Reactive power leaks usage with usage-proportional noise — a
+    # strong-but-imperfect linear signal, like the real plant.
+    lagging_rp = usage * 0.6 * (
+        1.0 + 0.6 * (_noise(F.col("id"), 3, 0.0, 1.0) - 0.5)
+    )
     leading_rp = F.when(
         hour >= 19, _noise(F.col("id"), 4, 0.0, 2.0)
     ).otherwise(_noise(F.col("id"), 4, 0.0, 12.0))

@@ -136,6 +136,38 @@ def _with_planted_dups(d: DataFrame, n: int = 10, offset: int = 10_000_000) -> D
     return d.unionByName(clones)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline in one plan:
+    score (quality + language) → filter → exact-dedup (min-id per
+    fingerprint) → per-language corpus stats. Every stage is built-in
+    Catalyst expressions, so the whole pipeline is one logical plan —
+    filters push into the scan, the dedup is one shuffle, the final
+    agg a second."""
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        X.token_count("text").alias("n_tokens"),
+        X.quality_score("text").alias("quality"),
+        X.fingerprint("text").alias("fp"),
+    ).filter((F.col("quality") >= 0.7) & (F.col("n_tokens") >= 20))
+    kept = scored.join(
+        scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (no SQL oracle: seeded xxhash64
     signatures are Spark-internal). Planted exact clones guarantee
@@ -161,6 +193,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint_dedup": q_fingerprint_dedup,
     "dedup_exact_survivors": q_dedup_exact_survivors,
+    "corpus_curation": q_corpus_curation,
     "token_histogram": q_token_histogram,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -249,6 +282,38 @@ ORACLES = {
         SELECT lang, count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
         FROM documents d JOIN keep USING (doc_id)
         GROUP BY lang ORDER BY lang
+    """,
+    "corpus_curation": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len({_TOKS}) AS n_tokens,
+                   (CASE WHEN len({_TOKS}) >= 20 AND len({_TOKS}) <= 5000
+                         THEN 1.0e0 ELSE 0.0e0 END) * 0.4e0
+                 + (CASE WHEN len(list_filter({_TOKS}, w -> w IN ({_STOP_SQL})))
+                              / CAST(len({_TOKS}) AS DOUBLE) >= 0.01e0
+                          AND len(list_filter({_TOKS}, w -> w IN ({_STOP_SQL})))
+                              / CAST(len({_TOKS}) AS DOUBLE) <= 0.7e0
+                         THEN 1.0e0 ELSE 0.0e0 END) * 0.3e0
+                 + (CASE WHEN CAST(list_sum(list_transform({_TOKS}, w -> length(w))) AS DOUBLE)
+                              / len({_TOKS}) >= 2.0e0
+                          AND CAST(list_sum(list_transform({_TOKS}, w -> length(w))) AS DOUBLE)
+                              / len({_TOKS}) <= 12.0e0
+                         THEN 1.0e0 ELSE 0.0e0 END) * 0.3e0 AS quality,
+                   md5({_NORM}) AS fp
+            FROM documents
+        ), filtered AS (
+            SELECT * FROM scored WHERE quality >= 0.7e0 AND n_tokens >= 20
+        ), kept AS (
+            SELECT f.* FROM filtered f
+            JOIN (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY fp) k
+              USING (doc_id)
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(quality), 4) AS avg_quality,
+               min(doc_id) AS first_doc
+        FROM kept GROUP BY lang ORDER BY lang
     """,
     "token_histogram": f"""
         WITH t AS (SELECT len({_TOKS}) AS v FROM documents),

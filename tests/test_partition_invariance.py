@@ -1,0 +1,40 @@
+"""Partition-count independence: results must not depend on
+spark.sql.shuffle.partitions or input repartitioning — the property
+that lets the same code run on 4 local threads and 1000 executors.
+(randomSplit is the documented exception — SURVEY §7.4.)"""
+
+import pytest
+
+from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
+    all_queries,
+)
+
+REPRESENTATIVE = [
+    "pricing_summary",     # multi-agg
+    "join_fact",           # shuffle join
+    "window_running",      # ordered window frames
+    "sessionize",          # lag-based state
+    "histogram",           # two-pass + scalar subquery
+    "knn_bruteforce",      # fp-ordered top-k
+    "corpus_curation",     # filter→dedup→agg pipeline
+    "minhash_lsh",         # sketch + LSH join
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    qs = all_queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        a = _rows(qs[name](spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = _rows(qs[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b, f"{name} result depends on shuffle partition count"
