@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "lang_id",
     "fingerprint_dedup",
     "dedup_exact_survivors",
+    "corpus_curation",
     "token_histogram",
     "multimodal_meta",
     "multimodal_features",

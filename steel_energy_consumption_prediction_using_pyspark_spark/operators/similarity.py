@@ -157,25 +157,36 @@ def lsh_bucket_topk(
     )
 
 
-def ivf_topk(
+class IvfIndex:
+    """A built IVF index: the corpus assigned to inverted lists plus
+    the trained centroids. Build once with :func:`ivf_build`, probe
+    many times with :func:`ivf_probe` — quantizer training (the
+    dominant cold cost) amortizes across query batches, which is how
+    IVF is actually operated: at 100 TB the `assigned` table is
+    written to parquet partitioned by `_list` and every later query
+    batch becomes a pure partition-pruned scan."""
+
+    def __init__(self, assigned: DataFrame, centroids_df: DataFrame):
+        self.assigned = assigned          # (neighbor_id, _cv, _list)
+        self.centroids_df = centroids_df  # (cid, cvec)
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    query_id_col: str = "query_id",
     n_centroids: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
-) -> DataFrame:
-    """IVF-style ANN: k-means partitions the corpus into inverted
-    lists; each query scores only the `n_probe` lists whose centroids
-    are nearest. The scale path when the corpus is re-queried often:
-    centroids are trained once, corpus stays hash-partitioned by list
-    id, and each query batch touches n_probe/n_centroids of the data.
+    persist: bool = True,
+) -> IvfIndex:
+    """Train the coarse quantizer and assign every corpus vector to
+    its inverted list. Built from public MLlib KMeans.
 
-    Built from public MLlib KMeans + the same broadcast-join + window
-    top-k machinery as the other tiers.
+    ``persist`` caches the assigned corpus so repeated probes skip the
+    scan+assign; pass False for one-shot use (see :func:`ivf_topk`).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -199,13 +210,30 @@ def ivf_topk(
         train = train.sample(fraction=max_train / n_corpus, seed=seed)
     model = km.fit(train)
     c_assigned = model.transform(c).select("neighbor_id", "_cv", "_list")
+    if persist:
+        c_assigned = c_assigned.persist()
 
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
     cent_rows = [(i, centroids[i]) for i in range(len(centroids))]
-    cent_df = queries.sparkSession.createDataFrame(
+    cent_df = corpus.sparkSession.createDataFrame(
         cent_rows, "cid int, cvec array<double>"
     )
+    return IvfIndex(c_assigned, cent_df)
 
+
+def ivf_probe(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a built IVF index: each query scores only the
+    `n_probe` lists whose centroids are nearest, via one equi-join on
+    the list id (broadcast of the tiny query×probe set)."""
+    cent_df = index.centroids_df
+    c_assigned = index.assigned
     q = queries.select(
         F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
     )
@@ -233,6 +261,28 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """One-shot IVF ANN: build + single probe (no persist — nothing to
+    amortize). For repeated query batches use ivf_build/ivf_probe."""
+    index = ivf_build(
+        corpus, vec_col, id_col, n_centroids=n_centroids, seed=seed, persist=False
+    )
+    return ivf_probe(
+        index, queries, k=k, vec_col=vec_col,
+        query_id_col=query_id_col, n_probe=n_probe,
     )
 
 

@@ -84,3 +84,21 @@ def test_mllib_brp_join_runs(spark, sf_dir):
     c, q = _split(spark, sf_dir)
     out = S.mllib_brp_join(c, q, threshold=2.0)
     assert out.count() > 0
+
+
+def test_ivf_build_probe_amortizes(spark, sf_dir):
+    """ivf_build once + ivf_probe per batch ≡ one-shot ivf_topk, with
+    the assigned corpus cached so later batches skip scan+assign."""
+    c, q = _split(spark, sf_dir)
+    index = S.ivf_build(c, n_centroids=16, persist=True)
+    try:
+        assert index.assigned.is_cached
+        one_shot = sorted(
+            map(tuple, S.ivf_topk(c, q, k=5, n_centroids=16, n_probe=4).collect())
+        )
+        first = sorted(map(tuple, S.ivf_probe(index, q, k=5, n_probe=4).collect()))
+        second = sorted(map(tuple, S.ivf_probe(index, q, k=5, n_probe=4).collect()))
+        assert first == one_shot  # same quantizer seed → same lists
+        assert second == first    # probing is pure given the index
+    finally:
+        index.unpersist()

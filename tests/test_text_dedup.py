@@ -115,3 +115,37 @@ def test_ngram_jaccard_clone_is_one(spark, sf_dir):
     rows = clones.collect()
     assert len(rows) >= 3
     assert all(abs(r.jaccard - 1.0) < 1e-12 for r in rows)
+
+
+def test_simhash_consistent_with_exact_dedup(spark, sf_dir):
+    """Cross-operator oracle: every pair the EXACT fingerprint dedup
+    groups together must show up in simhash_pairs at Hamming 0 —
+    identical NORMALIZED content cannot hash apart, so the two
+    operators must share normalization semantics. Clones are planted
+    byte-DIFFERENT (upper-cased + whitespace-mangled) so the check
+    exercises the normalizer, not byte equality. (The converse is not
+    required: distinct content may collide at distance 0.)"""
+    base = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    variants = base.withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    ).withColumn(
+        "text", F.regexp_replace(F.upper("text"), " ", "   ")
+    )
+    d = base.unionByName(variants)
+    groups = (
+        d.select(X.fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    expected = set()
+    for g in groups:
+        ids = sorted(g.ids)
+        expected.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
+    assert expected, "normalized variants must fingerprint-collide"
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_pairs(d, "text", "doc_id", max_hamming=0).collect()
+    }
+    assert expected <= got
