@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "shipping_priority",
     "regional_volume",
     "returned_items",
+    "exists_subquery",
+    "correlated_scalar",
+    "having_in",
     "setops",
     "distinct",
     "window_latest",

@@ -683,6 +683,76 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- correlated subquery family (SQL entry point B, SURVEY §3.2) ------------
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS. Catalyst rewrites the
+    subquery to a left-semi join on l_orderkey (RewritePredicateSubquery)
+    — the probe side never materializes, and the date filter still
+    pushes to the orders scan."""
+    register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 45e0
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery in WHERE (per-part
+    average). Catalyst decorrelates it into a grouped aggregate joined
+    back on the correlation key (RewriteCorrelatedScalarSubquery) —
+    semantically the 'join with per-key agg' a user would hand-write,
+    chosen automatically."""
+    register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               round(sum(l_extendedprice), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.5e0 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )
+
+
+def q_having_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery (large-volume
+    orders), then a 3-way join re-aggregated per order. The IN becomes
+    a semi-join against the tiny HAVING survivors."""
+    register(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c_name, o.o_orderkey, round(o_totalprice, 2) AS totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 180e0
+        )
+        GROUP BY c_name, o.o_orderkey, o_totalprice
+        ORDER BY totalprice DESC, o.o_orderkey
+        LIMIT 20
+        """
+    )
+
+
 QUERIES = {
     "scan_count": q_scan_count,
     "groupby_count": q_groupby_count,
@@ -723,9 +793,50 @@ QUERIES = {
     "from_json": q_from_json,
     "array_agg": q_array_agg,
     "token_topk": q_token_topk,
+    "exists_subquery": q_exists_subquery,
+    "correlated_scalar": q_correlated_scalar,
+    "having_in": q_having_in,
 }
 
 ORACLES = {
+    "exists_subquery": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 45e0
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "correlated_scalar": """
+        SELECT p_brand,
+               round(sum(l_extendedprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.5e0 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    "having_in": """
+        SELECT c_name, o.o_orderkey, round(o_totalprice, 2) AS totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 180e0
+        )
+        GROUP BY c_name, o.o_orderkey, o_totalprice
+        ORDER BY totalprice DESC, o.o_orderkey
+        LIMIT 20
+    """,
     "scan_count": """
         SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
         FROM lineitem

@@ -86,3 +86,23 @@ def test_partition_count_tracks_parallelism(spark, sf_dir):
     df = core.q_groupby_count(spark, sf_dir)
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert f"hashpartitioning(l_returnflag" in physical_plan(df)
+
+
+def test_exists_rewrites_to_semi_join(spark, sf_dir):
+    """Correlated EXISTS and IN-subqueries must plan as semi-joins —
+    never a nested-loop probe per outer row."""
+    for q in (core.q_exists_subquery, core.q_having_in):
+        plan = physical_plan(q(spark, sf_dir))
+        assert "LeftSemi" in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_correlated_scalar_decorrelates(spark, sf_dir):
+    """The per-part correlated scalar subquery must decorrelate into a
+    grouped aggregate joined on the correlation key (no per-row
+    re-execution of the subquery)."""
+    plan = physical_plan(core.q_correlated_scalar(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
