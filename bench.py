@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "token_topk",
     "datetime_extract",
     "json_extract",
+    "asof_join",
     "sessionize",
     "tumbling_window",
     "sliding_window",

@@ -753,6 +753,40 @@ def q_having_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every event picks up the same user's most
+    recent purchase at-or-before it, then per-type attribution stats.
+    Implemented with the union-merge idiom (operators/asof.py) — one
+    shuffle on user_id, no pair materialization; the oracle is
+    DuckDB's native ASOF LEFT JOIN. The right side is pre-deduped to
+    one row per (user_id, ts) so tie policy can't differ between
+    engines."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    joined = asof_join(
+        ev, purch, on="ts", by=("user_id",), right_cols=["purchase_id"]
+    )
+    gap_s = (F.unix_micros("ts") - F.unix_micros("asof_ts")) / F.lit(1e6)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("asof_purchase_id").alias("n_matched"),
+            F.round(F.avg(gap_s), 2).alias("avg_gap_s"),
+            F.max("asof_purchase_id").alias("max_purchase"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "scan_count": q_scan_count,
     "groupby_count": q_groupby_count,
@@ -796,9 +830,28 @@ QUERIES = {
     "exists_subquery": q_exists_subquery,
     "correlated_scalar": q_correlated_scalar,
     "having_in": q_having_in,
+    "asof_join": q_asof_join,
 }
 
 ORACLES = {
+    "asof_join": """
+        WITH purch AS (
+            SELECT user_id, ts, max(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        ), m AS (
+            SELECT l.event_type, l.ts,
+                   p.ts AS pts, p.purchase_id
+            FROM events l ASOF LEFT JOIN purch p
+              ON l.user_id = p.user_id AND l.ts >= p.ts
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               count(purchase_id) AS n_matched,
+               round(avg((epoch_us(ts) - epoch_us(pts)) / 1e6), 2) AS avg_gap_s,
+               max(purchase_id) AS max_purchase
+        FROM m GROUP BY event_type ORDER BY event_type
+    """,
     "exists_subquery": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
