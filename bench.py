@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "datetime_extract",
     "json_extract",
     "asof_join",
+    "range_join",
     "sessionize",
     "tumbling_window",
     "sliding_window",

@@ -787,6 +787,32 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range self-join (operators/rangejoin.py): same-user
+    event pairs within 300 s, aggregated per event-type pair. The τ
+    bucketing turns the range predicate into an equi-join on
+    (user, cell); the oracle runs the naive theta-join, which DuckDB
+    plans as an IEJoin — two different algorithms, same answer."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.rangejoin import (
+        within_tolerance_pairs,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    pairs = within_tolerance_pairs(
+        ev, on="ts", by=("user_id",), id_col="event_id",
+        tolerance_s=300.0, carry=["event_type"],
+    )
+    return (
+        pairs.groupBy("event_type_a", "event_type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+            F.min("id_a").alias("first_id"),
+        )
+        .orderBy("event_type_a", "event_type_b")
+    )
+
+
 QUERIES = {
     "scan_count": q_scan_count,
     "groupby_count": q_groupby_count,
@@ -831,9 +857,26 @@ QUERIES = {
     "correlated_scalar": q_correlated_scalar,
     "having_in": q_having_in,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 ORACLES = {
+    "range_join": """
+        WITH pairs AS (
+            SELECT a.event_type AS event_type_a, b.event_type AS event_type_b,
+                   a.event_id AS id_a,
+                   abs(epoch_us(a.ts) - epoch_us(b.ts)) / 1e6 AS gap_s
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300e0 * 1000000e0
+        )
+        SELECT event_type_a, event_type_b,
+               count(*) AS n_pairs,
+               round(avg(gap_s), 2) AS avg_gap_s,
+               min(id_a) AS first_id
+        FROM pairs GROUP BY event_type_a, event_type_b
+        ORDER BY event_type_a, event_type_b
+    """,
     "asof_join": """
         WITH purch AS (
             SELECT user_id, ts, max(event_id) AS purchase_id

@@ -113,3 +113,39 @@ def test_matches_brute_force(spark, sf_dir):
     a = {(r.event_id, r.asof_purchase_id) for r in fast.select("event_id", "asof_purchase_id").collect()}
     b = {(r.event_id, r.purchase_id) for r in brute.collect()}
     assert a == b
+
+
+def test_range_join_matches_theta(spark, sf_dir):
+    """Bucketed range join ≡ naive theta-join, and each pair appears
+    exactly once (the 3-cell probe cannot double-count)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.rangejoin import (
+        within_tolerance_pairs,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    fast = within_tolerance_pairs(ev, tolerance_s=120.0).collect()
+    assert len({(r.id_a, r.id_b) for r in fast}) == len(fast)  # no dups
+    us = F.unix_micros("ts")
+    a = ev.select(F.col("event_id").alias("ia"), F.col("user_id").alias("u"), us.alias("ta"))
+    b = ev.select(F.col("event_id").alias("ib"), F.col("user_id").alias("u"), us.alias("tb"))
+    theta = (
+        a.join(b, "u")
+        .filter((F.col("ia") < F.col("ib")) & (F.abs(F.col("ta") - F.col("tb")) <= 120_000_000))
+        .select("ia", "ib")
+        .collect()
+    )
+    assert {(r.id_a, r.id_b) for r in fast} == {(r.ia, r.ib) for r in theta}
+
+
+def test_range_join_equi_join_plan(spark, sf_dir):
+    """The bucketed formulation must plan as a hash equi-join — never
+    a nested-loop over per-key cross products."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.rangejoin import (
+        within_tolerance_pairs,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    ev = T(spark, sf_dir, "events")
+    plan = within_tolerance_pairs(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
