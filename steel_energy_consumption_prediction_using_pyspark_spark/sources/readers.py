@@ -82,6 +82,31 @@ def read_csv(
     return normalize_columns(df) if normalize else df
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """JSON-lines scan — the arrival format of most raw LLM-corpus
+    dumps. Same contract as read_csv: an explicit schema skips the
+    inference scan AND pins types the sampler could get wrong (a column
+    that is integer in the sampled rows but string later); schema=None
+    infers for exploration only."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    return normalize_columns(df) if normalize else df
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar like parquet (predicate pushdown, column
+    pruning, vectorized read all apply); supported for interop with
+    Hive-era warehouses."""
+    return spark.read.orc(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -51,3 +51,14 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Reference-parity CSV sink (header on, like the input the
     reference reads at SteelPred.py:27)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line; Spark's json writer is
+    line-delimited by default) — the interchange format for corpus
+    hand-offs to non-Spark tooling."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

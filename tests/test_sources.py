@@ -140,3 +140,44 @@ def test_bucketed_join_no_shuffle(spark, tmp_path, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_jsonl_roundtrip_explicit_schema(spark, tmp_path):
+    """JSONL write → read with an explicit schema: values survive and
+    the schema is pinned (no inference scan, no sampled-type drift)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.sources.readers import (
+        read_jsonl,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.sources.writers import (
+        write_jsonl,
+    )
+
+    df = steel_energy(spark, 96).select("date", "Usage_kWh", "NSM", "Load_Type")
+    path = str(tmp_path / "docs.jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema=df.schema)
+    # file sources force nullable=True; names+types must survive exactly
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC write → read preserves rows; filters push to the ORC scan."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.sources.readers import (
+        read_orc,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.sources.writers import (
+        write_orc,
+    )
+
+    df = steel_energy(spark, 96)
+    path = str(tmp_path / "steel.orc")
+    write_orc(df, path)
+    back = read_orc(spark, path).filter(F.col("NSM") > 43200)
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert back.count() == df.filter(F.col("NSM") > 43200).count()
+    assert "PushedFilters" in plan and "NSM" in plan
