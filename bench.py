@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "token_histogram",
     "multimodal_meta",
     "multimodal_features",
+    "centroids",
     "knn_bruteforce",
     "embedding_stats",
     "ann_lsh",

@@ -286,6 +286,38 @@ def ivf_topk(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-label centroid (element-wise mean) of an embedding column.
+
+    With a KNOWN dim this is ONE two-phase hash aggregate over `dim`
+    scalar avg() columns, re-packed to an array afterwards — a single
+    shuffle of (label, dim partial sums), no row explosion. The
+    alternative (posexplode → groupBy(label, pos) → re-collect) costs
+    a dim× row blowup plus a second shuffle to reassemble, and is only
+    warranted when dim varies per row. Used as the training step for
+    IVF-style quantizers and class prototypes."""
+    v = F.col(vec_col).cast("array<double>")
+    # `+ 0.0` normalizes IEEE negative zero: round() can yield -0.0
+    # from tiny negative means, and -0.0 vs 0.0 breaks byte-level
+    # result comparison across engines even though they compare equal.
+    aggs = [
+        (F.round(F.avg(v.getItem(i)), decimals) + F.lit(0.0)).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    out = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vecs"), *aggs)
+    return out.select(
+        label_col,
+        "n_vecs",
+        F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+    )
+
+
 def mllib_brp_join(
     corpus: DataFrame,
     queries: DataFrame,

@@ -105,7 +105,16 @@ def q_ann_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mllib_brp_join(corpus, queries, threshold=1.25)
 
 
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids: one hash-agg pass with 64 scalar avg
+    columns repacked to an array (operators/similarity.py::
+    label_centroids) — no posexplode row blowup."""
+    e = T(spark, sf_dir, "embeddings")
+    return S.label_centroids(e, "embedding", "label", dim=64).orderBy("label")
+
+
 QUERIES = {
+    "centroids": q_centroids,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_stats": q_embedding_stats,
     "embedding_neardup": q_embedding_neardup,
@@ -114,7 +123,17 @@ QUERIES = {
     "ann_mllib_brp": q_ann_mllib_brp,
 }
 
+# `+ 0e0` mirrors the engine-side negative-zero normalization.
+_CENTROID_TERMS = ", ".join(
+    f"round(avg(CAST(embedding AS DOUBLE[])[{i + 1}]), 4) + 0e0" for i in range(64)
+)
+
 ORACLES = {
+    "centroids": f"""
+        SELECT label, count(*) AS n_vecs,
+               list_value({_CENTROID_TERMS}) AS centroid
+        FROM embeddings GROUP BY label ORDER BY label
+    """,
     "knn_bruteforce": f"""
         WITH scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

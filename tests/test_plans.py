@@ -106,3 +106,18 @@ def test_correlated_scalar_decorrelates(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_centroids_single_agg_no_explode(spark, sf_dir):
+    """Per-label centroids must plan as ONE two-phase hash aggregate
+    over scalar columns — no posexplode (dim× row blowup) and no
+    second aggregation to reassemble the array."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.vector import (
+        q_centroids,
+    )
+
+    plan = physical_plan(q_centroids(spark, sf_dir))
+    assert "Generate" not in plan          # no explode/posexplode
+    # partial + final, once (explain-formatted lists each node twice:
+    # tree + detail section)
+    assert plan.count("HashAggregate") == 4
