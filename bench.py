@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "dedup_exact_survivors",
     "corpus_curation",
     "token_histogram",
+    "winnowing",
     "multimodal_meta",
     "multimodal_features",
     "centroids",

@@ -115,14 +115,23 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    # Materialize the distinct shingle set ONCE as a named column; the
-    # k min-hash folds and the exact-Jaccard verification all read it.
-    # (Expensive aliased expressions referenced k times are not inlined
-    # by CollapseProject, so the shingle array is built once per row.)
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    # Materialize tokens, then the distinct shingle set, each as a
+    # named column: the gram lambda reads the token array n times per
+    # gram and the k min-hash folds + exact-Jaccard verification all
+    # read the shingle array — inline subtrees would re-evaluate per
+    # reference (CollapseProject keeps multiply-referenced non-trivial
+    # projections staged).
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        normalize_text,
+        shingles_from,
+        tokens as _tokens,
+    )
+
+    shingled = (
+        df.select(F.col(id_col).alias("_id"), _tokens(normalize_text(text_col)).alias("_tk"))
+        .select("_id", F.array_distinct(shingles_from("_tk", shingle_n)).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
     # Contentless docs (no shingles) are excluded: their sentinel
     # signatures would band-match each other and the Jaccard union
     # would be empty (ANSI divide-by-zero). Exact-dedup handles them.
@@ -282,11 +291,25 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs sharing a block key.
     The honest O(n²/blocks) baseline the sketch methods approximate."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        normalize_text,
+        shingles_from,
+        tokens as _tokens,
+    )
+
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+            _tokens(normalize_text(text_col)).alias("_tk"),
+        )
+        .select(
+            "_id",
+            *( ["_blk"] if block_col else [] ),
+            F.array_distinct(shingles_from("_tk", shingle_n)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+    )
     cond = F.col("x._id") < F.col("y._id")
     if block_col:
         cond = cond & (F.col("x._blk") == F.col("y._blk"))

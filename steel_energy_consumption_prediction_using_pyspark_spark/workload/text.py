@@ -168,6 +168,41 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sketch (operators/text.py, Schleimer et
+    al. 2003) summarized per language: docs, avg fingerprints/doc,
+    corpus-distinct fingerprints. md5 gram hashes keep the sketch
+    engine-portable, so unlike minhash/simhash this sketch IS
+    DuckDB-oracle-checked."""
+    d = T(spark, sf_dir, "documents")
+    fps = X.with_winnow_fingerprints(
+        d.select("doc_id", "lang", "text"), "text", k=3, w=4
+    ).drop("text")
+    # The persist is a CORRECTNESS-OF-PLAN barrier, not a cache nicety:
+    # the explode below makes the optimizer infer `size(fps) > 0` and
+    # push it beneath the staged projections, substituting the whole
+    # winnow pipeline into one inline filter expression whose nested
+    # HOF lambdas re-evaluate each other per element — O(windows ×
+    # grams × tokens) per doc, measured 90 s vs 0.7 s on sf0.01. The
+    # cache boundary stops the pushdown (and the two aggregation
+    # branches share one evaluation). At 100 TB the same role is
+    # played by materializing the fingerprint table.
+    fps = fps.persist()
+    per_lang = fps.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size("fps")), 4).alias("avg_fps"),
+    )
+    distinct_fps = (
+        fps.select("lang", F.explode("fps").alias("fp"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("fp").alias("n_distinct_fps"),
+            F.min("fp").alias("min_fp"),
+        )
+    )
+    return per_lang.join(distinct_fps, "lang").orderBy("lang")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (no SQL oracle: seeded xxhash64
     signatures are Spark-internal). Planted exact clones guarantee
@@ -195,6 +230,7 @@ QUERIES = {
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "corpus_curation": q_corpus_curation,
     "token_histogram": q_token_histogram,
+    "winnowing": q_winnowing,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
@@ -314,6 +350,42 @@ ORACLES = {
                round(avg(quality), 4) AS avg_quality,
                min(doc_id) AS first_doc
         FROM kept GROUP BY lang ORDER BY lang
+    """,
+    "winnowing": f"""
+        WITH g AS (
+            SELECT doc_id, lang,
+                   list_transform(
+                       list_transform(
+                           range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
+                           i -> string_split({_NORM}, ' ')[i] || ' ' ||
+                                string_split({_NORM}, ' ')[i+1] || ' ' ||
+                                string_split({_NORM}, ' ')[i+2]
+                       ),
+                       s -> md5(s)
+                   ) AS h
+            FROM documents
+        ), f AS (
+            SELECT doc_id, lang,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(h) - 2, 1)),
+                           i -> list_min(h[i:i+3])
+                       )
+                   ) AS fps
+            FROM g
+        ), a1 AS (
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(len(fps)), 4) AS avg_fps
+            FROM f GROUP BY lang
+        ), a2 AS (
+            SELECT lang,
+                   count(DISTINCT fp) AS n_distinct_fps,
+                   min(fp) AS min_fp
+            FROM (SELECT lang, unnest(fps) AS fp FROM f)
+            GROUP BY lang
+        )
+        SELECT lang, n_docs, avg_fps, n_distinct_fps, min_fp
+        FROM a1 JOIN a2 USING (lang) ORDER BY lang
     """,
     "token_histogram": f"""
         WITH t AS (SELECT len({_TOKS}) AS v FROM documents),

@@ -149,3 +149,24 @@ def test_simhash_consistent_with_exact_dedup(spark, sf_dir):
         for r in D.simhash_pairs(d, "text", "doc_id", max_hamming=0).collect()
     }
     assert expected <= got
+
+
+def test_winnowing_guarantee(spark):
+    """Schleimer et al. guarantee: documents sharing a run of at least
+    k + w - 1 = 6 tokens share at least one fingerprint; identical
+    docs share all of them."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta iota kappa"),  # shared 6-run
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),   # clone of 1
+        (4, "one two three four five six seven eight"),         # disjoint
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: set(r.fps)
+        for r in X.with_winnow_fingerprints(d, "text", k=3, w=4).collect()
+    }
+    assert out[1] == out[3]                 # identical → identical sketch
+    assert out[1] & out[2]                  # shared run → shared fingerprint
+    assert not (out[1] & out[4])            # disjoint text → disjoint sketch
+    assert all(len(fp) == 32 for fp in out[1])  # md5 hex
