@@ -813,6 +813,45 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (intersectAll / exceptAll): unlike the
+    distinct variants these preserve duplicate cardinality — planned
+    as a count-tagged aggregate + generate, no join."""
+    cust = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    inter = cust.intersectAll(supp).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    diff = cust.exceptAll(supp).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_except")
+    )
+    return inter.join(diff, "nationkey", "full").na.fill(0).orderBy("nationkey")
+
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family over one partition pass: ntile quartiles,
+    percent_rank, cume_dist per market segment — one shuffle on the
+    partition key serves all three frames."""
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ranked = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("pct_rank"), 6).alias("avg_pct_rank"),
+            F.round(F.max("cume"), 6).alias("max_cume"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
 QUERIES = {
     "scan_count": q_scan_count,
     "groupby_count": q_groupby_count,
@@ -858,9 +897,50 @@ QUERIES = {
     "having_in": q_having_in,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "setops_all": q_setops_all,
+    "window_ranks": q_window_ranks,
 }
 
 ORACLES = {
+    "setops_all": """
+        WITH cust AS (SELECT c_nationkey AS nationkey FROM customer),
+             supp AS (SELECT s_nationkey AS nationkey FROM supplier),
+             inter AS (
+                SELECT nationkey, CAST(count(*) AS BIGINT) AS n_inter
+                FROM (SELECT * FROM cust INTERSECT ALL SELECT * FROM supp)
+                GROUP BY nationkey
+             ),
+             diff AS (
+                SELECT nationkey, CAST(count(*) AS BIGINT) AS n_except
+                FROM (SELECT * FROM cust EXCEPT ALL SELECT * FROM supp)
+                GROUP BY nationkey
+             )
+        SELECT COALESCE(i.nationkey, d.nationkey) AS nationkey,
+               COALESCE(n_inter, CAST(0 AS BIGINT)) AS n_inter,
+               COALESCE(n_except, CAST(0 AS BIGINT)) AS n_except
+        FROM inter i FULL JOIN diff d ON i.nationkey = d.nationkey
+        ORDER BY nationkey
+    """,
+    "window_ranks": """
+        WITH ranked AS (
+            SELECT c_mktsegment,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM customer
+            WINDOW w AS (
+                PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_custkey ASC
+            )
+        )
+        SELECT c_mktsegment, quartile,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(pct_rank), 6) AS avg_pct_rank,
+               round(max(cume), 6) AS max_cume
+        FROM ranked
+        GROUP BY c_mktsegment, quartile
+        ORDER BY c_mktsegment, quartile
+    """,
     "range_join": """
         WITH pairs AS (
             SELECT a.event_type AS event_type_a, b.event_type AS event_type_b,
