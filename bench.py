@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "json_extract",
     "asof_join",
     "range_join",
+    "unpivot",
+    "argmax",
+    "sample_hash",
+    "gapfill",
+    "posexplode",
+    "interval_math",
     "sessionize",
     "tumbling_window",
     "sliding_window",

@@ -852,6 +852,148 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot/melt (DataFrame.unpivot): lineitem's four
+    measures become (measure, value) rows in a single Expand pass —
+    no shuffle until the downstream aggregate, output rows = 4×input
+    but column-pruned to one double before expanding."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("disc"),
+        F.col("l_tax").alias("tax"),
+    )
+    return (
+        li.unpivot([], ["qty", "price", "disc", "tax"], "measure", "v")
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 2).alias("total"),
+            F.round(F.avg("v"), 4).alias("mean"),
+        )
+        .orderBy("measure")
+    )
+
+
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max / arg-min aggregates (max_by/min_by): top & bottom
+    customer per nation in ONE hash-agg pass (no window, no self-join).
+    Neither engine supports a composite ordering argument, so the
+    (acctbal, custkey) tiebreak is packed into one BIGINT:
+    cents(acctbal)·1e6 + custkey — exact while custkey < 1e6 (holds
+    through sf1; at larger SFs widen the multiplier)."""
+    c = T(spark, sf_dir, "customer")
+    key = F.round(F.col("c_acctbal") * 100).cast("bigint") * F.lit(1000000) + F.col(
+        "c_custkey"
+    )
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_custkey", key).alias("top_cust"),
+            F.round(F.max("c_acctbal"), 2).alias("top_bal"),
+            F.min_by("c_custkey", key).alias("bot_cust"),
+            F.round(F.min("c_acctbal"), 2).alias("bot_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed ~10% sample: Knuth
+    multiplicative hash on the key, `(k·2654435761) mod 2³² < 2³²/10`.
+    Unlike df.sample()/randomSplit() the row set is a pure function of
+    the data — stable across partitioning, reruns, and engines (that
+    is what makes it oracle-checkable at all), which is the property a
+    100 TB pipeline needs for reproducible holdouts. Plain bigint
+    arithmetic, pushed to the scan as a filter."""
+    o = T(spark, sf_dir, "orders")
+    sampled = o.filter(
+        (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(429496729)
+    )
+    return (
+        sampled.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeline gap-fill (hypertable-style dense rollup): hourly
+    purchase counts where empty hours appear as zero rows. The hour
+    dimension is generated with sequence()+explode from the 1-row
+    min/max aggregate — a few thousand rows even at 100 TB, so the
+    left join broadcasts the counts; no shuffle of the fact side
+    beyond its own aggregation."""
+    e = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    cnts = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.round(F.sum("value"), 2).alias("t"),
+    )
+    return (
+        hours.join(cnts, "h", "left")
+        .select(
+            ts_str(F.col("h")).alias("hour"),
+            F.coalesce("c", F.lit(0)).alias("cnt"),
+            F.round(F.coalesce("t", F.lit(0.0)), 2).alias("total_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral view with ordinality): first five
+    whitespace tokens of each document with their 1-based position;
+    per-position token stats. posexplode keeps the array index JVM-side
+    — no zipWithIndex / Python round-trip."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos0", "tok")
+    )
+    return (
+        toks.select((F.col("pos0") + 1).alias("pos"), "tok")
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("tok").alias("n_distinct"),
+            F.round(F.avg(F.length("tok")), 4).alias("avg_len"),
+        )
+        .orderBy("pos")
+    )
+
+
+def q_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date interval arithmetic over a fact-fact join: order→ship delay
+    in days (datediff) and a 90-day SLA flag (date_add + conditional
+    count). Both engines cast timestamp→date before differencing so
+    the day counts agree exactly."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    late = F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 90)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(delay), 4).alias("avg_delay_days"),
+            F.min(delay).alias("min_delay"),
+            F.max(delay).alias("max_delay"),
+            F.sum(late.cast("bigint")).alias("n_late"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "scan_count": q_scan_count,
     "groupby_count": q_groupby_count,
@@ -899,9 +1041,100 @@ QUERIES = {
     "range_join": q_range_join,
     "setops_all": q_setops_all,
     "window_ranks": q_window_ranks,
+    "unpivot": q_unpivot,
+    "argmax": q_argmax,
+    "sample_hash": q_sample_hash,
+    "gapfill": q_gapfill,
+    "posexplode": q_posexplode,
+    "interval_math": q_interval_math,
 }
 
 ORACLES = {
+    "unpivot": """
+        WITH long AS (
+            UNPIVOT (
+                SELECT l_quantity AS qty, l_extendedprice AS price,
+                       l_discount AS disc, l_tax AS tax
+                FROM lineitem
+            ) ON qty, price, disc, tax INTO NAME measure VALUE v
+        )
+        SELECT measure,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(v), 2) AS total,
+               round(avg(v), 4) AS mean
+        FROM long GROUP BY measure ORDER BY measure
+    """,
+    "argmax": """
+        SELECT c_nationkey,
+               arg_max(c_custkey,
+                       CAST(round(c_acctbal * 100e0) AS BIGINT) * 1000000 + c_custkey)
+                   AS top_cust,
+               round(max(c_acctbal), 2) AS top_bal,
+               arg_min(c_custkey,
+                       CAST(round(c_acctbal * 100e0) AS BIGINT) * 1000000 + c_custkey)
+                   AS bot_cust,
+               round(min(c_acctbal), 2) AS bot_bal
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "sample_hash": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE (o_orderkey * 2654435761) % 4294967296 < 429496729
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "gapfill": """
+        WITH purch AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             hours AS (
+                SELECT unnest(generate_series(
+                    date_trunc('hour', (SELECT min(ts) FROM purch)),
+                    date_trunc('hour', (SELECT max(ts) FROM purch)),
+                    INTERVAL 1 HOUR)) AS h
+             ),
+             cnts AS (
+                SELECT date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS c,
+                       round(sum(value), 2) AS t
+                FROM purch GROUP BY 1
+             )
+        SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+               COALESCE(c, CAST(0 AS BIGINT)) AS cnt,
+               round(COALESCE(t, 0e0), 2) AS total_value
+        FROM hours LEFT JOIN cnts USING (h)
+        ORDER BY hour
+    """,
+    "posexplode": """
+        WITH toks AS (
+            SELECT p.pos AS pos, string_split(text, ' ')[p.pos] AS tok
+            FROM documents
+            CROSS JOIN (SELECT unnest(range(1, 6)) AS pos) p
+            WHERE len(string_split(text, ' ')) >= p.pos
+        )
+        SELECT CAST(pos AS INT) AS pos,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+               round(avg(length(tok)), 4) AS avg_len
+        FROM toks GROUP BY pos ORDER BY pos
+    """,
+    "interval_math": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+                                          CAST(l_shipdate AS DATE))), 4)
+                   AS avg_delay_days,
+               CAST(min(date_diff('day', CAST(o_orderdate AS DATE),
+                                         CAST(l_shipdate AS DATE))) AS INT)
+                   AS min_delay,
+               CAST(max(date_diff('day', CAST(o_orderdate AS DATE),
+                                         CAST(l_shipdate AS DATE))) AS INT)
+                   AS max_delay,
+               CAST(sum(CASE WHEN CAST(l_shipdate AS DATE)
+                                  > CAST(o_orderdate AS DATE) + 90
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "setops_all": """
         WITH cust AS (SELECT c_nationkey AS nationkey FROM customer),
              supp AS (SELECT s_nationkey AS nationkey FROM supplier),

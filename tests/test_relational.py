@@ -139,3 +139,79 @@ def test_top_k_per_group(spark, sf_dir):
     )
     counts = latest.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
     assert counts <= 2
+
+
+def test_unpivot_multiplies_rows(spark, sf_dir):
+    """unpivot emits exactly one row per (input row, measure) — the
+    Expand operator must not drop null-valued measures here (none of
+    the four lineitem measures are nullable in the fixture)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.core import (
+        q_unpivot,
+    )
+
+    n_input = T(spark, sf_dir, "lineitem").count()
+    out = {r.measure: r.n for r in q_unpivot(spark, sf_dir).collect()}
+    assert set(out) == {"qty", "price", "disc", "tax"}
+    assert all(v == n_input for v in out.values())
+
+
+def test_argmax_matches_window_pick(spark, sf_dir):
+    """max_by with the packed BIGINT key must agree with the reference
+    semantics: row_number over (acctbal DESC, custkey DESC) = 1."""
+    from pyspark.sql import Window
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.core import (
+        q_argmax,
+    )
+
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.desc("c_custkey")
+    )
+    expect = {
+        r.c_nationkey: r.c_custkey
+        for r in c.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    got = {r.c_nationkey: r.top_cust for r in q_argmax(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_sample_hash_fraction_and_stability(spark, sf_dir):
+    """The multiplicative-hash sample is a pure function of the key:
+    identical row set under different partitioning, and the sampled
+    fraction is near 10%."""
+    o = T(spark, sf_dir, "orders")
+    pred = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(
+        429496729
+    )
+    a = sorted(r.o_orderkey for r in o.filter(pred).select("o_orderkey").collect())
+    b = sorted(
+        r.o_orderkey
+        for r in o.repartition(7).filter(pred).select("o_orderkey").collect()
+    )
+    assert a == b
+    frac = len(a) / o.count()
+    assert 0.05 < frac < 0.15
+
+
+def test_gapfill_dense_timeline(spark, sf_dir):
+    """Gap-fill output is one row per hour, contiguous from min to max,
+    and the filled counts sum to the ungapped total."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.core import (
+        q_gapfill,
+    )
+
+    rows = q_gapfill(spark, sf_dir).collect()
+    hours = [r.hour for r in rows]
+    assert len(hours) == len(set(hours))
+    n_expected = (
+        T(spark, sf_dir, "events").filter("event_type = 'purchase'").count()
+    )
+    assert sum(r.cnt for r in rows) == n_expected
+    from datetime import datetime, timedelta
+
+    t0 = datetime.strptime(hours[0], "%Y-%m-%d %H:%M:%S")
+    t1 = datetime.strptime(hours[-1], "%Y-%m-%d %H:%M:%S")
+    assert len(hours) == int((t1 - t0) / timedelta(hours=1)) + 1
