@@ -361,3 +361,67 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --- transitive dedup clusters (connected components) -----------------------
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: each
+    round every node takes the minimum label among itself and its
+    neighbors. Returns (id, cluster) where cluster is the minimum node
+    id reachable from `id`.
+
+    This is the step that turns near-dup PAIRS into dedup GROUPS —
+    pairwise output alone under-removes (a~b, b~c but a
+    kept twice unless {a,b,c} collapse into one cluster).
+
+    Scale shape: one shuffle join + one hash agg per round, rounds =
+    graph diameter. Near-dup clusters are shallow (clone groups are
+    star-like), so 3-5 rounds converge; the edge list is persisted
+    once and reused every round. Convergence is detected with a cheap
+    sum(label) aggregate — labels only ever decrease, so an unchanged
+    sum is a fixpoint. For adversarial long-chain graphs swap in the
+    large-star/small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce"), which are the same two join/agg
+    primitives applied alternately.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .persist()
+    )
+    sym.count()
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl")
+    ).persist()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.s == labels.id)
+            .groupBy(sym.d.alias("nid"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.nid, "left")
+            .select(
+                labels.id,
+                F.least(labels.lbl, F.coalesce("nbr_lbl", labels.lbl)).alias("lbl"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels.select("id", F.col("lbl").alias("cluster"))

@@ -221,6 +221,36 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive dedup CLUSTERS: connected components
+    over the 3-shingle Jaccard graph by iterative min-label propagation
+    (operators/dedup.py::connected_components). Pairwise dedup alone
+    under-removes (a~b and b~c must collapse {a,b,c} even when a~c is
+    below threshold); this is the step that turns a pair list into
+    dedup groups. Two planted clone generations guarantee size-3
+    clusters so the closure is exercised on both engines. Oracle:
+    recursive-CTE transitive closure with min-reachable-label."""
+    d = T(spark, sf_dir, "documents")
+    aug = _with_planted_dups(
+        _with_planted_dups(d, 10, 10_000_000), 10, 20_000_000
+    )
+    pairs = D.ngram_jaccard_pairs(
+        aug, "text", "doc_id", block_col="source", shingle_n=3, threshold=0.03
+    )
+    comp = D.connected_components(
+        pairs, aug.select("doc_id"), id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    sizes = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.min("cluster").alias("min_cluster"),
+        )
+        .orderBy("size")
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "token_count_bpe": q_token_count_bpe,
@@ -234,6 +264,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -416,5 +447,52 @@ ORACLES = {
         FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh))
               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.03
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE docs_aug AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, text, source
+            FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+            UNION ALL
+            SELECT doc_id + 20000000, text, source
+            FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+        ),
+        sh AS (
+            SELECT doc_id, source,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
+                           i -> string_split({_NORM}, ' ')[i] || ' ' ||
+                                string_split({_NORM}, ' ')[i+1] || ' ' ||
+                                string_split({_NORM}, ' ')[i+2]
+                       )
+                   ) AS sh
+            FROM docs_aug
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))
+                  / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.03
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id AS id, doc_id AS lbl FROM docs_aug
+            UNION
+            SELECT e.d AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+        ),
+        comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+        sizes AS (
+            SELECT cluster, CAST(count(*) AS BIGINT) AS size
+            FROM comp GROUP BY cluster
+        )
+        SELECT size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               min(cluster) AS min_cluster
+        FROM sizes GROUP BY size ORDER BY size
     """,
 }

@@ -170,3 +170,19 @@ def test_winnowing_guarantee(spark):
     assert out[1] & out[2]                  # shared run → shared fingerprint
     assert not (out[1] & out[4])            # disjoint text → disjoint sketch
     assert all(len(fp) == 32 for fp in out[1])  # md5 hex
+
+
+def test_connected_components_chain(spark):
+    """Min-label propagation must traverse chains, not just stars:
+    1-2-3-4 needs three propagation rounds for node 4 to reach label
+    1. Isolated nodes stay their own singleton cluster."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "id long")
+    got = {r.id: r.cluster for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
