@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "table_stats",
     "scalar_subquery",
     "histogram",
+    "cte_histogram",
     "topk",
     "filter_project",
     "conditional",

@@ -155,3 +155,53 @@ def seeded_split(
     partitioning, NOT across repartitionings — callers that need exact
     reproducibility must pin the input partitioning first (SURVEY §7.4)."""
     return df.randomSplit(list(weights), seed=seed)
+
+
+def exact_percentiles_ranked(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    percentiles: dict[str, float],
+) -> DataFrame:
+    """Exact linear-interpolated percentiles per group WITHOUT the
+    buffer-the-whole-group memory profile of the `percentile()`
+    aggregate (which materializes every value of a group in one
+    executor's agg buffer — a per-group OOM at 100 TB).
+
+    Shape: one range-partitioned window sort (spill-safe —
+    UnsafeExternalSorter streams to disk) assigns row_number and group
+    size, then for each requested percentile the two boundary rows are
+    extracted with max(CASE WHEN rn = lo/hi) in a single hash agg and
+    interpolated as v_lo + (v_hi - v_lo)·frac — the same expression
+    DuckDB's quantile_cont evaluates, so results are bit-identical.
+    Total cost: one shuffle for the sort + one for the agg, both
+    streaming, regardless of group size.
+
+    Caveat shared with every per-group window: each group still sorts
+    in ONE task (disk-backed, so it completes where the agg buffer
+    would OOM — but not parallel). For very-low-cardinality keys over
+    truly huge groups, the parallel alternatives are
+    approx_percentile's mergeable GK sketch (workload `approx_stats`)
+    or a global range-partitioned sort with cumulative partition
+    counts.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    wsz = Window.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wsz).alias("_n"),
+    )
+    aggs = []
+    for name, p in percentiles.items():
+        t = F.lit(1.0) + (F.col("_n") - F.lit(1)).cast("double") * F.lit(p)
+        lo = F.floor(t).cast("long")
+        hi = F.ceil(t).cast("long")
+        frac = t - F.floor(t)
+        v_lo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))
+        v_hi = F.max(F.when(F.col("_rn") == hi, F.col("_v")))
+        f = F.max(F.when(F.col("_rn") == lo, frac))
+        aggs.append((v_lo + (v_hi - v_lo) * f).alias(name))
+    return ranked.groupBy(*keys).agg(*aggs)

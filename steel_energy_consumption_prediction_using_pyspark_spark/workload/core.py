@@ -670,14 +670,28 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (the exact counterpart
-    of approx_stats' sketches)."""
+    of approx_stats' sketches) — computed rank-based
+    (operators/relational.py::exact_percentiles_ranked): a spill-safe
+    window sort + boundary-row extraction instead of the
+    `percentile()` aggregate, whose buffer-every-value-per-group
+    profile OOMs at 100 TB. One sort per value column; both
+    percentiles of l_extendedprice share one pass."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        exact_percentiles_ranked,
+    )
+
     li = T(spark, sf_dir, "lineitem")
+    price = exact_percentiles_ranked(
+        li, ["l_returnflag"], "l_extendedprice", {"p50": 0.5, "p95": 0.95}
+    )
+    qty = exact_percentiles_ranked(li, ["l_returnflag"], "l_quantity", {"qty_p50": 0.5})
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_p50"),
+        price.join(qty, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("p50", 4).alias("p50"),
+            F.round("p95", 4).alias("p95"),
+            F.round("qty_p50", 4).alias("qty_p50"),
         )
         .orderBy("l_returnflag")
     )
@@ -994,6 +1008,37 @@ def q_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Databricks-generated histogram SQL, shape-for-
+    shape through the SQL entry point (SteelPred.ipynb:131375): chained
+    CTEs, two uncorrelated scalar subqueries, IF(ISNULL(...)),
+    LEAST(WIDTH_BUCKET(...), n). Catalyst inlines the CTEs, plans the
+    subqueries as 1-row broadcast stages, and the whole thing becomes
+    one min/max pass + one ≤10-group agg — same plan as the
+    DataFrame-side `histogram`. The oracle spells WIDTH_BUCKET as
+    floor((x-mn)/((mx-mn)/10))+1, the same double arithmetic Spark's
+    WidthBucket evaluates, so bin edges agree exactly."""
+    register(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH q AS (SELECT * FROM orders),
+        binned AS (
+            SELECT IF(ISNULL(o_totalprice), NULL,
+                      LEAST(WIDTH_BUCKET(o_totalprice,
+                            (SELECT MIN(o_totalprice) FROM q),
+                            (SELECT MAX(o_totalprice) FROM q),
+                            10), 10)) AS bin,
+                   o_totalprice
+            FROM q
+        )
+        SELECT CAST(bin AS INT) AS bin,
+               CAST(COUNT(o_totalprice) AS BIGINT) AS cnt,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM binned GROUP BY bin ORDER BY bin
+        """
+    )
+
+
 QUERIES = {
     "scan_count": q_scan_count,
     "groupby_count": q_groupby_count,
@@ -1047,9 +1092,26 @@ QUERIES = {
     "gapfill": q_gapfill,
     "posexplode": q_posexplode,
     "interval_math": q_interval_math,
+    "cte_histogram": q_cte_histogram,
 }
 
 ORACLES = {
+    "cte_histogram": """
+        WITH q AS (SELECT * FROM orders),
+        stats AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM q),
+        binned AS (
+            SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+                        ELSE least(CAST(floor((o_totalprice - mn)
+                                         / ((mx - mn) / 10e0)) AS INT) + 1, 10)
+                   END AS bin,
+                   o_totalprice
+            FROM q, stats
+        )
+        SELECT bin,
+               CAST(count(o_totalprice) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
     "unpivot": """
         WITH long AS (
             UNPIVOT (
