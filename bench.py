@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "scalar_subquery",
     "histogram",
     "cte_histogram",
+    "string_indexer",
     "topk",
     "filter_project",
     "conditional",

@@ -25,6 +25,7 @@ from steel_energy_consumption_prediction_using_pyspark_spark.ml.pipeline import 
     build_pipeline,
     feature_stages,
 )
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
 from steel_energy_consumption_prediction_using_pyspark_spark.sources.steel import (
     steel_energy,
 )
@@ -89,10 +90,48 @@ def q_steel_eda(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_string_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 with a real oracle: fit MLlib StringIndexer
+    (stringOrderType=frequencyDesc, the reference's default —
+    SteelPred.py:168-170) on a fixture column and emit its
+    label→ordinal table. The fitted mapping is deterministic and
+    SQL-expressible — row_number over (count DESC, label ASC); the
+    fixture even has a frequency TIE (2-HIGH/3-MEDIUM), so the
+    alphabetical tiebreak the indexer documents is genuinely
+    exercised. Bridges the ML surface into the oracle gate."""
+    from pyspark.ml.feature import StringIndexer
+
+    o = T(spark, sf_dir, "orders")
+    model = StringIndexer(
+        inputCol="o_orderpriority",
+        outputCol="idx",
+        stringOrderType="frequencyDesc",
+    ).fit(o)
+    labels = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        model.transform(labels)
+        .select(F.col("o_orderpriority").alias("label"), "idx", "n")
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "ml_feature_pipeline": q_ml_feature_pipeline,
     "ml_regression": q_ml_regression,
     "steel_eda": q_steel_eda,
+    "string_indexer": q_string_indexer,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "string_indexer": """
+        WITH counts AS (
+            SELECT o_orderpriority AS label, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT label,
+               CAST(row_number() OVER (ORDER BY n DESC, label ASC) - 1
+                    AS DOUBLE) AS idx,
+               n
+        FROM counts ORDER BY label
+    """,
+}
