@@ -127,3 +127,23 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on the key within the
+    watermark horizon. On a stream, state holds one entry per key seen
+    within the watermark and evicts beyond it — bounded memory, the
+    ingest-dedup primitive a training-data firehose needs (re-delivered
+    events, at-least-once sources). On batch, semantics are plain
+    dropDuplicates and match a groupBy-key count of 1 row per key.
+    The event-time column must be in `keys`' companion watermark for
+    eviction to engage (Spark requires withWatermark before
+    dropDuplicates on streams for bounded state).
+    """
+    keys = keys or ["event_id"]
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates(keys)
