@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "histogram",
     "cte_histogram",
     "string_indexer",
+    "rolling_range",
+    "multi_distinct",
+    "salted_agg",
     "topk",
     "filter_project",
     "conditional",

@@ -1039,6 +1039,66 @@ def q_cte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (value-based, not row-based): per user,
+    each event's count of events in the trailing hour, reduced to the
+    user's peak. RANGE frames are deterministic without a tiebreak —
+    equal order-keys share one frame — unlike ROWS frames. One
+    exchange on user_id serves the window and the final agg."""
+    e = T(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select("user_id", F.count(F.lit(1)).over(w).alias("c1h"))
+        .groupBy("user_id")
+        .agg(F.max("c1h").alias("peak_1h"), F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id")
+    )
+
+
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one GROUP BY — Catalyst plans an
+    Expand (one replica of each row per distinct clause) feeding a
+    two-level aggregate. The scale note IS the plan: k distinct
+    clauses multiply shuffle volume k-fold; prefer approx sketches
+    (`approx_stats`) when exactness isn't required."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_d_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting recipe in the graded surface: two-phase
+    sum/count where a deterministic whole-tuple-hash salt fans each
+    hot key over 16 reducers before the final combine
+    (operators/relational.py::salted_sum_count). events.event_type has
+    5 keys over all rows — maximum key skew — and the result must be
+    identical to the direct aggregation the oracle computes."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        salted_sum_count,
+    )
+
+    e = T(spark, sf_dir, "events")
+    out = salted_sum_count(e, ["event_type"], "value", salt_buckets=16)
+    return out.select(
+        "event_type",
+        F.round("sum_value", 2).alias("sum_value"),
+        "cnt",
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "scan_count": q_scan_count,
     "groupby_count": q_groupby_count,
@@ -1093,9 +1153,40 @@ QUERIES = {
     "posexplode": q_posexplode,
     "interval_math": q_interval_math,
     "cte_histogram": q_cte_histogram,
+    "rolling_range": q_rolling_range,
+    "multi_distinct": q_multi_distinct,
+    "salted_agg": q_salted_agg,
 }
 
 ORACLES = {
+    "rolling_range": """
+        WITH x AS (
+            SELECT user_id,
+                   count(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+                   ) AS c1h
+            FROM events
+        )
+        SELECT user_id,
+               CAST(max(c1h) AS BIGINT) AS peak_1h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM x GROUP BY user_id ORDER BY user_id
+    """,
+    "multi_distinct": """
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+               round(sum(DISTINCT l_quantity), 2) AS sum_d_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "salted_agg": """
+        SELECT event_type,
+               round(sum(value), 2) AS sum_value,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "cte_histogram": """
         WITH q AS (SELECT * FROM orders),
         stats AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM q),
