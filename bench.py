@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "rolling_range",
     "multi_distinct",
     "salted_agg",
+    "map_explode",
+    "scaler_stats",
+    "evaluator_metrics",
     "topk",
     "filter_project",
     "conditional",

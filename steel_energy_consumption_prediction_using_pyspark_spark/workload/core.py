@@ -1039,6 +1039,25 @@ def q_cte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map column from row expressions
+    (create_map), explode it to (key, value) rows — generate-based,
+    no shuffle until the aggregate — and count value frequencies per
+    map key. The oracle models the same map as a two-branch UNION
+    ALL."""
+    e = T(spark, sf_dir, "events")
+    k10 = (F.get_json_object("props", "$.k").cast("int") % 10).cast("string")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("k10"), k10
+    )
+    kv = e.select(F.explode(m).alias("mkey", "mval"))
+    return (
+        kv.groupBy("mkey", "mval")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("mkey", "mval")
+    )
+
+
 def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (value-based, not row-based): per user,
     each event's count of events in the trailing hour, reduced to the
@@ -1153,12 +1172,25 @@ QUERIES = {
     "posexplode": q_posexplode,
     "interval_math": q_interval_math,
     "cte_histogram": q_cte_histogram,
+    "map_explode": q_map_explode,
     "rolling_range": q_rolling_range,
     "multi_distinct": q_multi_distinct,
     "salted_agg": q_salted_agg,
 }
 
 ORACLES = {
+    "map_explode": """
+        WITH kv AS (
+            SELECT 'type' AS mkey, event_type AS mval FROM events
+            UNION ALL
+            SELECT 'k10' AS mkey,
+                   CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10
+                        AS VARCHAR) AS mval
+            FROM events
+        )
+        SELECT mkey, mval, CAST(count(*) AS BIGINT) AS n
+        FROM kv GROUP BY mkey, mval ORDER BY mkey, mval
+    """,
     "rolling_range": """
         WITH x AS (
             SELECT user_id,

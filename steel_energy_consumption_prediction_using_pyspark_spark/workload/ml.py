@@ -115,14 +115,111 @@ def q_string_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scaler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+M3 with a real oracle: assemble lineitem's four measures,
+    fit StandardScaler (defaults withStd=true/withMean=false —
+    pipeline/stages/4_StandardScaler metadata), and emit the fitted
+    per-feature mean/std table. Summarizer's fitted moments equal SQL
+    avg/stddev_samp, so the fit itself is oracle-checked."""
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = T(spark, sf_dir, "lineitem").select(*cols)
+    assembled = VectorAssembler(inputCols=cols, outputCol="features").transform(li)
+    model = StandardScaler(inputCol="features", outputCol="scaled").fit(assembled)
+    rows = [
+        (c, float(model.mean[i]), float(model.std[i])) for i, c in enumerate(cols)
+    ]
+    raw = spark.createDataFrame(rows, "feature string, mean double, std double")
+    return raw.select(
+        "feature",
+        F.round("mean", 3).alias("mean"),
+        F.round("std", 3).alias("std"),
+    ).orderBy("feature")
+
+
+def q_evaluator_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 with a real oracle: all five RegressionEvaluator metrics on
+    a deterministic prediction column (0.95·x + 10), returned as a
+    local-rows DataFrame (the reference's S5 createDataFrame shape,
+    SteelPred.py:274-292). Formulas pinned empirically: mse/rmse/mae
+    are plain averages, r2 = 1 − SSres/SStot, and `var` (explained
+    variance, quirk Q4) is mean((pred − mean(label))²) — population-
+    style, centered on the LABEL mean. Large metrics are rescaled
+    before rounding so summation-order noise cannot flip a digit."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    li = T(spark, sf_dir, "lineitem")
+    preds = li.select(
+        F.col("l_extendedprice").alias("label"),
+        (F.col("l_extendedprice") * 0.95 + 10.0).alias("prediction"),
+    )
+    vals = {
+        m: RegressionEvaluator(
+            labelCol="label", predictionCol="prediction", metricName=m
+        ).evaluate(preds)
+        for m in ("rmse", "mse", "mae", "r2", "var")
+    }
+    raw = spark.createDataFrame(
+        [(vals["rmse"], vals["mse"], vals["mae"], vals["r2"], vals["var"])],
+        "rmse double, mse double, mae double, r2 double, var double",
+    )
+    return raw.select(
+        F.round("rmse", 3).alias("rmse"),
+        F.round(F.col("mse") / 1e6, 4).alias("mse_m"),
+        F.round("mae", 3).alias("mae"),
+        F.round("r2", 6).alias("r2"),
+        F.round(F.col("var") / 1e6, 2).alias("var_m"),
+    )
+
+
 QUERIES = {
     "ml_feature_pipeline": q_ml_feature_pipeline,
     "ml_regression": q_ml_regression,
     "steel_eda": q_steel_eda,
     "string_indexer": q_string_indexer,
+    "scaler_stats": q_scaler_stats,
+    "evaluator_metrics": q_evaluator_metrics,
 }
 
 ORACLES: dict[str, str] = {
+    "scaler_stats": """
+        WITH long AS (
+            UNPIVOT (
+                SELECT l_quantity, l_extendedprice, l_discount, l_tax
+                FROM lineitem
+            ) ON l_quantity, l_extendedprice, l_discount, l_tax
+            INTO NAME feature VALUE v
+        )
+        SELECT feature,
+               round(avg(v), 3) AS mean,
+               round(stddev_samp(v), 3) AS std
+        FROM long GROUP BY feature ORDER BY feature
+    """,
+    "evaluator_metrics": """
+        WITH p AS (
+            SELECT l_extendedprice AS label,
+                   l_extendedprice * 0.95e0 + 10e0 AS prediction
+            FROM lineitem
+        ),
+        s AS (
+            SELECT avg(label) AS ml,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   avg((label - prediction) * (label - prediction)) AS mse,
+                   avg(abs(label - prediction)) AS mae,
+                   sum((label - prediction) * (label - prediction)) AS ssres
+            FROM p
+        )
+        SELECT round(sqrt(s.mse), 3) AS rmse,
+               round(s.mse / 1e6, 4) AS mse_m,
+               round(s.mae, 3) AS mae,
+               round(1e0 - s.ssres
+                     / (SELECT sum((label - s.ml) * (label - s.ml)) FROM p), 6)
+                   AS r2,
+               round((SELECT sum((prediction - s.ml) * (prediction - s.ml)) FROM p)
+                     / s.n / 1e6, 2) AS var_m
+        FROM s
+    """,
     "string_indexer": """
         WITH counts AS (
             SELECT o_orderpriority AS label, CAST(count(*) AS BIGINT) AS n
