@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "dedup_exact_survivors",
     "corpus_curation",
     "token_histogram",
+    "tfidf",
     "winnowing",
     "multimodal_meta",
     "multimodal_features",

@@ -251,6 +251,41 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring over the corpus, top-20 (term, doc) pairs:
+    tokenize → (doc, term) tf agg → df agg over the tf table (already
+    distinct per doc) → smoothed idf ln((N+1)/(df+1))+1 (the sklearn
+    formulation, fixed explicitly so both engines compute the same
+    expression) → weight, total-order tiebreak on (term, doc).
+    Plan shape: two hash aggs + one shuffle join on term + a top-k
+    sort of the scored pairs; N broadcasts from a 1-row agg. The
+    corpus-frequency join is the same shape MinHash banding uses —
+    nothing here exceeds two shuffles of (doc, term) pairs."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(X.normalize_text("text")).alias("tk")
+    )
+    tok = d.select("doc_id", F.explode("tk").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = T(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    idf = F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    return (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), "term", "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "token_count_bpe": q_token_count_bpe,
@@ -265,6 +300,7 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "tfidf": q_tfidf,
 }
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -276,6 +312,22 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "tfidf": f"""
+        WITH d AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(tk) AS term FROM d),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        SELECT term, doc_id, tf, df,
+               round(tf * (ln((n + 1e0) / (df + 1e0)) + 1e0), 6) AS tfidf
+        FROM tf JOIN dfx USING (term), n
+        ORDER BY tfidf DESC, term, doc_id LIMIT 20
+    """,
     "text_stats": f"""
         SELECT lang,
                count(*) AS n_docs,
