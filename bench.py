@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "corpus_curation",
     "token_histogram",
     "tfidf",
+    "stratified_sample",
     "winnowing",
     "multimodal_meta",
     "multimodal_features",

@@ -205,3 +205,32 @@ def exact_percentiles_ranked(
         f = F.max(F.when(F.col("_rn") == lo, frac))
         aggs.append((v_lo + (v_hi - v_lo) * f).alias(name))
     return ranked.groupBy(*keys).agg(*aggs)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates applied via
+    a multiplicative hash threshold on the key (same content-addressed
+    scheme as the workload's `sample_hash`). The row set is a pure
+    function of (key, stratum rate): stable across partitioning,
+    reruns, and engines — and strata are NOT independent draws, so a
+    row that survives at rate r survives at every rate ≥ r
+    (nested samples, the property needed for reproducible corpus
+    ablations at increasing sizes). The canonical curation use is
+    rebalancing: downsample over-represented languages/sources hard,
+    keep rare ones at 1.0.
+    """
+    h = (F.col(key_col) * F.lit(2654435761)) % F.lit(4294967296)
+    thr: Column = F.lit(int(default_rate * 4294967296))
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        cut = F.lit(int(rate * 4294967296))
+        expr = F.when(cond, cut) if expr is None else expr.when(cond, cut)
+    thr = expr.otherwise(thr) if expr is not None else thr
+    return df.filter(h < thr)

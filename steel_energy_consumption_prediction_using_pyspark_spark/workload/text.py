@@ -286,6 +286,32 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing by deterministic stratified sampling
+    (operators/relational.py::stratified_hash_sample): downsample the
+    over-represented language hard (en→10%), mid languages to 50%,
+    keep the rest whole. The hash-threshold scheme makes samples
+    nested — the 10% set is a subset of the 50% set — which is what
+    reproducible scaling-law ablations need. Pure filter, pushed to
+    the scan; no shuffle before the audit aggregate."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        stratified_hash_sample,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        d, "lang", {"en": 0.1, "es": 0.5, "zh": 0.5}, "doc_id", default_rate=1.0
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "token_count_bpe": q_token_count_bpe,
@@ -301,6 +327,7 @@ QUERIES = {
     "simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
     "tfidf": q_tfidf,
+    "stratified_sample": q_stratified_sample,
 }
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -312,6 +339,18 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "stratified_sample": """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 <
+              CASE lang WHEN 'en' THEN 429496729
+                        WHEN 'es' THEN 2147483648
+                        WHEN 'zh' THEN 2147483648
+                        ELSE 4294967296 END
+        GROUP BY lang ORDER BY lang
+    """,
     "tfidf": f"""
         WITH d AS (
             SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents

@@ -186,3 +186,26 @@ def test_connected_components_chain(spark):
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "id long")
     got = {r.id: r.cluster for r in connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_stratified_sample_nested(spark, sf_dir):
+    """Hash-threshold samples are nested: the 10% survivor set is a
+    strict subset of the 50% set for the same stratum — the property
+    that makes increasing-size corpus ablations comparable."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        stratified_hash_sample,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    d = T(spark, sf_dir, "documents")
+    small = {
+        r.doc_id
+        for r in stratified_hash_sample(d, "lang", {"en": 0.1}, "doc_id").collect()
+        if r.lang == "en"
+    }
+    big = {
+        r.doc_id
+        for r in stratified_hash_sample(d, "lang", {"en": 0.5}, "doc_id").collect()
+        if r.lang == "en"
+    }
+    assert small and small < big
