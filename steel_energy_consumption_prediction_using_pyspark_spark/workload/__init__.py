@@ -24,10 +24,11 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
     ml,
     multimodal,
     text,
+    tpch,
     vector,
 )
 
-_MODULES = [core, text, vector, multimodal, ml]
+_MODULES = [core, tpch, text, vector, multimodal, ml]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
