@@ -1,0 +1,67 @@
+"""Stream-stream joins (SURVEY.md §2.10 extension).
+
+The classic funnel/attribution primitive: pair each event with the
+follow-up events of another type from the same user within a time
+bound. The SAME code runs batch (self equi-join + range predicate,
+SQL-expressible, oracle-checked) and streaming (Spark's stream-stream
+inner join: both sides watermarked, the time-range condition bounds
+the buffered state on each side — without it state grows forever).
+
+Scale notes: the join key is (user_id); Spark shuffles both sides on
+it once (stream-stream joins require copartitioning on the equi-key).
+The time-range conjunct is evaluated post-match and, on streams,
+drives state eviction: side A keeps rows until watermark passes
+`ts + within`, side B until watermark passes `ts`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def time_bounded_pair_join(
+    lead: DataFrame,
+    follow: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Inner-join `lead` events to strictly-later `follow` events of the
+    same user arriving within `within`. Both inputs may be batch or
+    streaming DataFrames of the events schema (event_id, ts, user_id,
+    event_type, value, props)."""
+    if lead.isStreaming:
+        lead = lead.withWatermark("ts", watermark)
+    if follow.isStreaming:
+        follow = follow.withWatermark("ts", watermark)
+    a = lead.select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+        F.col("event_id").alias("a_id"),
+    )
+    b = follow.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("b_type"),
+        F.col("value").alias("b_value"),
+        F.col("event_id").alias("b_id"),
+    )
+    cond = (
+        (a.a_user == b.b_user)
+        & (b.b_ts > a.a_ts)
+        & (b.b_ts <= a.a_ts + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond, "inner")
+
+
+def funnel_pairs(events: DataFrame, within: str = "30 minutes") -> DataFrame:
+    """click→purchase conversion pairs within the attribution window,
+    aggregated per user: pair count and attributed revenue."""
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    pairs = time_bounded_pair_join(clicks, purchases, within=within)
+    return pairs.groupBy(F.col("a_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("b_value"), 2).alias("attributed_value"),
+    )

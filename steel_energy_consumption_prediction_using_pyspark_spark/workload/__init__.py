@@ -23,12 +23,13 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
     core,
     ml,
     multimodal,
+    stats,
     text,
     tpch,
     vector,
 )
 
-_MODULES = [core, tpch, text, vector, multimodal, ml]
+_MODULES = [core, tpch, stats, text, vector, multimodal, ml]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

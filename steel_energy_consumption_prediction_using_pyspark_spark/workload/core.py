@@ -1118,7 +1118,21 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel join (streaming/joins.py): click→purchase
+    pairs within 30 min per user. Batch mode here (oracle-checkable
+    self-join + range predicate); test_streaming.py proves the same
+    code gives identical results as a watermarked stream-stream join."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.joins import (
+        funnel_pairs,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return funnel_pairs(e, within="30 minutes").orderBy("user_id")
+
+
 QUERIES = {
+    "stream_join": q_stream_join,
     "scan_count": q_scan_count,
     "groupby_count": q_groupby_count,
     "avg_orderby": q_avg_orderby,
@@ -1179,6 +1193,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_join": """
+        SELECT a.user_id,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(sum(b.value), 2) AS attributed_value
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        GROUP BY a.user_id ORDER BY a.user_id
+    """,
     "map_explode": """
         WITH kv AS (
             SELECT 'type' AS mkey, event_type AS mval FROM events

@@ -1,0 +1,234 @@
+"""Statistical aggregates and distribution window functions.
+
+The reference's statistics surface is a single Pearson corr
+(SteelPred.py:125, SURVEY.md A3); this module widens it to the full
+declarative statistics family a 100 TB EDA workload needs — all
+single-pass JVM-side aggregates (HashAggregate partial+final, no
+Python):
+
+- covariance (pop/samp), higher moments (skewness, kurtosis),
+  linear-regression aggregates (regr_slope/intercept/r2/count),
+  exact interpolated median, boolean aggregates;
+- distribution window functions (ntile, percent_rank, cume_dist,
+  first_value/last_value over explicit frames) with unique-key total
+  orders so results are deterministic across engines and partitionings;
+- string-distance functions (levenshtein) and the padding/search
+  function family.
+
+Oracle notes: Spark's skewness/kurtosis are the POPULATION moments
+(g1 = m3/m2^1.5, excess g2 = m4/m2² − 3) while DuckDB's built-ins are
+sample-corrected — the oracles therefore spell the population formulas
+out from avg() powers instead of calling DuckDB's skewness()/kurtosis().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+
+# --- covariance / moments / median per group --------------------------------
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag second/third/fourth-moment statistics over
+    lineitem price — one hash-agg pass computes every column."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.covar_pop("l_extendedprice", "l_quantity"), 2).alias("cov_pop"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_samp"),
+            F.round(F.stddev_pop("l_extendedprice"), 2).alias("sd_pop"),
+            F.round(F.skewness("l_extendedprice"), 4).alias("skew"),
+            F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt"),
+            F.round(F.median("l_extendedprice"), 2).alias("med_price"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_pos_qty"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- linear-regression aggregates -------------------------------------------
+
+def q_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS-by-aggregation: slope/intercept/R² of extendedprice on
+    quantity per linestatus — the declarative (single-pass, no MLlib
+    iteration) regression surface. At 100 TB this is the right tool
+    for per-group trend lines: one shuffle, no driver round-trips."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+            F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 4).alias("avg_x"),
+            F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 2).alias("avg_y"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --- distribution window functions ------------------------------------------
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist/first_value/last_value over a
+    unique total order (acctbal, custkey) per nation, folded to one row
+    per (nation, quartile). The unique tiebreak makes every rank —
+    hence the whole result — identical across engines and shuffle
+    layouts (partition-invariance rule, workload/__init__ docstring)."""
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    enriched = c.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first_value("c_custkey").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("poorest"),
+        F.last_value("c_custkey").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("richest"),
+    )
+    return (
+        enriched.groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("pr"), 6).alias("max_pr"),
+            F.round(F.max("cd"), 6).alias("max_cd"),
+            # sum, not avg: cent-valued balances make avg land exactly
+            # on .xx5 halfway points where the engines' round() differs;
+            # the sum is a multiple of 0.01, never halfway at 2 dp.
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            F.min("poorest").alias("poorest_cust"),
+            F.max("richest").alias("richest_cust"),
+        )
+        .orderBy("c_nationkey", "quartile")
+    )
+
+
+# --- string distance + padding/search family --------------------------------
+
+def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between part-name tokens plus the
+    pad/search scalar family — all JVM built-ins (no UDF)."""
+    p = T(spark, sf_dir, "part")
+    first_word = F.split(F.col("p_name"), " ").getItem(0)
+    second_word = F.split(F.col("p_name"), " ").getItem(1)
+    return (
+        p.select(
+            "p_partkey",
+            first_word.alias("w1"),
+            second_word.alias("w2"),
+            F.levenshtein(first_word, second_word).alias("lev"),
+            F.instr(F.col("p_name"), "e").alias("first_e"),
+            F.length(F.rpad(first_word, 10, ".")).alias("pad_len"),
+            F.reverse(first_word).alias("w1_rev"),
+            F.translate(first_word, "aeiou", "AEIOU").alias("w1_caps_vowels"),
+        )
+        .groupBy("w1")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("lev"), 4).alias("avg_lev"),
+            F.max("lev").alias("max_lev"),
+            F.round(F.avg("first_e"), 4).alias("avg_first_e"),
+            F.max("w1_rev").alias("max_rev"),
+            F.max("w1_caps_vowels").alias("max_caps"),
+            F.max("pad_len").alias("pad_len"),
+        )
+        .orderBy("w1")
+    )
+
+
+QUERIES = {
+    "stats_moments": q_stats_moments,
+    "regr_agg": q_regr_agg,
+    "window_distribution": q_window_distribution,
+    "string_distance": q_string_distance,
+}
+
+ORACLES = {
+    "stats_moments": """
+        WITH m AS (
+            SELECT l_returnflag, avg(l_extendedprice) AS mean_p
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               round(covar_pop(l_extendedprice, l_quantity), 2) AS cov_pop,
+               round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_samp,
+               round(stddev_pop(l_extendedprice), 2) AS sd_pop,
+               round(avg(power(l_extendedprice - mean_p, 3))
+                     / power(avg(power(l_extendedprice - mean_p, 2)), 1.5e0),
+                     4) AS skew,
+               round(avg(power(l_extendedprice - mean_p, 4))
+                     / power(avg(power(l_extendedprice - mean_p, 2)), 2e0) - 3,
+                     4) AS kurt,
+               round(median(l_extendedprice), 2) AS med_price,
+               bool_and(l_quantity > 0) AS all_pos_qty,
+               bool_or(l_discount > 0.09e0) AS any_big_disc,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+    "regr_agg": """
+        SELECT l_linestatus,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+               round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+               round(regr_avgy(l_extendedprice, l_quantity), 2) AS avg_y
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "window_distribution": """
+        WITH e AS (
+            SELECT c_nationkey, c_acctbal,
+                   ntile(4) OVER w AS quartile,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd,
+                   first_value(c_custkey) OVER (
+                       w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS poorest,
+                   last_value(c_custkey) OVER (
+                       w ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING
+                   ) AS richest
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal, c_custkey)
+        )
+        SELECT c_nationkey, quartile,
+               CAST(count(*) AS BIGINT) AS n,
+               round(max(pr), 6) AS max_pr,
+               round(max(cd), 6) AS max_cd,
+               round(sum(c_acctbal), 2) AS sum_bal,
+               min(poorest) AS poorest_cust,
+               max(richest) AS richest_cust
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "string_distance": """
+        WITH s AS (
+            SELECT p_partkey,
+                   split_part(p_name, ' ', 1) AS w1,
+                   split_part(p_name, ' ', 2) AS w2,
+                   instr(p_name, 'e') AS first_e
+            FROM part
+        )
+        SELECT w1,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(levenshtein(w1, w2)), 4) AS avg_lev,
+               CAST(max(levenshtein(w1, w2)) AS INTEGER) AS max_lev,
+               round(avg(first_e), 4) AS avg_first_e,
+               max(reverse(w1)) AS max_rev,
+               max(translate(w1, 'aeiou', 'AEIOU')) AS max_caps,
+               CAST(max(length(rpad(w1, 10, '.'))) AS INTEGER) AS pad_len
+        FROM s GROUP BY w1 ORDER BY w1
+    """,
+}

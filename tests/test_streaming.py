@@ -118,3 +118,40 @@ def test_stream_dedup_removes_redelivery(spark, sf_dir, batch_events):
     # batch path: self-union halves back to distinct
     doubled = batch_events.unionByName(batch_events)
     assert stream_dedup(doubled).count() == want
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, batch_events):
+    """Watermarked stream-stream inner join (streaming/joins.py) must
+    produce exactly the batch self-join pairs: same pair count and the
+    same (a_id, b_id) set."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.joins import (
+        time_bounded_pair_join,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream_pairs = time_bounded_pair_join(*split(read_events_stream(spark, sf_dir)))
+    assert stream_pairs.isStreaming
+    q = (
+        stream_pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.a_id, r.b_id) for r in spark.table("ssjoin_out").select("a_id", "b_id").collect()
+    }
+    want = {
+        (r.a_id, r.b_id)
+        for r in time_bounded_pair_join(*split(batch_events)).select("a_id", "b_id").collect()
+    }
+    assert got == want and len(want) > 0
