@@ -68,6 +68,26 @@ BENCH_QUERIES = [
     "json_extract",
     "asof_join",
     "range_join",
+    "tpch_min_cost",
+    "tpch_volume",
+    "tpch_market_share",
+    "tpch_profit",
+    "tpch_late_priority",
+    "tpch_promo_revenue",
+    "tpch_supplier_cnt",
+    "tpch_disjunctive",
+    "tpch_waiting",
+    "tpch_idle_balance",
+    "stats_moments",
+    "regr_agg",
+    "window_distribution",
+    "string_distance",
+    "stream_join",
+    "variant",
+    "chunk_documents",
+    "sketch_distinct",
+    "sketch_quantiles",
+    "sketch_overlap",
     "unpivot",
     "argmax",
     "sample_hash",

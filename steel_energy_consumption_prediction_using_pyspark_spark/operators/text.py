@@ -256,3 +256,41 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "alpha_ratio": F.round(cs["alpha_ratio"], 6),
         }
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 128,
+    overlap: int = 32,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the context-window packing step of an LLM training-data pipeline.
+
+    Pure built-ins, fully distributed: sequence() generates the chunk
+    start offsets, posexplode fans them out (one output partition per
+    input partition, no shuffle), substring slices. Stride is
+    ``size - overlap``; the final chunk is allowed to be short. Output:
+    id_cols + (chunk_idx, chunk_text, chunk_len).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(text_col) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    exploded = df.select(
+        *id_cols,
+        F.col(text_col).alias("_ct_text"),
+        F.posexplode(starts).alias("chunk_idx", "_ct_start"),
+    )
+    chunk = F.substring(F.col("_ct_text"), F.col("_ct_start") + 1, size)
+    return exploded.select(
+        *id_cols,
+        "chunk_idx",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )

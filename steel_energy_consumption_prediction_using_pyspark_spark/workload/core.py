@@ -1131,8 +1131,31 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_pairs(e, within="30 minutes").orderBy("user_id")
 
 
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VariantType:
+    parse_json once into the shredded binary encoding, then typed
+    variant_get extraction — the modern schema-on-read path (vs the
+    schema'd from_json and stringly get_json_object queries, both also
+    in this workload). Oracle is plain JSON extraction in DuckDB."""
+    e = T(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum(F.when(F.col("k") % 3 == 0, 1).otherwise(0)).cast("bigint").alias("n_div3"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "stream_join": q_stream_join,
+    "variant": q_variant,
     "scan_count": q_scan_count,
     "groupby_count": q_groupby_count,
     "avg_orderby": q_avg_orderby,
@@ -1193,6 +1216,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "variant": """
+        WITH x AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(k) AS BIGINT) AS n_k,
+               min(k) AS min_k,
+               max(k) AS max_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_div3
+        FROM x GROUP BY event_type ORDER BY event_type
+    """,
     "stream_join": """
         SELECT a.user_id,
                CAST(count(*) AS BIGINT) AS n_pairs,

@@ -147,11 +147,59 @@ def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mergeable sketches (rows-only: estimates have no SQL oracle) -----------
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via per-day HLL partials merged
+    with hll_union_agg (operators/sketches.py). Rows-only check by
+    necessity — DuckDB's HLL is a different implementation, so the
+    estimate has no SQL twin; accuracy (≤2% error vs exact) and
+    partition invariance are pinned in tests/test_sketches.py."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.sketches import (
+        hll_distinct_rollup,
+    )
+
+    e = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return hll_distinct_rollup(
+        e, ["event_type"], "user_id", partial_by="day"
+    ).orderBy("event_type")
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch of lineitem price, built per-returnflag and
+    merged (operators/sketches.py). Rows-only: sketch quantiles are
+    estimates; rank accuracy is pinned in tests/test_sketches.py."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.sketches import (
+        kll_quantile_rollup,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    return kll_quantile_rollup(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95], partial_by="l_returnflag"
+    )
+
+
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: users who click vs purchase —
+    |A|, |B|, |A∪B|, |A∩B|, |A\\B| without a raw self-join
+    (operators/sketches.py). Rows-only: estimates; accuracy vs exact
+    set ops pinned in tests/test_sketches.py."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.sketches import (
+        theta_overlap,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return theta_overlap(e, "event_type", "user_id", "click", "purchase")
+
+
 QUERIES = {
     "stats_moments": q_stats_moments,
     "regr_agg": q_regr_agg,
     "window_distribution": q_window_distribution,
     "string_distance": q_string_distance,
+    "sketch_distinct": q_sketch_distinct,
+    "sketch_quantiles": q_sketch_quantiles,
+    "sketch_overlap": q_sketch_overlap,
 }
 
 ORACLES = {

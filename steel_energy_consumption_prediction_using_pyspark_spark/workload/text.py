@@ -312,7 +312,23 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/text.py::chunk_text): 128-char
+    chunks, 32 overlap. md5 of every chunk makes the oracle compare
+    content-exact, not just lengths."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        chunk_text,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    chunks = chunk_text(d, "text", size=128, overlap=32)
+    return chunks.select(
+        "doc_id", "chunk_idx", "chunk_len", F.md5("chunk_text").alias("chunk_md5")
+    ).orderBy("doc_id", "chunk_idx")
+
+
 QUERIES = {
+    "chunk_documents": q_chunk_documents,
     "text_stats": q_text_stats,
     "token_count_bpe": q_token_count_bpe,
     "text_quality": q_text_quality,
@@ -339,6 +355,19 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "chunk_documents": """
+        WITH starts AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, greatest(length(text) - 1, 0), 96))
+                       AS start
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(start / 96 AS INTEGER) AS chunk_idx,
+               CAST(length(substr(text, start + 1, 128)) AS INTEGER) AS chunk_len,
+               md5(substr(text, start + 1, 128)) AS chunk_md5
+        FROM starts ORDER BY doc_id, chunk_idx
+    """,
     "stratified_sample": """
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_sampled,

@@ -209,3 +209,21 @@ def test_stratified_sample_nested(spark, sf_dir):
         if r.lang == "en"
     }
     assert small and small < big
+
+
+def test_chunk_text_covers_and_overlaps(spark):
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        chunk_text,
+    )
+
+    text = "abcdefghij" * 30  # 300 chars
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = chunk_text(df, "text", size=100, overlap=20).orderBy("chunk_idx").collect()
+    # stride 80: starts 0,80,160,240 → lens 100,100,100,60
+    assert [r.chunk_len for r in rows] == [100, 100, 100, 60]
+    # consecutive chunks agree on the 20-char overlap
+    for a, b in zip(rows, rows[1:]):
+        assert a.chunk_text[-20:] == b.chunk_text[:20]
+    # reconstruction: dropping each chunk's leading overlap re-yields the text
+    rebuilt = rows[0].chunk_text + "".join(r.chunk_text[20:] for r in rows[1:])
+    assert rebuilt == text
