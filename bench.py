@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "string_distance",
     "stream_join",
     "variant",
+    "lateral_topk",
+    # recursive_cte excluded: its cost is per-iteration scheduling
+    # overhead on a constant 1000-key hierarchy (~12 s regardless of
+    # sf) and would distort the data-scaling signal of this suite.
     "chunk_documents",
     "sketch_distinct",
     "sketch_quantiles",

@@ -1153,9 +1153,56 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 / SPARK-24497): ancestor-chain walk up a
+    derived binary hierarchy (parent = floor(key/2)) until the root —
+    per-level self-join driven by the engine's recursion operator, the
+    SQL-native sibling of the iterative-DataFrame connected-components
+    in operators/dedup.py. Aggregated to depth histogram + checksum."""
+    register(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth
+            FROM customer WHERE c_custkey BETWEEN 1 AND 1000
+            UNION ALL
+            SELECT k, CAST(floor(cur / 2) AS BIGINT) AS cur, depth + 1
+            FROM chain WHERE cur > 1
+        )
+        SELECT depth,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_keys
+        FROM chain GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY/LIMIT —
+    top-3 customers per nation straight from the SQL surface (the
+    DataFrame twin is window row_number ≤ 3, `top_k_per_group`)."""
+    register(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        FROM nation n,
+             LATERAL (
+                 SELECT c_custkey, c_acctbal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 3
+             ) t
+        ORDER BY n_name, acctbal DESC, c_custkey
+        """
+    )
+
+
 QUERIES = {
     "stream_join": q_stream_join,
     "variant": q_variant,
+    "recursive_cte": q_recursive_cte,
+    "lateral_topk": q_lateral_topk,
     "scan_count": q_scan_count,
     "groupby_count": q_groupby_count,
     "avg_orderby": q_avg_orderby,
@@ -1216,6 +1263,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "recursive_cte": """
+        WITH RECURSIVE chain AS (
+            SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth
+            FROM customer WHERE c_custkey BETWEEN 1 AND 1000
+            UNION ALL
+            SELECT k, CAST(floor(cur / 2) AS BIGINT) AS cur, depth + 1
+            FROM chain WHERE cur > 1
+        )
+        SELECT depth,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_keys
+        FROM chain GROUP BY depth ORDER BY depth
+    """,
+    "lateral_topk": """
+        SELECT n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        FROM nation n,
+             LATERAL (
+                 SELECT c_custkey, c_acctbal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 3
+             ) t
+        ORDER BY n_name, acctbal DESC, c_custkey
+    """,
     "variant": """
         WITH x AS (
             SELECT event_type,
