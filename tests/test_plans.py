@@ -121,3 +121,31 @@ def test_centroids_single_agg_no_explode(spark, sf_dir):
     # partial + final, once (explain-formatted lists each node twice:
     # tree + detail section)
     assert plan.count("HashAggregate") == 4
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A fact table partitioned on a derived key, joined to a
+    selectively-filtered broadcast dim on that key, must plan a
+    dynamicpruning subquery on the fact scan — at 100 TB this is the
+    difference between reading 2 partitions and reading all of them."""
+    fact_dir = str(tmp_path / "orders_by_year")
+    (
+        T(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(fact_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [(y, "keep" if y in (1996, 1997) else "drop") for y in range(1995, 2002)],
+        ["d_year", "tag"],
+    )
+    joined = fact.join(
+        F.broadcast(dim), (fact.o_year == dim.d_year) & (dim.tag == "keep")
+    )
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and it actually prunes: only the two kept years are read
+    years = {r.o_year for r in joined.select("o_year").distinct().collect()}
+    assert years == {1996, 1997}

@@ -155,3 +155,33 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, batch_events):
         for r in time_bounded_pair_join(*split(batch_events)).select("a_id", "b_id").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_foreach_batch_sink_idempotent_on_replay(spark, sf_dir, batch_events, tmp_path):
+    """idempotent_parquet_sink (streaming/sinks.py): one availableNow
+    drain lands every row exactly once; re-running with the same
+    checkpoint (a replay with no new input) writes nothing new."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.joins import (
+        time_bounded_pair_join,  # noqa: F401  (module import sanity)
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    n_src = batch_events.count()
+
+    q = idempotent_parquet_sink(read_events_stream(spark, sf_dir), out, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(out)
+    assert first.count() == n_src
+    assert first.select("event_id").distinct().count() == n_src
+
+    # replay: same checkpoint, no new source files → no new rows
+    q2 = idempotent_parquet_sink(read_events_stream(spark, sf_dir), out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n_src
