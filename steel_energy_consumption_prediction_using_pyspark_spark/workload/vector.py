@@ -113,8 +113,32 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroids(e, "embedding", "label", dim=64).orderBy("label")
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized-then-dequantized
+    vectors (operators/quantize.py): the 4×-smaller storage path for
+    the embedding column. Rows-only: quantization noise makes ranks
+    engine-specific near ties; recall vs exact fp32 top-k (≥0.8@5) and
+    reconstruction fidelity (cos ≥ 0.999) are pinned in
+    tests/test_similarity.py."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.quantize import (
+        quantize_int8,
+        with_dequantized,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    deq = with_dequantized(
+        quantize_int8(e).drop("embedding"), out="embedding"
+    ).select("vec_id", "label", "embedding")
+    queries = deq.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = deq.filter(F.col("vec_id") >= N_QUERY)
+    return S.brute_force_topk(corpus, queries, k=TOP_K)
+
+
 QUERIES = {
     "centroids": q_centroids,
+    "ann_quantized": q_ann_quantized,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_stats": q_embedding_stats,
     "embedding_neardup": q_embedding_neardup,

@@ -215,3 +215,31 @@ def test_gapfill_dense_timeline(spark, sf_dir):
     t0 = datetime.strptime(hours[0], "%Y-%m-%d %H:%M:%S")
     t1 = datetime.strptime(hours[-1], "%Y-%m-%d %H:%M:%S")
     assert len(hours) == int((t1 - t0) / timedelta(hours=1)) + 1
+
+
+def test_observe_rules_and_gate(spark, sf_dir):
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.quality import (
+        check_gate,
+        observe_rules,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    o = T(spark, sf_dir, "orders")
+    observed, obs = observe_rules(
+        o,
+        {
+            "price_positive": F.col("o_totalprice") > 0,
+            "status_known": F.col("o_orderstatus").isin("P", "O", "F"),
+            "priority_tagged": F.col("o_orderpriority").startswith("9"),
+        },
+    )
+    n = observed.count()  # the action the metrics piggyback on
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["bad_price_positive"] == 0
+    assert got["bad_status_known"] == 0
+    assert got["bad_priority_tagged"] == n  # no priority starts with '9'
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="priority_tagged"):
+        check_gate(obs)

@@ -102,3 +102,56 @@ def test_ivf_build_probe_amortizes(spark, sf_dir):
         assert second == first    # probing is pure given the index
     finally:
         index.unpersist()
+
+
+def test_quantize_int8_fidelity_and_recall(spark, sf_dir):
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.quantize import (
+        dequantize,
+        quantize_int8,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+        T,
+        cosine,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = quantize_int8(e)
+    # per-vector cosine(original, reconstruction) ≥ 0.999
+    fid = q.select(
+        cosine(
+            F.col("embedding").cast("array<double>"), dequantize("q", "q_scale")
+        ).alias("c")
+    ).agg(F.min("c").alias("worst")).collect()[0]
+    assert fid.worst > 0.999, fid.worst
+
+    # quantized storage must be materially smaller on disk
+    import os
+
+    def du(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+
+    base = str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix("file:")
+    fp32_dir, int8_dir = f"{base}/fp32_vecs", f"{base}/int8_vecs"
+    e.select("vec_id", "embedding").write.mode("overwrite").parquet(fp32_dir)
+    q.select("vec_id", "q", "q_scale").write.mode("overwrite").parquet(int8_dir)
+    assert du(int8_dir) < du(fp32_dir) * 0.45, (du(int8_dir), du(fp32_dir))
+
+    # top-5 recall vs exact fp32 ranking ≥ 0.8 averaged over queries
+    deq = q.drop("embedding").withColumn("embedding", dequantize("q", "q_scale"))
+    def topk(df):
+        qs = df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        corpus = df.filter(F.col("vec_id") >= 5)
+        return brute_force_topk(corpus, qs, k=5)
+
+    exact = {(r.query_id, r.neighbor_id) for r in topk(e.select("vec_id", "embedding")).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in topk(deq.select("vec_id", "embedding")).collect()}
+    assert len(exact & approx) / len(exact) >= 0.8
