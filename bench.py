@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     "embedding_stats",
     "ann_lsh",
     "ann_ivf",
+    "ann_quantized",
+    "repetition",
+    "decontaminate",
+    "pack_windows",
+    "dq_summary",
 ]
 
 

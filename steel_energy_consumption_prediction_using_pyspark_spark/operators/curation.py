@@ -1,0 +1,186 @@
+"""Training-corpus curation operators: repetition metrics,
+train/benchmark decontamination, and sequence packing.
+
+These are the document-level gates a pretraining data pipeline runs
+between raw ingest and tokenization (complementing the dedup tiers in
+operators/dedup.py):
+
+- repetition ratios (the Gopher quality rules, Rae et al. 2021
+  appendix A1.1): duplicate-word / duplicate-n-gram fractions and the
+  top-n-gram mass fraction — catch boilerplate and generated spam;
+- decontamination (GPT-3 appendix C style): drop training documents
+  that share any word n-gram with an evaluation benchmark;
+- sequence packing: assign documents to fixed-capacity context
+  windows by running token count — the concat-then-slice stream
+  packing LLM pretraining loaders use.
+
+Everything is built-in Catalyst expressions: per-row metrics are
+higher-order functions (no shuffle), corpus-level metrics use
+map-side-combinable aggregations. HOF hygiene follows NOTES.md rules
+6/7 — tokens are staged as named columns before any gram lambda, and
+generator outputs use explode_outer so the optimizer cannot re-inline
+the staged pipeline below an inferred `size(...) > 0` filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+    shingles_from,
+)
+
+
+def _frac(num: Column, den: Column) -> Column:
+    """Exact-int division as double, 0-safe (0.0 when den = 0)."""
+    return F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Append per-document repetition ratios, computed entirely with
+    per-row higher-order functions — no explode, no shuffle, so the
+    operator composes into a scan-side filter at any scale:
+
+    - ``n_tokens``: whitespace token count;
+    - ``dup_word_frac``: 1 - distinct words / total words;
+    - ``dup_gram_frac``: 1 - distinct word n-grams / total n-grams
+      (0.0 for docs shorter than n tokens).
+
+    Gopher drops docs with high duplicate-line/ngram mass; compose as
+    ``with_repetition_stats(df).filter(F.col('dup_gram_frac') < t)``.
+    """
+    staged = df.withColumn("_rep_t", F.split(F.col(text_col), " ")).withColumn(
+        "_rep_g", shingles_from("_rep_t", n=n)
+    )
+    return (
+        staged.withColumn("n_tokens", F.size("_rep_t"))
+        .withColumn(
+            "dup_word_frac",
+            F.lit(1.0)
+            - _frac(F.size(F.array_distinct("_rep_t")), F.size("_rep_t")),
+        )
+        .withColumn(
+            "dup_gram_frac",
+            F.when(
+                F.size("_rep_g") > 0,
+                F.lit(1.0)
+                - _frac(F.size(F.array_distinct("_rep_g")), F.size("_rep_g")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_rep_t", "_rep_g")
+    )
+
+
+def top_gram_fraction(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Per-document mass fraction of the single most frequent word
+    n-gram: (id_col, n_grams, top_gram_count, top_gram_frac). Docs
+    with fewer than n tokens are absent from the result.
+
+    Distributed shape: explode grams → count per (doc, gram) with
+    map-side partial aggregation → max per doc. Two narrow shuffles
+    on keys that include the document id, so skew is bounded by the
+    largest single document, not by any corpus-level hot key."""
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
+    )
+    grams = staged.select(
+        id_col, F.explode_outer(shingles_from("_t", n=n)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    per_gram = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_gram_count"),
+    ).withColumn(
+        "top_gram_frac", F.round(_frac(F.col("top_gram_count"), F.col("n_grams")), 6)
+    )
+
+
+def contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Train/benchmark n-gram decontamination: for every training
+    document that shares at least one word n-gram with the benchmark
+    corpus, return (id_col, n_grams, n_shared_grams,
+    contamination_frac) — gram counts are per-document DISTINCT
+    grams, so the fraction is a Jaccard-style containment.
+
+    Scale shape: the benchmark side (eval suites are ~10^6 grams vs a
+    10^12-gram training corpus) is distinct-projected and broadcast —
+    the contamination check then runs scan-side with zero shuffle of
+    the training corpus. Set ``broadcast_bench=False`` to fall back
+    to a shuffle hash join when the benchmark side is genuinely big.
+    """
+
+    def doc_grams(d: DataFrame) -> DataFrame:
+        staged = d.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
+        )
+        return staged.select(
+            F.col(id_col),
+            F.explode_outer(F.array_distinct(shingles_from("_t", n=n))).alias(
+                "gram"
+            ),
+        ).filter(F.col("gram").isNotNull())
+
+    bench_grams = doc_grams(bench).select("gram").distinct()
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    train_grams = doc_grams(train)
+    totals = train_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = train_grams.join(bench_grams, "gram").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared_grams")
+    )
+    return (
+        hits.join(totals, id_col)
+        .withColumn(
+            "contamination_frac",
+            F.round(_frac(F.col("n_shared_grams"), F.col("n_grams")), 6),
+        )
+        .select(id_col, "n_grams", "n_shared_grams", "contamination_frac")
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    token_col: str,
+    window: int,
+    order_col: str = "doc_id",
+    part_col: str | None = None,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign rows to fixed-capacity context windows by running token
+    count: ``pack_id = floor((cumsum - tokens) / window)`` over
+    ``order_col`` order — the pack a document STARTS in under
+    concat-then-slice stream packing (documents may straddle pack
+    boundaries; the tokenizer slices, this operator only routes).
+
+    One window function. A global total order does not distribute, so
+    at scale pass ``part_col`` (e.g. source shard): packing then runs
+    per partition key in parallel, which is exactly how pretraining
+    loaders shard their input streams."""
+    w = (
+        Window.partitionBy(part_col).orderBy(order_col)
+        if part_col is not None
+        else Window.orderBy(order_col)
+    )
+    cum = F.sum(token_col).over(w)
+    return df.withColumn(
+        out_col, F.floor((cum - F.col(token_col)) / F.lit(float(window)))
+    )

@@ -14,6 +14,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.observation import Observation
 
 
+def rule_metrics(rules: dict[str, Column]) -> list[Column]:
+    """Aggregate columns for boolean `rules` (True = row OK): a
+    total-row counter plus one `bad_<name>` violation counter per
+    rule. Shared by the observe path and plain batch summaries
+    (`df.agg(*rule_metrics(rules))`)."""
+    return [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(~cond, 1).otherwise(0)).cast("bigint").alias(f"bad_{name}")
+        for name, cond in rules.items()
+    ]
+
+
 def observe_rules(
     df: DataFrame, rules: dict[str, Column]
 ) -> tuple[DataFrame, Observation]:
@@ -21,11 +32,7 @@ def observe_rules(
     plus a total-row counter. Returns (df, observation); read
     `observation.get` after the next action on df."""
     obs = Observation()
-    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.sum(F.when(~cond, 1).otherwise(0)).cast("bigint").alias(f"bad_{name}")
-        for name, cond in rules.items()
-    ]
-    return df.observe(obs, *metrics), obs
+    return df.observe(obs, *rule_metrics(rules)), obs
 
 
 def check_gate(

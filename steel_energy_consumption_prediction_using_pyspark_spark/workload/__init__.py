@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
     core,
+    curation,
     ml,
     multimodal,
     stats,
@@ -29,7 +30,7 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
     vector,
 )
 
-_MODULES = [core, tpch, stats, text, vector, multimodal, ml]
+_MODULES = [core, tpch, stats, text, vector, multimodal, ml, curation]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,229 @@
+"""Corpus-curation workload: repetition metrics, decontamination,
+sequence packing, and data-quality summaries (operators/curation.py,
+operators/quality.py) — all DuckDB-oracle-checked.
+
+Oracle-parity notes:
+- word n-grams are generated identically on both sides from
+  `split(text, ' ')` / `string_split(text, ' ')` (trailing empty
+  fields preserved by both, pinned in tests);
+- every fraction is exact-int division cast to double, rounded with
+  identical arithmetic on both sides;
+- DuckDB `range(a, b)` is end-exclusive and lists are 1-indexed —
+  gram i concatenates ws[i] .. ws[i+n-1], matching shingles_from's
+  sequence(1, size-n+1) indexing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+    curation as C,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+    quality as Q,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+PACK_WINDOW = 512  # tokens per context window in pack_windows
+_BENCH_MOD = 10  # doc_id % 10 == 0 plays the benchmark corpus
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition report per language: average
+    duplicate-word fraction, duplicate-bigram fraction (both per-row
+    HOFs — no shuffle before the final roll-up) and average
+    top-bigram mass fraction (two doc-keyed map-side-combinable
+    shuffles). Docs shorter than 2 tokens carry dup_gram_frac = 0 and
+    are absent from the top-gram side (left join → 0-filled)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    rep = C.with_repetition_stats(d, "text", n=2).select(
+        "doc_id",
+        "lang",
+        F.round("dup_word_frac", 6).alias("dw"),
+        F.round("dup_gram_frac", 6).alias("dg"),
+    )
+    top = C.top_gram_fraction(d, "doc_id", "text", n=2).select(
+        "doc_id", "top_gram_frac"
+    )
+    joined = rep.join(top, "doc_id", "left").fillna({"top_gram_frac": 0.0})
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dw"), 6).alias("avg_dup_word_frac"),
+            F.round(F.avg("dg"), 6).alias("avg_dup_bigram_frac"),
+            F.round(F.avg("top_gram_frac"), 6).alias("avg_top_bigram_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark 3-gram decontamination: documents with
+    doc_id % 10 == 0 play the benchmark corpus; the 20 most
+    contaminated training docs (shared-distinct-gram count, doc_id
+    tiebreak) are reported. The benchmark gram set is broadcast, so
+    the training side never shuffles (operators/curation.py)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    train = d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        C.contamination(train, bench, n=3)
+        .orderBy(F.desc("n_shared_grams"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing per source shard: route each doc to the
+    512-token context window its token stream starts in (prefix-sum
+    packing, operators/curation.py::pack_greedy), then report packs
+    and utilization per source. partitionBy(source) keeps the window
+    sort per-shard — the distributable shape."""
+    d = T(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("tok")
+    )
+    packed = C.pack_greedy(
+        d, "tok", PACK_WINDOW, order_col="doc_id", part_col="source"
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            (F.max("pack_id") + 1).cast("bigint").alias("n_packs"),
+            F.round(
+                F.sum("tok") / ((F.max("pack_id") + 1) * PACK_WINDOW), 6
+            ).alias("utilization"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule summary over orders: the same rule→counter
+    compilation the streaming observe gate uses
+    (operators/quality.py::rule_metrics), run as a plain aggregate so
+    the counters are oracle-checkable. One map-side-combinable pass."""
+    o = T(spark, sf_dir, "orders")
+    rules = {
+        "price_positive": F.col("o_totalprice") > 0,
+        "status_known": F.col("o_orderstatus").isin("P", "O", "F"),
+        "status_open": F.col("o_orderstatus") == "O",
+        "date_pre_2000": F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"),
+    }
+    return o.agg(*Q.rule_metrics(rules))
+
+
+QUERIES = {
+    "repetition": q_repetition,
+    "decontaminate": q_decontaminate,
+    "pack_windows": q_pack_windows,
+    "dq_summary": q_dq_summary,
+}
+
+# Word n-grams in DuckDB: 1-indexed list slots, end-exclusive range.
+_G2 = (
+    "SELECT doc_id, lang, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS gram "
+    "FROM w, UNNEST(range(1, len(ws))) AS t(i)"
+)
+_G3 = (
+    "SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' "
+    "|| ws[CAST(i+2 AS INT)] AS gram "
+    "FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)"
+)
+
+ORACLES = {
+    "repetition": f"""
+        WITH w AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        ),
+        rep AS (
+            SELECT doc_id, lang,
+                   round(1e0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                             / CAST(len(ws) AS DOUBLE), 6) AS dw,
+                   CASE WHEN len(ws) >= 2 THEN
+                       round(1e0 - CAST(len(list_distinct(
+                                 list_transform(range(1, len(ws)),
+                                     i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)])))
+                             AS DOUBLE)
+                           / CAST(len(ws) - 1 AS DOUBLE), 6)
+                   ELSE 0.0 END AS dg
+            FROM w
+        ),
+        g AS ({_G2}),
+        cnt AS (
+            SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+        ),
+        top AS (
+            SELECT doc_id,
+                   round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+                       AS top_gram_frac
+            FROM cnt GROUP BY doc_id
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(dw), 6) AS avg_dup_word_frac,
+               round(avg(dg), 6) AS avg_dup_bigram_frac,
+               round(avg(coalesce(top_gram_frac, 0.0)), 6)
+                   AS avg_top_bigram_frac
+        FROM rep LEFT JOIN top USING (doc_id)
+        GROUP BY lang ORDER BY lang
+    """,
+    "decontaminate": f"""
+        WITH w AS (SELECT doc_id, NULL AS lang, string_split(text, ' ') AS ws
+                   FROM documents),
+        g0 AS ({_G3}),
+        g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+        t AS (SELECT * FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+        totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                   FROM t GROUP BY doc_id),
+        hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+                 FROM t JOIN b USING (gram) GROUP BY t.doc_id)
+        SELECT doc_id, n_grams, n_shared_grams,
+               round(CAST(n_shared_grams AS DOUBLE)
+                     / CAST(n_grams AS DOUBLE), 6) AS contamination_frac
+        FROM hits JOIN totals USING (doc_id)
+        ORDER BY n_shared_grams DESC, doc_id ASC LIMIT 20
+    """,
+    "pack_windows": f"""
+        WITH t AS (
+            SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        c AS (
+            SELECT source, tok,
+                   sum(tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+            FROM t
+        ),
+        p AS (
+            SELECT source, tok,
+                   CAST(floor((cum - tok) / {PACK_WINDOW}.0) AS BIGINT)
+                       AS pack_id
+            FROM c
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS total_tokens,
+               CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+               round(CAST(sum(tok) AS DOUBLE)
+                     / ((max(pack_id) + 1) * {PACK_WINDOW}), 6)
+                   AS utilization
+        FROM p GROUP BY source ORDER BY source
+    """,
+    "dq_summary": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad_price_positive,
+               CAST(sum(CASE WHEN NOT (o_orderstatus IN ('P', 'O', 'F'))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS bad_status_known,
+               CAST(sum(CASE WHEN NOT (o_orderstatus = 'O') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad_status_open,
+               CAST(sum(CASE WHEN NOT (o_orderdate < TIMESTAMP '2000-01-01')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS bad_date_pre_2000
+        FROM orders
+    """,
+}

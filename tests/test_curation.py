@@ -1,0 +1,94 @@
+"""Unit pins for operators/curation.py: hand-computed repetition
+ratios, planted contamination, and exact greedy-packing bins."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.curation import (
+    contamination,
+    pack_greedy,
+    top_gram_fraction,
+    with_repetition_stats,
+)
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a a a b"),  # 4 toks {a,b}; bigrams aa aa ab
+            Row(doc_id=1, text="x y z"),  # all distinct
+            Row(doc_id=2, text="solo"),  # < 2 tokens → gram frac 0
+        ]
+    )
+    got = {
+        r.doc_id: r
+        for r in with_repetition_stats(df, "text", n=2).collect()
+    }
+    assert got[0].n_tokens == 4
+    assert abs(got[0].dup_word_frac - 0.5) < 1e-12  # 1 - 2/4
+    assert abs(got[0].dup_gram_frac - (1 - 2 / 3)) < 1e-12
+    assert got[1].dup_word_frac == 0.0 and got[1].dup_gram_frac == 0.0
+    assert got[2].dup_word_frac == 0.0 and got[2].dup_gram_frac == 0.0
+
+
+def test_top_gram_fraction_and_short_doc_absent(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a a a b"), Row(doc_id=1, text="solo")]
+    )
+    rows = top_gram_fraction(df, "doc_id", "text", n=2).collect()
+    assert {r.doc_id for r in rows} == {0}  # 1-token doc has no bigrams
+    r = rows[0]
+    assert r.n_grams == 3 and r.top_gram_count == 2  # "a a" twice
+    assert abs(r.top_gram_frac - round(2 / 3, 6)) < 1e-12
+
+
+def test_contamination_planted_overlap(spark):
+    leak = "the quick brown fox jumps"
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro words {leak} outro tail"),
+            Row(doc_id=2, text="completely disjoint text with no overlap"),
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=100, text=leak)])
+    rows = contamination(train, bench, n=3).collect()
+    assert [r.doc_id for r in rows] == [1]
+    r = rows[0]
+    # leak contributes its 3 distinct trigrams; doc 1 has 7 distinct
+    assert r.n_shared_grams == 3 and r.n_grams == 7
+    assert abs(r.contamination_frac - round(3 / 7, 6)) < 1e-12
+
+
+def test_pack_greedy_bins_and_partitioned_reset(spark):
+    df = spark.createDataFrame(
+        [
+            Row(src="a", doc_id=0, tok=300),
+            Row(src="a", doc_id=1, tok=300),  # starts at 300 → pack 0
+            Row(src="a", doc_id=2, tok=300),  # starts at 600 → pack 1
+            Row(src="b", doc_id=3, tok=600),  # new partition resets → 0
+            Row(src="b", doc_id=4, tok=10),  # starts at 600 → pack 1
+        ]
+    )
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_greedy(
+            df, "tok", 512, order_col="doc_id", part_col="src"
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 0, 4: 1}
+
+
+def test_repetition_filter_composes_scan_side(spark, sf_dir):
+    """The HOF metrics must compose into a pushed filter (no shuffle
+    in the plan before the filter)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    d = T(spark, sf_dir, "documents")
+    plan = (
+        with_repetition_stats(d, "text")
+        .filter(F.col("dup_word_frac") < 0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
