@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "pack_windows",
     "dq_summary",
+    "pagerank",
 ]
 
 

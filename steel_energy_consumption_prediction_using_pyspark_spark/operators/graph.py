@@ -1,0 +1,92 @@
+"""Iterative graph operators on edge-list DataFrames.
+
+PageRank (Page et al. 1999) joins the connected-components operator in
+operators/dedup.py as the second iterative-fixpoint primitive: in a
+training-data pipeline it scores web-graph authority so corpus
+sampling can weight high-quality domains (the CommonCrawl-curation
+pattern).
+
+Execution shape per iteration: one co-partitioned join of the
+edge-contribution table with the current rank vector on `src`, one
+shuffle aggregation on `dst`. The edge table is joined with
+precomputed 1/outdegree ONCE (not per iteration) and persisted, so an
+iteration moves only |E| rows + |V| partial sums. Ranks are persisted
+each iteration and the previous vector unpersisted — without the
+barrier, iteration k would replay the full lineage (k joins deep) on
+every action, and the plan would grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    persist: bool = True,
+    eager: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (one row per
+    edge; parallel edges should be pre-deduped by the caller).
+
+    r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} r_t(u)/outdeg(u)
+
+    Dangling nodes (no out-edges) leak their mass — the simple
+    variant; feed a symmetrized edge list if every node must emit.
+    Returns (node, rank). Deterministic up to float summation order;
+    callers that oracle-check round the final ranks.
+
+    `persist` caches each iteration's rank vector so the final action
+    computes every level exactly once (cache-on-first-use inside one
+    job). `eager` additionally forces a count() barrier per iteration
+    — unnecessary scheduling overhead at 5 iterations, but the right
+    call for long runs (30+ iterations to convergence), where one
+    deep plan would bloat planning time and executor retry cost."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # contribution weight folded into the edge table once, reused by
+    # every iteration (the join below is then edges ⋈ ranks only).
+    contrib = e.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    )
+    if persist:
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+        contrib = contrib.persist(StorageLevel.MEMORY_AND_DISK)
+    n_nodes = nodes.count()  # materializes both persists' upstream scan
+    base = (1.0 - damping) / n_nodes
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        incoming = (
+            contrib.join(ranks, contrib.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("w")).alias("m"))
+            .groupBy("dst")
+            .agg(F.sum("m").alias("in_mass"))
+        )
+        new_ranks = nodes.join(
+            incoming, nodes.node == incoming.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if persist:
+            new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            if eager:
+                new_ranks.count()  # cut lineage, then drop the old vector
+                ranks.unpersist()
+        ranks = new_ranks
+    return ranks

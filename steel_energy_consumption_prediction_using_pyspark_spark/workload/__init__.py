@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
     core,
     curation,
+    graph,
     ml,
     multimodal,
     stats,
@@ -30,7 +31,7 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
     vector,
 )
 
-_MODULES = [core, tpch, stats, text, vector, multimodal, ml, curation]
+_MODULES = [core, tpch, stats, text, vector, multimodal, ml, curation, graph]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,94 @@
+"""Graph workload: link-analysis over the customer↔supplier
+co-purchase graph (orders ⋈ lineitem), oracle-checked by unrolling
+the fixed-iteration recurrence into chained CTEs.
+
+Oracle-parity notes:
+- the damping base is written `(1e0 - 0.85e0)/n` on the DuckDB side
+  to reproduce Python's `1.0 - 0.85` double exactly (a bare `0.15`
+  literal is one ulp away);
+- ranks are rounded to 6 decimals on both sides and the top-k orders
+  by the ROUNDED value with a node-id tiebreak, so float summation
+  order cannot flip the cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+    graph as G,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+PR_ITERATIONS = 5
+PR_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) on the symmetrized bipartite
+    customer↔supplier graph: top-20 nodes by 6-decimal rank. The
+    corpus-curation reading: authority weighting for sampling — rank
+    a web graph, sample high-authority domains more."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = G.pagerank(edges, iterations=PR_ITERATIONS, damping=PR_DAMPING)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
+QUERIES = {"pagerank": q_pagerank}
+
+
+def _pr_step(k: int) -> str:
+    return f"""
+        it{k} AS (
+            SELECT v.node,
+                   (SELECT (1e0 - 0.85e0) / n FROM nn)
+                       + 0.85e0 * coalesce(m.s, 0e0) AS r
+            FROM nodes v
+            LEFT JOIN (
+                SELECT c.dst AS node, sum(p.r * c.w) AS s
+                FROM contrib c JOIN it{k - 1} p ON c.src = p.node
+                GROUP BY c.dst
+            ) m USING (node)
+        )"""
+
+
+ORACLES = {
+    "pagerank": (
+        """
+        WITH p AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        contrib AS (
+            SELECT src, dst,
+                   1e0 / CAST(count(*) OVER (PARTITION BY src) AS DOUBLE) AS w
+            FROM edges
+        ),
+        it0 AS (SELECT node, (SELECT 1e0 / n FROM nn) AS r FROM nodes),"""
+        + ",".join(_pr_step(k) for k in range(1, PR_ITERATIONS + 1))
+        + f"""
+        SELECT node, round(r, 6) AS rank FROM it{PR_ITERATIONS}
+        ORDER BY rank DESC, node ASC LIMIT 20
+    """
+    ),
+}

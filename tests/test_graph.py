@@ -1,0 +1,58 @@
+"""Pins for operators/graph.py::pagerank: hand-computed fixpoint,
+mass conservation, and partition invariance."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.graph import (
+    pagerank,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=s, dst=d) for s, d in pairs])
+
+
+def test_symmetric_pair_is_uniform_fixpoint(spark):
+    """a<->b: the uniform vector is the exact fixpoint, any damping."""
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    got = {r.node: r.rank for r in pagerank(e, iterations=3).collect()}
+    assert got["a"] == pytest.approx(0.5, abs=1e-12)
+    assert got["b"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_star_graph_hand_computed_one_iteration(spark):
+    """hub<->{s1,s2,s3}, one iteration from uniform 1/4:
+    hub gets 0.15/4 + 0.85*(3 * (1/4)/1); each spoke
+    0.15/4 + 0.85*((1/4)/3)."""
+    e = _edges(
+        spark,
+        [("h", "s1"), ("h", "s2"), ("h", "s3"),
+         ("s1", "h"), ("s2", "h"), ("s3", "h")],
+    )
+    got = {r.node: r.rank for r in pagerank(e, iterations=1).collect()}
+    assert got["h"] == pytest.approx(0.15 / 4 + 0.85 * 0.75, abs=1e-12)
+    for s in ("s1", "s2", "s3"):
+        assert got[s] == pytest.approx(
+            0.15 / 4 + 0.85 * (0.25 / 3), abs=1e-12
+        )
+    # no dangling nodes → total mass conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_partition_invariant(spark):
+    pairs = [(f"n{i}", f"n{(i * 7 + 1) % 23}") for i in range(23 * 4)]
+    a = pagerank(_edges(spark, pairs), iterations=4)
+    b = pagerank(_edges(spark, pairs).repartition(13), iterations=4)
+    ra = {r.node: round(r.rank, 9) for r in a.collect()}
+    rb = {r.node: round(r.rank, 9) for r in b.collect()}
+    assert ra == rb
+
+
+def test_dangling_leaks_mass(spark):
+    """a->b with no out-edge from b: simple-variant semantics — total
+    mass < 1 after an iteration (documented leak, not a bug)."""
+    e = _edges(spark, [("a", "b")])
+    got = {r.node: r.rank for r in pagerank(e, iterations=2).collect()}
+    assert sum(got.values()) < 1.0
