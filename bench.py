@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     "tpch_disjunctive",
     "tpch_waiting",
     "tpch_idle_balance",
+    "tpch_order_priority",
+    "tpch_forecast_revenue",
+    "tpch_important_stock",
+    "tpch_cust_distribution",
+    "tpch_top_supplier",
+    "tpch_promo_suppliers",
     "stats_moments",
     "regr_agg",
     "window_distribution",

@@ -2,11 +2,14 @@
 
 The reference itself performs zero joins (SURVEY.md §2.3) — this module
 is the engine's required join/aggregation surface, exercised through
-the classic TPC-H query *shapes* (Q2, Q7, Q8, Q9, Q12, Q14, Q16, Q19,
-Q21, Q22), adapted to the fixture schema (no partsupp / shipmode /
-commitdate columns — each adaptation keeps the query's structural
-challenge: join ordering, conditional aggregation, disjunctive
-pushdown, correlated multi-EXISTS, anti-join + scalar subquery).
+the classic TPC-H query *shapes* (Q2, Q4, Q6, Q7, Q8, Q9, Q11, Q12,
+Q13, Q14, Q15, Q16, Q19, Q20, Q21, Q22 — with Q1/Q3/Q5/Q10 in
+workload/core.py and the Q17/Q18 correlated shapes in the
+correlated-subquery family, this completes all 22 classic shapes),
+adapted to the fixture schema (no partsupp / shipmode / commitdate
+columns — each adaptation keeps the query's structural challenge:
+join ordering, conditional aggregation, disjunctive pushdown,
+correlated multi-EXISTS, anti-join + scalar subquery).
 
 Scale notes (100 TB design):
 - dimension tables (region, nation, supplier, part at fixture ratios)
@@ -334,6 +337,180 @@ def q_tpch_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q4 shape: order-priority checking ---------------------------------------
+
+def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (no commitdate/receiptdate: "late" means a lineitem
+    shipped >30 days after the order date). Orders placed in 1997-Q1
+    with at least one late lineitem, counted per priority.
+
+    The correlated EXISTS becomes a LEFT SEMI join whose condition has
+    an equi conjunct (orderkey) plus a non-equi residual (the 30-day
+    lateness test) — Catalyst hashes on the equi part and evaluates the
+    residual post-probe, so each order is emitted at most once with no
+    distinct pass."""
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- Q6 shape: forecast revenue change ---------------------------------------
+
+def q_tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-side query — discount revenue lost in 1997
+    for mid-discount small-quantity lines. Zero joins; every predicate
+    references a scan column so all three land in the parquet
+    PushedFilters, and only 4 of 11 lineitem columns are read
+    (ReadSchema pruning). The cheapest query in the suite by design —
+    its job is to prove the scan path is optimal."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- Q11 shape: important stock identification -------------------------------
+
+def q_tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (no partsupp: "stock value" is the revenue shipped by
+    NATION_3 suppliers per part). Parts whose value exceeds 2.5× the
+    average per-part value — the HAVING-vs-scalar-subquery shape.
+    Textbook Q11 thresholds on a fraction of the TOTAL, which it must
+    rescale by 1/SF to stay non-empty; an avg-relative threshold keeps
+    the selectivity constant across scale factors with no tuning knob.
+
+    The grouped intermediate feeds BOTH the output and the threshold
+    scalar, so it is persisted: one pass over the fact table, and the
+    second consumer reads the (part-sized, orders-of-magnitude smaller)
+    cache. Without the explicit barrier AQE only de-duplicates the
+    exchange at runtime stage-materialization — the persist makes the
+    single-fact-scan property hold by construction and testable from
+    the static plan."""
+    supp_n3 = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            _bc(T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    value = (
+        li.join(_bc(supp_n3), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+        .persist()
+    )
+    threshold = value.agg((F.avg("val") * F.lit(2.5)).alias("thr"))
+    return (
+        value.join(_bc(threshold))
+        .filter(F.col("val") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("val"), 2).alias("stock_value"),
+        )
+        .orderBy(F.col("stock_value").desc(), "p_partkey")
+    )
+
+
+# --- Q13 shape: customer order-count distribution ----------------------------
+
+def q_tpch_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed how many orders (urgent
+    orders excluded), zero-order customers included. The filter lives
+    in the LEFT JOIN condition — pushing it to a WHERE would silently
+    drop the zero-order customers, the classic outer-join trap. Two
+    cascaded aggregations; the first groups on the (already shuffled)
+    customer key."""
+    cust = T(spark, sf_dir, "customer").select("c_custkey")
+    orders = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    co = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --- Q15 shape: top supplier by quarterly revenue ----------------------------
+
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) whose 1997-Q1 revenue equals the
+    maximum — the textbook CREATE VIEW + scalar MAX subquery, expressed
+    as one grouped aggregate reused twice (revenue per supplier, then
+    its 1-row max broadcast back). The equality test runs on the
+    UNROUNDED double within each engine; output is rounded after."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(_bc(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(_bc(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q20 shape: heavy shippers of promotable parts ---------------------------
+
+def q_tpch_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (no ps_availqty: "excess stock" means >60 units of a
+    red part shipped during 1997 by one supplier). The nested
+    IN-subqueries of textbook Q20 become a broadcast LEFT SEMI against
+    the filtered part keys, a grouped HAVING on (supplier, part), and a
+    final per-supplier count — three cascaded reductions, only one
+    fact-side shuffle (the groupBy key (l_suppkey, l_partkey) is
+    reused by the second agg since l_suppkey is its prefix)."""
+    red = T(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(_bc(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 60)
+    )
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        heavy.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_heavy_parts"))
+        .join(_bc(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "n_heavy_parts")
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES = {
     "tpch_min_cost": q_tpch_min_cost,
     "tpch_volume": q_tpch_volume,
@@ -345,6 +522,12 @@ QUERIES = {
     "tpch_disjunctive": q_tpch_disjunctive,
     "tpch_waiting": q_tpch_waiting,
     "tpch_idle_balance": q_tpch_idle_balance,
+    "tpch_order_priority": q_tpch_order_priority,
+    "tpch_forecast_revenue": q_tpch_forecast_revenue,
+    "tpch_important_stock": q_tpch_important_stock,
+    "tpch_cust_distribution": q_tpch_cust_distribution,
+    "tpch_top_supplier": q_tpch_top_supplier,
+    "tpch_promo_suppliers": q_tpch_promo_suppliers,
 }
 
 ORACLES = {
@@ -493,5 +676,81 @@ ORACLES = {
               SELECT o_custkey FROM orders
               WHERE o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "tpch_order_priority": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "tpch_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05e0 AND 0.07e0
+          AND l_quantity < 24
+    """,
+    "tpch_important_stock": """
+        WITH value AS (
+            SELECT l_partkey, sum(l_extendedprice) AS val
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey AS p_partkey, round(val, 2) AS stock_value
+        FROM value
+        WHERE val > (SELECT avg(val) * 2.5e0 FROM value)
+        ORDER BY stock_value DESC, p_partkey
+    """,
+    "tpch_cust_distribution": """
+        WITH co AS (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM co GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, round(total_rev, 2) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "tpch_promo_suppliers": """
+        WITH heavy AS (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%red%')
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > 60
+        )
+        SELECT s_suppkey, s_name,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_heavy_parts
+        FROM heavy JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_suppkey, s_name
+        ORDER BY s_suppkey
     """,
 }

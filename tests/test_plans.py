@@ -149,3 +149,41 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     # and it actually prunes: only the two kept years are read
     years = {r.o_year for r in joined.select("o_year").distinct().collect()}
     assert years == {1996, 1997}
+
+
+def test_q6_scan_only_plan(spark, sf_dir):
+    """TPC-H Q6 is the pure scan-path query: all three predicates must
+    reach PushedFilters and the read schema must be exactly the four
+    referenced columns (4 of 11 — at 100 TB this is a ~3× I/O cut
+    before any row is materialized)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import tpch
+
+    df = tpch.q_tpch_forecast_revenue(spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+    assert_read_schema_pruned(
+        df, {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    )
+
+
+def test_q4_exists_plans_single_semi_join(spark, sf_dir):
+    """Q4's correlated EXISTS with a non-equi residual must plan as ONE
+    left-semi hash join on the orderkey equi conjunct — not a distinct
+    + inner join, and never a nested-loop probe."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import tpch
+
+    plan = physical_plan(tpch.q_tpch_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q11_single_fact_scan(spark, sf_dir):
+    """Q11 aggregates the same grouped intermediate twice (per-part
+    value, then its global avg threshold). The persisted intermediate
+    must make both consumers read the cache: exactly one lineitem scan
+    in the plan — at 100 TB the alternative is a full extra pass over
+    the fact table."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import tpch
+
+    plan = physical_plan(tpch.q_tpch_important_stock(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "InMemoryTableScan" in plan, plan
