@@ -132,6 +132,11 @@ BENCH_QUERIES = [
     "pack_windows",
     "dq_summary",
     "pagerank",
+    "cohort_retention",
+    "zscore_anomaly",
+    "customer_deciles",
+    "scd2_history",
+    "funnel_strict",
 ]
 
 

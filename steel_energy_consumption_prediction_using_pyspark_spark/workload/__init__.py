@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
+    behavior,
     core,
     curation,
     graph,
@@ -31,7 +32,7 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
     vector,
 )
 
-_MODULES = [core, tpch, stats, text, vector, multimodal, ml, curation, graph]
+_MODULES = [core, tpch, stats, text, vector, multimodal, ml, curation, graph, behavior]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,284 @@
+"""Behavioral / event-stream analytics over the ``events`` fixture.
+
+The reference has no event surface at all (its time axis is a
+pre-materialized string column, SURVEY.md §1.1); this family is the
+engine's product-analytics tier — the query shapes every large event
+warehouse runs daily: cohort retention, anomaly flagging, value-decile
+segmentation, SCD2 dimension history, ordered funnels.
+
+Scale notes (100 TB design):
+- every query aggregates the fact table FIRST and runs windows /
+  scalar math on the reduced relation (users, days, or customers —
+  orders of magnitude smaller than events/orders);
+- the one global window in ``customer_deciles`` runs on the per-
+  customer aggregate, never the raw facts — single-partition windows
+  over fact tables are the canonical 100 TB anti-pattern;
+- per-user windows (SCD2) shuffle once on user_id and reuse that
+  partitioning for both window passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.scd import (
+    scd2_compress,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+    T,
+    ts_str,
+)
+
+EPOCH = "2024-01-01"  # fixture events all fall in 2024-01 (TESTDATA.md)
+
+
+# --- cohort retention ---------------------------------------------------------
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their
+    first event, activity counted per week offset since that first
+    event. Week indexes are plain day-arithmetic (floor(days/7)) — not
+    date_trunc('week') — so the bucketing is identical in any engine
+    regardless of week-start convention.
+
+    Plan: one groupBy(user_id) for first-touch, joined back on the
+    same key (partitioning reused, no second fact shuffle), then a
+    small (cohort × offset) aggregate."""
+    e = T(spark, sf_dir, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = e.join(first, "user_id")
+    cohort_week = F.floor(
+        F.datediff(F.to_date("first_ts"), F.lit(EPOCH).cast("date")) / 7
+    ).cast("int")
+    week_offset = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7
+    ).cast("int")
+    return (
+        j.groupBy(cohort_week.alias("cohort_week"), week_offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --- z-score daily anomaly flags ---------------------------------------------
+
+def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days where an event type's daily value total deviates >2σ from
+    that type's mean — the standard ops-dashboard anomaly rule. The
+    mean/σ come from a per-type aggregate over the (tiny) daily
+    relation, broadcast back; the raw fact table is touched once."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("v", 2).alias("day_value"),
+            F.round("z", 3).alias("zscore"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --- customer value deciles ---------------------------------------------------
+
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value deciles: total spend per customer, then
+    ntile(10) over the aggregate. The global (unpartitioned) window is
+    deliberate and safe: it ranks the per-customer aggregate —
+    |customers| rows, not |orders| — which is the only legitimate
+    place for a single-partition window at 100 TB. Ties broken by
+    custkey so decile assignment is total-ordered and cross-engine
+    deterministic."""
+    spend = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("decile_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --- SCD2 dimension history ---------------------------------------------------
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of each user's event-type "state": runs of
+    equal consecutive states compress to one row with
+    [valid_from, valid_to) bounds; the open run is flagged current.
+    Exercises operators/scd.py::scd2_compress (lag change-detection +
+    lead interval-close, one shuffle)."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    out = scd2_compress(e, key="user_id", state="event_type", ts="ts", tiebreak="event_id")
+    return out.select(
+        "user_id",
+        "state",
+        ts_str(F.col("valid_from")).alias("valid_from"),
+        ts_str(F.col("valid_to")).alias("valid_to"),
+        "is_current",
+    ).orderBy("user_id", "valid_from")
+
+
+# --- strict ordered funnel ----------------------------------------------------
+
+def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view → click → purchase:
+    a user converts a stage only with an event strictly after their
+    earliest previous-stage event. Three cascaded per-user min
+    aggregates, each joined on user_id (partitioning reused; each
+    stage's survivor set only shrinks). Unlike stream_join's
+    time-bounded pair attribution, this is the whole-journey funnel."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+QUERIES = {
+    "cohort_retention": q_cohort_retention,
+    "zscore_anomaly": q_zscore_anomaly,
+    "customer_deciles": q_customer_deciles,
+    "scd2_history": q_scd2_history,
+    "funnel_strict": q_funnel_strict,
+}
+
+ORACLES = {
+    "cohort_retention": """
+        WITH first AS (
+            SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+        )
+        SELECT CAST(floor(date_diff('day', DATE '2024-01-01',
+                                    CAST(first_ts AS DATE)) / 7e0) AS INTEGER)
+                   AS cohort_week,
+               CAST(floor(date_diff('day', CAST(first_ts AS DATE),
+                                    CAST(ts AS DATE)) / 7e0) AS INTEGER)
+                   AS week_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        FROM events e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "zscore_anomaly": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sd
+            FROM daily GROUP BY 1
+        )
+        SELECT d.event_type,
+               strftime(day, '%Y-%m-%d') AS day,
+               round(v, 2) AS day_value,
+               round((v - mu) / sd, 3) AS zscore
+        FROM daily d JOIN stats s ON d.event_type = s.event_type
+        WHERE abs((v - mu) / sd) > 2
+        ORDER BY 1, 2
+    """,
+    "customer_deciles": """
+        WITH spend AS (
+            SELECT o_custkey, sum(o_totalprice) AS spend
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT spend,
+                   ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+            FROM spend
+        )
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(spend), 2) AS decile_spend
+        FROM ranked GROUP BY decile ORDER BY decile
+    """,
+    "scd2_history": """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ordered WHERE prev IS NULL OR prev <> event_type
+        ),
+        v AS (
+            SELECT user_id, event_type AS state, ts AS vf,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS vt
+            FROM runs
+        )
+        SELECT user_id, state,
+               strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM v ORDER BY user_id, valid_from
+    """,
+    "funnel_strict": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE event_type = 'click' AND ts > t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(ts) AS t_buy
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE event_type = 'purchase' AND ts > t_click
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+        UNION ALL
+        SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+        ORDER BY stage
+    """,
+}

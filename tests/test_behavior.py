@@ -1,0 +1,95 @@
+"""Behavioral-analytics family: SCD2 compression semantics + the
+funnel/cohort invariants the oracle hash can't express directly."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.scd import (
+    scd2_compress,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload import behavior
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+
+
+def test_scd2_compresses_consecutive_runs(spark):
+    """A A B A collapses to runs A, B, A — repeats inside a run are
+    absorbed, but a state REVISITED after a change opens a new row
+    (the property dropDuplicates would get wrong)."""
+    df = _events(
+        spark,
+        [
+            (1, "a", _ts(0), 10),
+            (1, "a", _ts(1), 11),
+            (1, "b", _ts(2), 12),
+            (1, "a", _ts(3), 13),
+        ],
+    )
+    out = scd2_compress(df, "user_id", "event_type", "ts", "event_id")
+    rows = out.orderBy("valid_from").collect()
+    assert [r.state for r in rows] == ["a", "b", "a"]
+    assert [r.is_current for r in rows] == [0, 0, 1]
+
+
+def test_scd2_intervals_tile_without_gaps(spark, sf_dir):
+    """Each closed interval's valid_to must equal the next run's
+    valid_from (half-open [from, to) tiling), and every key has exactly
+    one open (current) row."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    out = scd2_compress(e, "user_id", "event_type", "ts", "event_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    checked = out.withColumn("next_from", F.lead("valid_from").over(w))
+    gaps = checked.filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("next_from"))
+    ).count()
+    assert gaps == 0
+    per_key_current = (
+        out.groupBy("user_id").agg(F.sum("is_current").alias("n")).filter(F.col("n") != 1)
+    )
+    assert per_key_current.count() == 0
+
+
+def test_scd2_partition_invariant(spark, sf_dir):
+    """Same history regardless of input partitioning — the window
+    shuffle must be the only order-defining step."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    a = scd2_compress(e, "user_id", "event_type", "ts", "event_id")
+    b = scd2_compress(e.repartition(13), "user_id", "event_type", "ts", "event_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_funnel_stages_monotone(spark, sf_dir):
+    """Strict ordering can only lose users stage over stage."""
+    rows = {r.stage: r.users for r in behavior.q_funnel_strict(spark, sf_dir).collect()}
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"]
+    assert rows["1_view"] > 0
+
+
+def test_cohort_week_zero_covers_all_users(spark, sf_dir):
+    """Every user is active in their own first week: summing
+    week_offset=0 active_users over cohorts equals the distinct-user
+    total."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    df = behavior.q_cohort_retention(spark, sf_dir)
+    week0 = (
+        df.filter(F.col("week_offset") == 0)
+        .agg(F.sum("active_users").alias("s"))
+        .collect()[0]
+        .s
+    )
+    total = T(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert week0 == total
