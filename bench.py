@@ -137,6 +137,9 @@ BENCH_QUERIES = [
     "customer_deciles",
     "scd2_history",
     "funnel_strict",
+    "incremental_rollup",
+    "merge_upsert",
+    "forward_fill",
 ]
 
 

@@ -24,6 +24,7 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
     core,
     curation,
     graph,
+    maintenance,
     ml,
     multimodal,
     stats,
@@ -32,7 +33,19 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
     vector,
 )
 
-_MODULES = [core, tpch, stats, text, vector, multimodal, ml, curation, graph, behavior]
+_MODULES = [
+    core,
+    tpch,
+    stats,
+    text,
+    vector,
+    multimodal,
+    ml,
+    curation,
+    graph,
+    behavior,
+    maintenance,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

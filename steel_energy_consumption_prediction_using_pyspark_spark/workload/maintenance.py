@@ -1,0 +1,162 @@
+"""Warehouse-maintenance query family: the incremental patterns that
+keep a 100 TB deployment from recomputing the world.
+
+- ``incremental_rollup`` — mergeable partial aggregates
+  (operators/incremental.py): history + late-batch partials merged;
+  the DuckDB oracle computes the rollup directly from the full table,
+  so the oracle hash IS the proof that merge ≡ one-shot.
+- ``merge_upsert`` — CDC MERGE INTO semantics
+  (operators/cdc.py::merge_apply): upserts + deletes applied to a
+  snapshot with last-writer-wins; oracle expresses the same merge as
+  CASE + anti-join algebra.
+- ``forward_fill`` — last-observation-carried-forward imputation via
+  last(..., ignorenulls=True) over a running frame — the standard
+  sensor/price-tape gap repair; one shuffle on the entity key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.cdc import (
+    merge_apply,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.incremental import (
+    finalize_rollup,
+    merge_partials,
+    partial_rollup,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+    T,
+    ts_str,
+)
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value rollup computed the incremental way: partial
+    aggregate the first half of the month ("history"), partial
+    aggregate the rest ("late batch"), merge, finalize. The oracle
+    aggregates the full table in one shot — a hash match proves the
+    partial states compose exactly."""
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    history = e.filter(F.dayofmonth("ts") <= 14)
+    late = e.filter(F.dayofmonth("ts") >= 15)
+    merged = merge_partials(
+        [
+            partial_rollup(history, ["event_type"], "value"),
+            partial_rollup(late, ["event_type"], "value"),
+        ],
+        ["event_type"],
+    )
+    out = finalize_rollup(merged)
+    return out.select(
+        "event_type",
+        F.col("n"),
+        F.round("total", 2).alias("total"),
+        F.round("mean", 4).alias("mean"),
+        F.round("vmin", 2).alias("vmin"),
+        F.round("vmax", 2).alias("vmax"),
+    ).orderBy("event_type")
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply onto the customer snapshot: customers with 1999+
+    orders get an upsert (+100 balance, change-stamped with their
+    latest order date); customers who never ordered get a delete.
+    Result = snapshot minus dead keys, with live keys updated —
+    exactly what lakehouse MERGE INTO compiles to."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    recent = (
+        orders.filter(F.col("o_orderdate") >= "1999-01-01")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("change_ts"))
+    )
+    chg_u = cust.join(recent, cust.c_custkey == recent.o_custkey).select(
+        cust.c_custkey,
+        cust.c_name,
+        cust.c_nationkey,
+        (cust.c_acctbal + F.lit(100.0)).alias("c_acctbal"),
+        cust.c_mktsegment,
+        F.lit("U").alias("op"),
+        F.col("change_ts"),
+    )
+    ever = orders.select("o_custkey").distinct()
+    chg_d = (
+        cust.join(ever, cust.c_custkey == ever.o_custkey, "left_anti")
+        .withColumn("op", F.lit("D"))
+        .withColumn("change_ts", F.lit("2099-01-01").cast("timestamp"))
+    )
+    merged = merge_apply(cust, chg_u.unionByName(chg_d), "c_custkey")
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    ).orderBy("c_custkey")
+
+
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carry each user's most recent purchase value forward onto every
+    subsequent event (null until the first purchase) — LOCF imputation
+    as one window pass: last(ignorenulls) over a running frame, single
+    shuffle on user_id, no self-join."""
+    e = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts")).alias("ts"),
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
+QUERIES = {
+    "incremental_rollup": q_incremental_rollup,
+    "merge_upsert": q_merge_upsert,
+    "forward_fill": q_forward_fill,
+}
+
+ORACLES = {
+    "incremental_rollup": """
+        SELECT event_type,
+               CAST(count(value) AS BIGINT) AS n,
+               round(sum(value), 2) AS total,
+               round(sum(value) / count(value), 4) AS mean,
+               round(min(value), 2) AS vmin,
+               round(max(value), 2) AS vmax
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "merge_upsert": """
+        WITH ever AS (SELECT DISTINCT o_custkey FROM orders),
+        active AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        )
+        SELECT c_custkey, c_name, c_nationkey,
+               round(CASE WHEN c_custkey IN (SELECT o_custkey FROM active)
+                          THEN c_acctbal + 100
+                          ELSE c_acctbal END, 2) AS c_acctbal,
+               c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM ever)
+        ORDER BY c_custkey
+    """,
+    "forward_fill": """
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_purchase_value
+        FROM events ORDER BY event_id
+    """,
+}

@@ -1,0 +1,106 @@
+"""Incremental-maintenance operators: partial-aggregate merge algebra
+and CDC merge_apply semantics the oracle hash can't isolate."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.cdc import (
+    merge_apply,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.incremental import (
+    finalize_rollup,
+    merge_partials,
+    partial_rollup,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_partial_merge_is_order_and_split_invariant(spark, sf_dir):
+    """merge(partials of any disjoint split, in any order) equals the
+    one-shot aggregate — the algebraic-aggregate contract."""
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    oneshot = finalize_rollup(partial_rollup(e, ["event_type"], "value"))
+
+    s1 = e.filter(F.dayofmonth("ts") <= 10)
+    s2 = e.filter((F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20))
+    s3 = e.filter(F.dayofmonth("ts") > 20)
+    parts = [partial_rollup(s, ["event_type"], "value") for s in (s1, s2, s3)]
+
+    merged_fwd = finalize_rollup(merge_partials(parts, ["event_type"]))
+    merged_rev = finalize_rollup(merge_partials(parts[::-1], ["event_type"]))
+    # associativity: merge(merge(p1,p2), p3)
+    nested = finalize_rollup(
+        merge_partials(
+            [merge_partials(parts[:2], ["event_type"]), parts[2]], ["event_type"]
+        )
+    )
+
+    def canon(df):
+        # n/min/max are exact; sums compare after rounding (summation
+        # order differs between groupings by design)
+        return _collect_sorted(
+            df.select(
+                "event_type",
+                "n",
+                F.round("total", 6),
+                F.round("mean", 6),
+                "vmin",
+                "vmax",
+            )
+        )
+
+    base = canon(oneshot)
+    assert canon(merged_fwd) == base
+    assert canon(merged_rev) == base
+    assert canon(nested) == base
+
+
+def test_merge_apply_upsert_delete_and_last_writer_wins(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "payload"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", t0),  # superseded update
+            (2, "b3", "U", t1),  # latest wins
+            (3, "x", "D", t0),  # delete
+            (4, "d", "U", t0),  # insert (key not in base)
+        ],
+        ["id", "payload", "op", "change_ts"],
+    )
+    out = _collect_sorted(merge_apply(base, changes, "id"))
+    assert out == [(1, "a"), (2, "b3"), (4, "d")]
+
+
+def test_merge_apply_delete_beats_update_on_ts_tie(spark):
+    """A delete and an update with the SAME change timestamp must
+    resolve to the delete — deterministic conflict policy, never
+    partition-order dependent."""
+    t = dt.datetime(2024, 1, 1)
+    base = spark.createDataFrame([(1, "a")], ["id", "payload"])
+    changes = spark.createDataFrame(
+        [(1, "a2", "U", t), (1, "gone", "D", t)],
+        ["id", "payload", "op", "change_ts"],
+    )
+    assert merge_apply(base, changes, "id").count() == 0
+
+
+def test_merge_apply_is_idempotent(spark):
+    """Re-applying the same change batch to the merged result is a
+    no-op — the at-least-once delivery guarantee CDC pipelines need."""
+    t = dt.datetime(2024, 1, 1)
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "payload"])
+    changes = spark.createDataFrame(
+        [(1, "a2", "U", t), (2, "x", "D", t)],
+        ["id", "payload", "op", "change_ts"],
+    )
+    once = merge_apply(base, changes, "id")
+    twice = merge_apply(once, changes, "id")
+    assert _collect_sorted(once) == _collect_sorted(twice) == [(1, "a2")]
