@@ -108,7 +108,12 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Same timestamp normalization as workload/util.py::T so the two
+    # load paths agree (NTZ µs parquet → UTC TIMESTAMP; legacy ns-as-
+    # long fixtures → truncated µs TIMESTAMP).
+    from ..workload.util import T
+
+    return T(spark, sf_dir, name)
 
 
 def load_tables(

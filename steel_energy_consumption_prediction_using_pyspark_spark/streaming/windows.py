@@ -22,19 +22,27 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Schema of events.parquet as Spark reads it under nanosAsLong (the ns
-# column arrives as int64; we convert after load, exactly like the
-# batch path in workload/util.py::T).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns since epoch (converted below)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# Schema of events.parquet as Spark reads it. The ts physical encoding
+# has two observed variants across fixture generations: TIMESTAMP(NANOS)
+# (arrives as int64 under nanosAsLong) and TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ). The stream source
+# needs a static schema, so we build it per-variant and normalize ts to
+# TIMESTAMP right after load, exactly like the batch path in
+# workload/util.py::T.
+def _events_raw_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+EVENTS_RAW_SCHEMA = _events_raw_schema(LongType())
 
 
 def read_events_stream(
@@ -43,17 +51,25 @@ def read_events_stream(
     """File-based streaming source over the events fixture. On a real
     deployment this is a kafka reader; the transformation code below
     does not change."""
+    # Probe the footer with a cheap batch schema read to pick the ts
+    # variant (metadata-only — no data scan).
+    import os as _os
+
+    probed = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = probed["ts"].dataType
     # The file stream source requires a DIRECTORY; select the single
     # fixture file with a glob filter.
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(sf_dir)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_window_agg(

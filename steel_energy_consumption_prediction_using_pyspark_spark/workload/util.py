@@ -19,6 +19,14 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # exceeds double's 2^53 mantissa, float division would corrupt
         # low-order digits). Matches DuckDB's truncating ns→µs reader.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for c, dt in df.dtypes:
+        if dt == "timestamp_ntz":
+            # µs parquet with isAdjustedToUTC=false arrives as
+            # TIMESTAMP_NTZ; functions like unix_micros accept only
+            # TIMESTAMP. Session tz is pinned UTC (session.py), so the
+            # NTZ→LTZ cast is wall-clock-identity and matches DuckDB's
+            # naive reading of the same file.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
