@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     "pack_windows",
     "dq_summary",
     "pagerank",
+    "bfs_hops",
+    "er_match",
+    "er_quality",
+    "salted_join",
     "cohort_retention",
     "zscore_anomaly",
     "customer_deciles",

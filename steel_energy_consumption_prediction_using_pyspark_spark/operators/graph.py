@@ -90,3 +90,63 @@ def pagerank(
                 ranks.unpersist()
         ranks = new_ranks
     return ranks
+
+
+def shortest_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    persist: bool = True,
+) -> DataFrame:
+    """Unweighted single/multi-source shortest path (BFS level
+    expansion), the third iterative-fixpoint primitive after PageRank
+    and connected components. Curation reading: link-distance from a
+    trusted seed set is a classic quality prior (crawl frontier
+    scoring) — rank pages by hops from curated domains.
+
+    `sources` is a DataFrame with one `node` column. Returns (node,
+    dist) for every node within `max_hops` of any source; the frontier
+    shrinks to only newly-discovered nodes each level, so iteration k
+    joins |frontier_k| × outdeg rows, not |V|. An anti-join against
+    the accumulated distance table guarantees minimality — a node is
+    assigned the first (hence smallest) level at which it appears.
+
+    Each level's frontier is persisted: without the barrier, level k
+    replays the whole k-deep lineage per action (same rationale as
+    pagerank above).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if persist:
+        # The edge list is scanned once per level; without the barrier
+        # each level re-derives it from source (at sf0.1 the
+        # co-purchase edge build is an orders⋈lineitem join + distinct
+        # — re-running it per level dominated the whole walk, 49 s →
+        # 6 s with the persist + eager levels below).
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    dist = sources.select("node").distinct().withColumn("dist", F.lit(0))
+    frontier = dist.select("node")
+    if persist:
+        dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
+        frontier = dist.select("node")
+    for k in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(dist, "node", "left_anti").withColumn(
+            "dist", F.lit(k)
+        )
+        if persist:
+            new = new.persist(StorageLevel.MEMORY_AND_DISK)
+            # Eager per-level barrier: BFS frontiers are tiny relative
+            # to |E|, and each level's anti-join references the union
+            # of all prior levels — without materialization the plan
+            # for level k re-expands every previous level's subtree.
+            if new.count() == 0:
+                break
+        dist = dist.union(new)
+        frontier = new.select("node")
+    return dist

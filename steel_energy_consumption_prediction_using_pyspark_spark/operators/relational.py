@@ -147,6 +147,44 @@ def salted_sum_count(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join for two SHUFFLE-sized sides (when the
+    small side fits in memory, `broadcast()` is strictly better — use
+    `join_dims`). AQE's skew-join splitting handles sort-merge skew at
+    runtime, but it only splits partitions AFTER a skewed shuffle is
+    materialized and cannot help when one join key holds ~10% of all
+    rows on BOTH sides of a stage boundary; explicit salting removes
+    the hot-key funnel from the plan itself.
+
+    The big side gets a deterministic salt in [0, salt_buckets) hashed
+    from its whole tuple (retry/speculation-safe, unlike rand()); the
+    small side is replicated once per salt value via explode(sequence).
+    The join key becomes (on..., _salt), so a hot key's rows spread
+    over `salt_buckets` reducers. Each big-side row still meets each
+    matching small-side row exactly once — its single salt value picks
+    exactly one of the replicas — so inner and left joins are
+    result-identical to the unsalted join. Right/full outer are NOT
+    supported (an unmatched small-side row would surface once per
+    replica).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)
+    )
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long")))
+    )
+    return b.join(s, [*on, "_salt"], how).drop("_salt")
+
+
 def seeded_split(
     df: DataFrame, weights: Sequence[float], seed: int
 ) -> list[DataFrame]:

@@ -24,6 +24,7 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
     core,
     curation,
     graph,
+    linkage,
     maintenance,
     ml,
     multimodal,
@@ -45,6 +46,7 @@ _MODULES = [
     graph,
     behavior,
     maintenance,
+    linkage,
 ]
 
 

@@ -30,6 +30,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer↔supplier graph: top-20 nodes by 6-decimal rank. The
     corpus-curation reading: authority weighting for sampling — rank
     a web graph, sample high-authority domains more."""
+    ranks = G.pagerank(
+        _copurchase_edges(spark, sf_dir),
+        iterations=PR_ITERATIONS,
+        damping=PR_DAMPING,
+    )
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
+BFS_MAX_HOPS = 4
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -40,18 +56,35 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.union(
+    return pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = G.pagerank(edges, iterations=PR_ITERATIONS, damping=PR_DAMPING)
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted shortest-path levels (operators/graph.py::
+    shortest_hops) from customer c0 over the co-purchase graph:
+    node count per hop distance 0..4. The curation reading:
+    link-distance from a trusted seed set as a document quality
+    prior. The oracle unrolls the BFS level expansion into chained
+    CTEs (l_k = nodes within k hops), assigning each node the first
+    level containing it — exactly the operator's anti-join
+    minimality."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.graph import (
+        shortest_hops,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    sources = spark.createDataFrame([("c0",)], "node string")
+    dist = shortest_hops(edges, sources, max_hops=BFS_MAX_HOPS)
     return (
-        ranks.select("node", F.round("rank", 6).alias("rank"))
-        .orderBy(F.desc("rank"), F.asc("node"))
-        .limit(20)
+        dist.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("dist")
     )
 
 
-QUERIES = {"pagerank": q_pagerank}
+QUERIES = {"pagerank": q_pagerank, "bfs_hops": q_bfs_hops}
 
 
 def _pr_step(k: int) -> str:
@@ -89,6 +122,32 @@ ORACLES = {
         + f"""
         SELECT node, round(r, 6) AS rank FROM it{PR_ITERATIONS}
         ORDER BY rank DESC, node ASC LIMIT 20
+    """
+    ),
+    "bfs_hops": (
+        """
+        WITH p AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        l0 AS (SELECT 'c0' AS node),"""
+        + ",".join(
+            f"""
+        l{k} AS (
+            SELECT node FROM l{k - 1}
+            UNION
+            SELECT e.dst AS node FROM edges e JOIN l{k - 1} f ON e.src = f.node
+        )"""
+            for k in range(1, BFS_MAX_HOPS + 1)
+        )
+        + f"""
+        SELECT dist, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT node, CASE
+                {" ".join(f"WHEN node IN (SELECT node FROM l{k}) THEN {k}" for k in range(0, BFS_MAX_HOPS))}
+                ELSE {BFS_MAX_HOPS} END AS dist
+            FROM l{BFS_MAX_HOPS}
+        ) GROUP BY dist ORDER BY dist
     """
     ),
 }

@@ -1,0 +1,193 @@
+"""Record-linkage / entity-resolution workload + skew-salted join.
+
+Entity resolution is the missing tier between exact dedup (identical
+keys) and near-dedup (similar content): the same real-world entity
+appearing under DIFFERENT keys with corrupted attributes. The classic
+pipeline — candidate generation by BLOCKING (cheap equi-join on a
+derived key, avoiding the |A|×|B| cross product), pairwise SCORING
+(edit distance), best-match selection — is exactly a Spark-shaped
+problem: the blocking key is the shuffle key, scoring is a JVM-side
+expression, best-match is one window pass.
+
+The fixture corpus has no naturally dirty entities, so the queries
+derive a deterministic "dirty" side from `customer` IN THE QUERY
+(same expressions on the DuckDB side): two corruption styles keyed by
+custkey parity. That keeps the whole family oracle-checkable —
+blocking recall and scoring precision are pinned by values, not by
+trust.
+
+Scale notes (100 TB): candidate-pair count is the whole game. The
+block key below (nationkey omitted, last-2 digits of the numeric id)
+yields ~|C|/100 candidates per dirty record — a bounded fan-out
+equi-join, no cross product anywhere in the plan. Skewed blocks (a
+too-coarse key) are the known failure mode; the salted_join query
+next door is the recipe when a block key goes hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+
+def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corrupted replica of every third customer: even
+    keys are uppercased, odd keys get the 'Customer#' prefix rewritten
+    — letter-region edits only, so the digit region (which blocking
+    and disambiguation rely on) survives."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 1)
+    return c.select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper(F.col("c_name"))
+        )
+        .otherwise(
+            F.regexp_replace(F.col("c_name"), "Customer#", "cust no ")
+        )
+        .alias("dirty_name"),
+    )
+
+
+def q_er_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution: dirty customer names → best clean
+    match. Block on the last two digits of the digits-only name (the
+    corruption never touches digits), score candidates by Levenshtein
+    distance, keep the minimum per dirty record (clean-key tiebreak).
+    Output is the 20 worst (highest-distance) resolved matches plus
+    totals — small, fully deterministic, value-checked against DuckDB
+    computing the identical pipeline in SQL."""
+    dirty = _dirty_customers(spark, sf_dir)
+    clean = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    digits = lambda col: F.regexp_replace(col, "[^0-9]", "")  # noqa: E731
+    d = dirty.withColumn("block", F.substring(digits(F.col("dirty_name")), -2, 2))
+    c = clean.withColumn("block", F.substring(digits(F.col("c_name")), -2, 2))
+    pairs = d.join(c, "block").withColumn(
+        "lev", F.levenshtein(F.col("dirty_name"), F.col("c_name"))
+    )
+    w = Window.partitionBy("dirty_key").orderBy("lev", "c_custkey")
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("dirty_key", F.col("c_custkey").alias("match_key"), "lev")
+    )
+    return best.orderBy(F.desc("lev"), F.asc("dirty_key")).limit(20)
+
+
+def q_er_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate quality of the blocked ER pipeline: total dirty
+    records, how many resolved to their true entity (match_key ==
+    dirty_key), and the distance histogram collapsed to min/max.
+    One row; pins blocking recall == 100% on this corruption set as a
+    VALUE the oracle must reproduce, not a test-only assertion."""
+    dirty = _dirty_customers(spark, sf_dir)
+    clean = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    digits = lambda col: F.regexp_replace(col, "[^0-9]", "")  # noqa: E731
+    d = dirty.withColumn("block", F.substring(digits(F.col("dirty_name")), -2, 2))
+    c = clean.withColumn("block", F.substring(digits(F.col("c_name")), -2, 2))
+    pairs = d.join(c, "block").withColumn(
+        "lev", F.levenshtein(F.col("dirty_name"), F.col("c_name"))
+    )
+    w = Window.partitionBy("dirty_key").orderBy("lev", "c_custkey")
+    best = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.agg(
+        F.count(F.lit(1)).alias("n_dirty"),
+        F.sum(
+            (F.col("c_custkey") == F.col("dirty_key")).cast("long")
+        ).alias("n_correct"),
+        F.min("lev").alias("min_lev"),
+        F.max("lev").alias("max_lev"),
+    )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈fact equi-join (operators/relational.py::
+    salted_join): lineitem ⋈ orders on the order key with the big side
+    salted over 8 buckets and the right side replicated per salt —
+    the plan-level fix when one join key holds a disproportionate row
+    share on both sides and AQE's post-shuffle splitting can't save
+    the stage. Result must be identical to the plain join: revenue by
+    order priority."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        salted_join,
+    )
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, on=["o_orderkey"], salt_buckets=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES = {
+    "er_match": q_er_match,
+    "er_quality": q_er_quality,
+    "salted_join": q_salted_join,
+}
+
+# DuckDB notes: regexp_replace needs the 'g' flag (Spark replaces all
+# occurrences by default); right(x, 2) ≡ Spark substring(x, -2, 2);
+# levenshtein is the same unit-cost edit distance in both engines.
+_ER_BEST = """
+    WITH dirty AS (
+        SELECT c_custkey AS dirty_key,
+               CASE WHEN c_custkey % 2 = 0 THEN upper(c_name)
+                    ELSE regexp_replace(c_name, 'Customer#', 'cust no ', 'g')
+               END AS dirty_name
+        FROM customer WHERE c_custkey % 3 = 1
+    ),
+    d AS (SELECT *, right(regexp_replace(dirty_name, '[^0-9]', '', 'g'), 2) AS block FROM dirty),
+    c AS (SELECT c_custkey, c_name,
+                 right(regexp_replace(c_name, '[^0-9]', '', 'g'), 2) AS block
+          FROM customer),
+    pairs AS (
+        SELECT d.dirty_key, d.dirty_name, c.c_custkey, c.c_name,
+               levenshtein(d.dirty_name, c.c_name) AS lev
+        FROM d JOIN c USING (block)
+    ),
+    best AS (
+        SELECT dirty_key, c_custkey, lev,
+               row_number() OVER (PARTITION BY dirty_key ORDER BY lev, c_custkey) AS rn
+        FROM pairs
+    )
+"""
+
+ORACLES = {
+    "er_match": _ER_BEST
+    + """
+    SELECT dirty_key, c_custkey AS match_key, lev
+    FROM best WHERE rn = 1
+    ORDER BY lev DESC, dirty_key ASC LIMIT 20
+    """,
+    "er_quality": _ER_BEST
+    + """
+    SELECT CAST(count(*) AS BIGINT) AS n_dirty,
+           CAST(sum(CASE WHEN c_custkey = dirty_key THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           min(lev) AS min_lev,
+           max(lev) AS max_lev
+    FROM best WHERE rn = 1
+    """,
+    "salted_join": """
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+}

@@ -56,3 +56,52 @@ def test_dangling_leaks_mass(spark):
     e = _edges(spark, [("a", "b")])
     got = {r.node: r.rank for r in pagerank(e, iterations=2).collect()}
     assert sum(got.values()) < 1.0
+
+
+# --- shortest_hops (BFS levels) ---------------------------------------------
+
+
+def test_bfs_chain_distances(spark):
+    """Path a→b→c→d→e with max_hops=2: only a,b,c discovered, at
+    their true distances."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.graph import (
+        shortest_hops,
+    )
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.dist for r in shortest_hops(e, src, max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_diamond_takes_min_distance(spark):
+    """a→b→d and a→c→d plus a long detour a→x→y→d: d must be
+    assigned level 2 (first discovery wins ≡ minimum), exactly once."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.graph import (
+        shortest_hops,
+    )
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+         ("a", "x"), ("x", "y"), ("y", "d")],
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    rows = shortest_hops(e, src, max_hops=3).collect()
+    dist = {}
+    for r in rows:
+        assert r.node not in dist, "node assigned two levels"
+        dist[r.node] = r.dist
+    assert dist["d"] == 2 and dist["y"] == 2 and dist["x"] == 1
+
+
+def test_bfs_multi_source(spark):
+    """Two seeds: every node takes the distance to its NEAREST seed."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.graph import (
+        shortest_hops,
+    )
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("z", "c")])
+    src = spark.createDataFrame([("a",), ("z",)], "node string")
+    got = {r.node: r.dist for r in shortest_hops(e, src, max_hops=3).collect()}
+    assert got == {"a": 0, "z": 0, "b": 1, "c": 1}

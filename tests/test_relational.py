@@ -243,3 +243,49 @@ def test_observe_rules_and_gate(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="priority_tagged"):
         check_gate(obs)
+
+
+def test_salted_join_matches_direct(spark):
+    """Skew-salted join ≡ plain join on a maximally skewed key (90% of
+    big-side rows share one key), for inner and left; right/full are
+    rejected."""
+    import pytest
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        salted_join,
+    )
+
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(1)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    direct = big.join(small, "k").groupBy("k").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+    salted = salted_join(big, small, on=["k"], salt_buckets=4).groupBy("k").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
+
+    left = salted_join(big, small, on=["k"], salt_buckets=4, how="left")
+    assert left.count() == 1000  # unmatched big rows survive exactly once
+    assert left.filter(F.col("v").isNull()).count() == big.filter(F.col("k") >= 5).count()
+
+    with pytest.raises(ValueError):
+        salted_join(big, small, on=["k"], how="full")
+
+
+def test_er_blocking_resolves_all_true_matches(spark, sf_dir):
+    """The blocked ER pipeline (workload/linkage.py) must resolve every
+    corrupted customer back to its true entity at sf0.001: the letter-
+    region corruptions never touch the digit region, so the true match
+    is always strictly closest in edit distance within its block."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.linkage import (
+        q_er_quality,
+    )
+
+    row = q_er_quality(spark, sf_dir).collect()[0]
+    assert row.n_dirty > 0
+    assert row.n_correct == row.n_dirty
