@@ -1,5 +1,6 @@
 """Custom stateful streaming operator (applyInPandasWithState)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from steel_energy_consumption_prediction_using_pyspark_spark.streaming.stateful import (
@@ -34,6 +35,53 @@ def test_running_totals_match_batch(spark, sf_dir):
         for r in T(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+
+def _protobuf_available() -> bool:
+    # The transformWithState state-server protocol speaks protobuf from
+    # a separate Python driver worker; without the package the query
+    # crashes at init (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState needs google.protobuf (absent in this env)",
+)
+def test_type_counts_transform_with_state_match_batch(spark, sf_dir):
+    """transformWithStateInPandas MapState operator ≡ batch
+    groupBy(user, type).count()."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.stateful import (
+        type_counts_per_user,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = type_counts_per_user(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.event_type): r.cnt
+        for r in spark.table("tws_out").collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.cnt
+        for r in T(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
     assert got == want
