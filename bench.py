@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "incremental_rollup",
     "merge_upsert",
     "forward_fill",
+    "skew_profile",
+    "weighted_sample",
 ]
 
 

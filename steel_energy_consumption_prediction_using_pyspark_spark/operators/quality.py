@@ -49,3 +49,49 @@ def check_gate(
     if violated:
         raise ValueError(f"quality gate failed: {violated} of {got['n_rows']} rows")
     return got
+
+
+def skew_profile(df, keys, top: int = 5):
+    """Key-distribution diagnostic for shuffle planning: per-key group
+    sizes reduced to (n_keys, total, max/avg/p50 group size, skew
+    factor max/avg, and the `top` hottest keys with their row share).
+
+    At 100 TB this is the report you run BEFORE choosing a join/agg
+    strategy on a new key: skew factor ≈ 1 → plain hash shuffle;
+    ≫ 1 → salting (salted_sum_count / salted_join) or AQE skew
+    splitting. Cost is one partial+final aggregation on the candidate
+    key — the same shuffle shape the real query would pay, but on
+    count partials only.
+
+    Returns a 1-row DataFrame; hot keys are packed into a sorted
+    array<struct> so the output is deterministic and schema-stable.
+    """
+    from pyspark.sql import functions as F
+
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    summary = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+    ).withColumn(
+        "skew_factor", F.round(F.col("max_cnt") / F.col("avg_cnt"), 4)
+    )
+    # Hot keys via TakeOrderedAndProject (per-partition k-heap, driver
+    # merge) THEN the array pack — the packed aggregation only ever
+    # sees `top` rows, never the full key population (a collect_list
+    # over every key would be a single-buffer OOM at 10⁸ keys).
+    hot = (
+        per_key.withColumn("key_s", key_str)
+        .orderBy(F.desc("cnt"), F.asc("key_s"))
+        .limit(int(top))
+        .agg(
+            F.expr(
+                "array_sort(collect_list(named_struct('cnt', cnt, 'key', key_s)), "
+                "(a, b) -> CASE WHEN a.cnt > b.cnt THEN -1 WHEN a.cnt < b.cnt THEN 1 "
+                "WHEN a.key < b.key THEN -1 WHEN a.key > b.key THEN 1 ELSE 0 END)"
+            ).alias("hot_keys")
+        )
+    )
+    return summary.crossJoin(hot)

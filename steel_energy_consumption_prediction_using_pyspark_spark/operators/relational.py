@@ -272,3 +272,25 @@ def stratified_hash_sample(
         expr = F.when(cond, cut) if expr is None else expr.when(cond, cut)
     thr = expr.otherwise(thr) if expr is not None else thr
     return df.filter(h < thr)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    base_rate: float,
+) -> DataFrame:
+    """Deterministic importance sampling: each row survives with
+    probability min(1, weight · base_rate), decided by the same
+    content-addressed multiplicative-hash threshold as
+    `stratified_hash_sample` — but the rate is a per-ROW expression
+    (quality score, length prior, source authority) instead of a
+    per-stratum constant. Pure function of (key, weight): stable
+    across partitioning/reruns/engines, nested across base_rate
+    scalings. The threshold arithmetic is floor()-ed explicitly so
+    engines that round float→int casts (DuckDB) agree with engines
+    that truncate (Spark)."""
+    h = (F.col(key_col) * F.lit(2654435761)) % F.lit(4294967296)
+    rate = F.least(F.lit(1.0), weight * F.lit(base_rate))
+    thr = F.floor(rate * F.lit(4294967296.0))
+    return df.filter(h < thr)

@@ -117,11 +117,36 @@ def q_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.agg(*Q.rule_metrics(rules))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling (operators/relational.py::
+    weighted_hash_sample): longer documents kept with probability
+    min(1, (n_chars/2000)·0.5), decided content-addressed by doc_id —
+    corpus rebalancing that is a pure function of the data, so the
+    oracle reproduces the exact row set. Output: per-lang survivor
+    counts + kept char mass."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        weighted_hash_sample,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    weight = F.col("n_chars") / F.lit(2000.0)
+    kept = weighted_hash_sample(d, "doc_id", weight, base_rate=0.5)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
     "pack_windows": q_pack_windows,
     "dq_summary": q_dq_summary,
+    "weighted_sample": q_weighted_sample,
 }
 
 # Word n-grams in DuckDB: 1-indexed list slots, end-exclusive range.
@@ -213,6 +238,16 @@ ORACLES = {
                      / ((max(pack_id) + 1) * {PACK_WINDOW}), 6)
                    AS utilization
         FROM p GROUP BY source ORDER BY source
+    """,
+    "weighted_sample": """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296
+              < CAST(floor(least(1.0e0, (n_chars / 2000.0e0) * 0.5e0)
+                           * 4294967296e0) AS BIGINT)
+        GROUP BY lang ORDER BY lang
     """,
     "dq_summary": """
         SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -118,13 +118,60 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic (operators/quality.py::skew_profile)
+    on lineitem's supplier key — the report that decides plain shuffle
+    vs salting vs AQE skew-split BEFORE committing a 100 TB join to a
+    key. Hot keys ride a TakeOrderedAndProject (bounded at 5), never a
+    full collect_list; flattened to one string so the struct array
+    hashes identically across engines."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.quality import (
+        skew_profile,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    prof = skew_profile(li, ["l_suppkey"], top=5)
+    return prof.select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "avg_cnt",
+        "skew_factor",
+        F.expr(
+            "array_join(transform(hot_keys, x -> concat(x.key, ':', x.cnt)), ',')"
+        ).alias("hot"),
+    )
+
+
 QUERIES = {
     "incremental_rollup": q_incremental_rollup,
     "merge_upsert": q_merge_upsert,
     "forward_fill": q_forward_fill,
+    "skew_profile": q_skew_profile,
 }
 
 ORACLES = {
+    "skew_profile": """
+        WITH per_key AS (
+            SELECT CAST(l_suppkey AS VARCHAR) AS key_s,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   max(cnt) AS max_cnt,
+                   round(avg(cnt), 4) AS avg_cnt
+            FROM per_key
+        ),
+        h AS (
+            SELECT string_agg(key_s || ':' || cnt, ',' ORDER BY cnt DESC, key_s) AS hot
+            FROM (SELECT * FROM per_key ORDER BY cnt DESC, key_s LIMIT 5)
+        )
+        SELECT n_keys, n_rows, max_cnt, avg_cnt,
+               round(max_cnt / avg_cnt, 4) AS skew_factor, hot
+        FROM s, h
+    """,
     "incremental_rollup": """
         SELECT event_type,
                CAST(count(value) AS BIGINT) AS n,

@@ -1,5 +1,6 @@
 """Operator-level invariants for the relational core (SURVEY.md §2)."""
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -289,3 +290,34 @@ def test_er_blocking_resolves_all_true_matches(spark, sf_dir):
     row = q_er_quality(spark, sf_dir).collect()[0]
     assert row.n_dirty > 0
     assert row.n_correct == row.n_dirty
+
+
+def test_skew_profile_hand_computed(spark):
+    """Known distribution: a×6, b×3, c×1 → summary row and hot-key
+    pack are exact."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.quality import (
+        skew_profile,
+    )
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_profile(df, ["k"], top=2).collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_cnt) == (3, 10, 6)
+    assert r.avg_cnt == pytest.approx(3.3333, abs=1e-4)
+    assert r.skew_factor == pytest.approx(6 / 3.3333, abs=1e-3)
+    assert [(h.key, h.cnt) for h in r.hot_keys] == [("a", 6), ("b", 3)]
+
+
+def test_weighted_hash_sample_bounds_and_nesting(spark):
+    """weight 0 keeps nothing, weight ≥ 1/base keeps everything, and
+    the survivor set at base_rate r nests inside the one at 2r."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        weighted_hash_sample,
+    )
+
+    df = spark.range(1, 2000).withColumnRenamed("id", "k")
+    assert weighted_hash_sample(df, "k", F.lit(0.0), 0.5).count() == 0
+    assert weighted_hash_sample(df, "k", F.lit(2.0), 0.5).count() == 1999
+    small = {r.k for r in weighted_hash_sample(df, "k", F.lit(0.4), 0.5).collect()}
+    big = {r.k for r in weighted_hash_sample(df, "k", F.lit(0.8), 0.5).collect()}
+    assert small and small < big
