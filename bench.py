@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "forward_fill",
     "skew_profile",
     "weighted_sample",
+    "table_fingerprint",
 ]
 
 

@@ -95,3 +95,33 @@ def skew_profile(df, keys, top: int = 5):
         )
     )
     return summary.crossJoin(hot)
+
+
+def table_fingerprint(df, row_str):
+    """Order-insensitive whole-table checksum for anti-entropy checks
+    (replica comparison, migration verification, cross-engine parity)
+    at 100 TB: per-row md5 split into two 60-bit lanes, XOR-aggregated.
+    XOR is commutative/associative → partition-order- and
+    shuffle-free: one partial+final aggregation, constant state,
+    no sort anywhere. Two independent lanes (md5 hex chars 1-15 and
+    17-31) make silent collision odds negligible (~2⁻¹²⁰ per pair).
+
+    `row_str` must be a deterministic, engine-portable stringification
+    of the row (caller formats floats/timestamps explicitly — plain
+    casts of doubles differ across engines). Note the XOR algebra
+    cancels rows appearing an EVEN number of times; include the
+    table's unique key in `row_str` so physical duplicates are the
+    only thing that can cancel — those are upstream bugs this check
+    exists to catch via n_rows.
+
+    Returns 1 row: (n_rows, fp_lo, fp_hi).
+    """
+    from pyspark.sql import functions as F
+
+    h = F.md5(row_str)
+    lane = lambda a: F.conv(F.substring(h, a, 15), 16, 10).cast("long")  # noqa: E731
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(lane(1)).alias("fp_lo"),
+        F.bit_xor(lane(17)).alias("fp_hi"),
+    )

@@ -143,14 +143,53 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy whole-table checksum (operators/quality.py::
+    table_fingerprint) of orders: XOR-aggregated two-lane md5 over an
+    explicitly formatted row string (ints cast, price %.2f-formatted,
+    date yyyy-MM-dd) — the replica/migration equality check whose
+    oracle match IS a cross-engine parity proof."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.quality import (
+        table_fingerprint,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.format_string("%.2f", F.col("o_totalprice")),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    return table_fingerprint(o, row)
+
+
 QUERIES = {
     "incremental_rollup": q_incremental_rollup,
     "merge_upsert": q_merge_upsert,
     "forward_fill": q_forward_fill,
     "skew_profile": q_skew_profile,
+    "table_fingerprint": q_table_fingerprint,
 }
 
 ORACLES = {
+    "table_fingerprint": """
+        WITH s AS (
+            SELECT CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   printf('%.2f', o_totalprice) || '|' ||
+                   strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+                   o_orderpriority AS r
+            FROM orders
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS fp_lo,
+               bit_xor(CAST(('0x' || substr(md5(r), 17, 15)) AS BIGINT)) AS fp_hi
+        FROM s
+    """,
     "skew_profile": """
         WITH per_key AS (
             SELECT CAST(l_suppkey AS VARCHAR) AS key_s,

@@ -104,3 +104,33 @@ def test_merge_apply_is_idempotent(spark):
     once = merge_apply(base, changes, "id")
     twice = merge_apply(once, changes, "id")
     assert _collect_sorted(once) == _collect_sorted(twice) == [(1, "a2")]
+
+
+def test_table_fingerprint_order_and_partition_invariant(spark):
+    """Same rows in any order/partitioning → same fingerprint; one
+    changed byte → different fingerprint; n_rows catches duplicates
+    the XOR algebra alone would cancel."""
+    from pyspark.sql import functions as F
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.quality import (
+        table_fingerprint,
+    )
+
+    rows = [(i, f"name{i}") for i in range(100)]
+    a = spark.createDataFrame(rows, "k int, name string")
+    b = spark.createDataFrame(list(reversed(rows)), "k int, name string").repartition(7)
+    rs = F.concat_ws("|", F.col("k").cast("string"), F.col("name"))
+    fa = table_fingerprint(a, rs).collect()[0]
+    fb = table_fingerprint(b, rs).collect()[0]
+    assert (fa.n_rows, fa.fp_lo, fa.fp_hi) == (fb.n_rows, fb.fp_lo, fb.fp_hi)
+
+    mutated = [(i, "nameX" if i == 50 else f"name{i}") for i in range(100)]
+    fc = table_fingerprint(
+        spark.createDataFrame(mutated, "k int, name string"), rs
+    ).collect()[0]
+    assert (fc.fp_lo, fc.fp_hi) != (fa.fp_lo, fa.fp_hi)
+
+    doubled = spark.createDataFrame(rows + rows, "k int, name string")
+    fd = table_fingerprint(doubled, rs).collect()[0]
+    assert (fd.fp_lo, fd.fp_hi) == (0, 0) or fd.n_rows != fa.n_rows
+    assert fd.n_rows == 200  # duplicates visible via the count lane
