@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_ivf",
     "ann_quantized",
+    "mmr_rerank",
     "repetition",
     "decontaminate",
     "pack_windows",
@@ -147,6 +148,7 @@ BENCH_QUERIES = [
     "skew_profile",
     "weighted_sample",
     "table_fingerprint",
+    "snapshot_diff",
 ]
 
 

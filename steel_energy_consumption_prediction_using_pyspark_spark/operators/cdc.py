@@ -51,3 +51,42 @@ def merge_apply(
     kept = base.join(touched, key, "left_anti")
     upserts = latest.filter(F.col(op_col) == "U").drop(op_col, ts_col)
     return kept.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    row_hash,
+) -> DataFrame:
+    """Row-level diff between two snapshot versions: the drill-down
+    that follows a table_fingerprint mismatch (operators/quality.py).
+    One full outer join on the key, change classification by comparing
+    a caller-supplied `row_hash` column expression (same portability
+    contract as table_fingerprint's row_str):
+
+        added     key only in new
+        removed   key only in old
+        changed   key in both, hash differs
+        unchanged key in both, hash equal
+
+    Returns per-class counts (1-4 rows). Scale shape: one shuffle of
+    each side on the key (co-partitioned sort-merge); the hash is
+    computed scan-side so the join carries (key, hash) pairs, never
+    full rows.
+    """
+    o = old.select(F.col(key).alias("k"), row_hash.alias("h_old"))
+    n = new.select(F.col(key).alias("k"), row_hash.alias("h_new"))
+    return (
+        o.join(n, "k", "full_outer")
+        .select(
+            F.when(F.col("h_old").isNull(), F.lit("added"))
+            .when(F.col("h_new").isNull(), F.lit("removed"))
+            .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+        )
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change")
+    )

@@ -356,3 +356,73 @@ def mllib_brp_join(
         F.col("datasetB.neighbor_id").alias("neighbor_id"),
         F.round("dist", 4).alias("dist"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lamb: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "neighbor_id",
+    query_id_col: str = "query_id",
+    sim_col: str = "cos_sim",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of a per-query candidate set: greedily pick
+
+        argmax_i  λ·rel(i)  −  (1−λ)·max_{j∈selected} cos(i, j)
+
+    — the standard diversification pass between ANN retrieval and a
+    RAG/pretraining consumer (near-identical top hits waste context
+    slots; dedup-at-retrieval is this exact operator).
+
+    Runs as applyInPandas grouped by query: each group is one
+    RETRIEVED candidate set (top-N from brute_force_topk / lsh /
+    ivf_probe — bounded by construction, ~10²-10³ rows), so the greedy
+    O(k·n) loop with a running max-similarity vector is a small dense
+    numpy kernel per group, Arrow-batched, parallel across queries —
+    no driver collect, no |corpus| term anywhere.
+
+    Ties break deterministically: candidates are pre-sorted by
+    (relevance desc, id asc) and argmax takes the first maximum.
+    Output: (query_id, neighbor_id, mmr_rank, mmr_score).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, mmr_rank int, mmr_score double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [sim_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        Vn = V / norms
+        rel = pdf[sim_col].to_numpy().astype("float64")
+        n = len(pdf)
+        picked: list[int] = []
+        scores: list[float] = []
+        max_sim = np.zeros(n)  # max cos to any selected item so far
+        active = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            mmr = lamb * rel - (1.0 - lamb) * max_sim
+            mmr[~active] = -np.inf
+            i = int(np.argmax(mmr))  # first max → (rel, id) tiebreak
+            picked.append(i)
+            scores.append(float(mmr[i]))
+            active[i] = False
+            max_sim = np.maximum(max_sim, Vn @ Vn[i])
+        return pd.DataFrame(
+            {
+                query_id_col: pdf[query_id_col].iloc[picked].to_numpy(),
+                id_col: pdf[id_col].iloc[picked].to_numpy(),
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype="int32"),
+                "mmr_score": np.round(scores, 6),
+            }
+        )
+
+    return candidates.groupBy(query_id_col).applyInPandas(_mmr, out_schema)

@@ -166,15 +166,66 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_fingerprint(o, row)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (operators/cdc.py::snapshot_diff): two
+    versions derived deterministically from orders (old drops keys
+    ≡0 mod 97; new drops keys ≡0 mod 89 and bumps the price on keys
+    ≡0 mod 11), classified added/removed/changed/unchanged by one
+    co-partitioned full outer join carrying only (key, md5) pairs —
+    the drill-down after a fingerprint mismatch."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = o.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            F.format_string("%.2f", F.col("o_totalprice")),
+        )
+    )
+    return snapshot_diff(old, new, "o_orderkey", h)
+
+
 QUERIES = {
     "incremental_rollup": q_incremental_rollup,
     "merge_upsert": q_merge_upsert,
     "forward_fill": q_forward_fill,
     "skew_profile": q_skew_profile,
     "table_fingerprint": q_table_fingerprint,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES = {
+    "snapshot_diff": """
+        WITH old AS (
+            SELECT o_orderkey,
+                   md5(o_orderstatus || '|' || printf('%.2f', o_totalprice)) AS h
+            FROM orders WHERE o_orderkey % 97 <> 0
+        ),
+        new AS (
+            SELECT o_orderkey,
+                   md5(o_orderstatus || '|' || printf('%.2f',
+                       CASE WHEN o_orderkey % 11 = 0
+                            THEN o_totalprice + 1.0 ELSE o_totalprice END)) AS h
+            FROM orders WHERE o_orderkey % 89 <> 0
+        )
+        SELECT CASE WHEN o.h IS NULL THEN 'added'
+                    WHEN n.h IS NULL THEN 'removed'
+                    WHEN o.h = n.h THEN 'unchanged'
+                    ELSE 'changed' END AS change,
+               CAST(count(*) AS BIGINT) AS n
+        FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+        GROUP BY 1 ORDER BY 1
+    """,
     "table_fingerprint": """
         WITH s AS (
             SELECT CAST(o_orderkey AS VARCHAR) || '|' ||

@@ -136,7 +136,27 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(corpus, queries, k=TOP_K)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-diversify: brute-force top-50 per query, MMR
+    re-rank to 10 (λ=0.7) via operators/similarity.py::mmr_rerank.
+    No SQL oracle — the greedy selection is iterative (rows-only
+    check); λ=1 degeneration to plain top-k and cluster-diversity
+    behavior are pinned in tests/test_similarity.py."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERY)
+    cands = S.brute_force_topk(corpus, queries, k=50).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    out = S.mmr_rerank(cands, k=10, lamb=0.7)
+    return out.orderBy("query_id", "mmr_rank")
+
+
 QUERIES = {
+    "mmr_rerank": q_mmr_rerank,
     "centroids": q_centroids,
     "ann_quantized": q_ann_quantized,
     "knn_bruteforce": q_knn_bruteforce,

@@ -134,3 +134,24 @@ def test_table_fingerprint_order_and_partition_invariant(spark):
     fd = table_fingerprint(doubled, rs).collect()[0]
     assert (fd.fp_lo, fd.fp_hi) == (0, 0) or fd.n_rows != fa.n_rows
     assert fd.n_rows == 200  # duplicates visible via the count lane
+
+
+def test_snapshot_diff_hand_computed(spark):
+    """Planted diff: 1 added, 1 removed, 1 changed, 2 unchanged."""
+    from pyspark.sql import functions as F
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "CHANGED"), (5, "e")], "k int, v string"
+    )
+    got = {
+        r.change: r.n
+        for r in snapshot_diff(old, new, "k", F.md5("v")).collect()
+    }
+    assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 2}

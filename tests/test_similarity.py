@@ -155,3 +155,82 @@ def test_quantize_int8_fidelity_and_recall(spark, sf_dir):
     exact = {(r.query_id, r.neighbor_id) for r in topk(e.select("vec_id", "embedding")).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in topk(deq.select("vec_id", "embedding")).collect()}
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+# --- MMR re-ranking ---------------------------------------------------------
+
+
+def _mmr_fixture(spark):
+    """Query BETWEEN two tight clusters (A at +25° off the query axis,
+    B at −25°): both clusters are nearly equally relevant (~0.9) but
+    intra-cluster sim ≈ 1 while inter-cluster sim ≈ 0.62. Pure
+    relevance ranks all of A first (A edges B by a hair); MMR must
+    jump to B for the second pick — rel−sim ≈ −0.1 for A's near-dups
+    vs +0.27 for B. (A query aligned exactly with cluster A would
+    make rel(i) ≡ sim(i, top1) for every candidate and MMR could
+    never prefer the far cluster — the fixture geometry matters.)"""
+    import math
+
+    rows = []
+    vecs = {
+        11: [0.900, 0.436, 0.0],
+        12: [0.899, 0.437, 0.005],
+        13: [0.898, 0.438, 0.010],
+        21: [0.900, -0.436, 0.0],
+        22: [0.899, -0.437, 0.005],
+    }
+    q = [1.0, 0.0, 0.0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for vid, v in vecs.items():
+        rows.append((0, vid, float(cos(q, v)), v))
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, cos_sim double, embedding array<double>"
+    )
+
+
+def test_mmr_lambda_one_is_relevance_order(spark):
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    cands = _mmr_fixture(spark)
+    got = [
+        r.neighbor_id
+        for r in mmr_rerank(cands, k=5, lamb=1.0).orderBy("mmr_rank").collect()
+    ]
+    want = [
+        r.neighbor_id
+        for r in cands.orderBy(F.desc("cos_sim"), F.asc("neighbor_id")).collect()
+    ]
+    assert got == want
+
+
+def test_mmr_diversifies_across_clusters(spark):
+    """With λ=0.5 the second pick must come from cluster B (ids 2x),
+    even though all of cluster A outranks it on pure relevance."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    cands = _mmr_fixture(spark)
+    got = [
+        r.neighbor_id
+        for r in mmr_rerank(cands, k=3, lamb=0.5).orderBy("mmr_rank").collect()
+    ]
+    assert got[0] == 11  # most relevant first, always
+    assert got[1] in (21, 22)  # diversity beats same-cluster relevance
+
+
+def test_mmr_deterministic(spark):
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    cands = _mmr_fixture(spark)
+    a = [tuple(r) for r in mmr_rerank(cands, k=4, lamb=0.7).orderBy("mmr_rank").collect()]
+    b = [tuple(r) for r in mmr_rerank(cands, k=4, lamb=0.7).orderBy("mmr_rank").collect()]
+    assert a == b
