@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "weighted_sample",
     "table_fingerprint",
     "snapshot_diff",
+    "referential_integrity",
+    "approx_topk",
 ]
 
 

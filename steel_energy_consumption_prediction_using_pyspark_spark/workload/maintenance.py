@@ -195,6 +195,58 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "o_orderkey", h)
 
 
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit across the star schema: rows in each fact whose
+    foreign key has no parent, plus parents with no children where the
+    business rule expects some. Each check is one anti/semi join —
+    the dimension side broadcasts, so the fact table never shuffles;
+    at 100 TB this is 3 map-side passes, not 3 joins."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+
+    def cnt(df) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n"))
+
+    checks = [
+        (
+            "lineitem_orphan_orders",
+            cnt(
+                li.join(
+                    F.broadcast(o.select("o_orderkey")),
+                    li.l_orderkey == o.o_orderkey,
+                    "left_anti",
+                )
+            ),
+        ),
+        (
+            "orders_orphan_customers",
+            cnt(
+                o.join(
+                    F.broadcast(c.select("c_custkey")),
+                    o.o_custkey == c.c_custkey,
+                    "left_anti",
+                )
+            ),
+        ),
+        (
+            "customers_without_orders",
+            cnt(
+                c.join(
+                    o.select("o_custkey").distinct(),
+                    c.c_custkey == o.o_custkey,
+                    "left_anti",
+                )
+            ),
+        ),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.select(F.lit(name).alias("check"), "n")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("check")
+
+
 QUERIES = {
     "incremental_rollup": q_incremental_rollup,
     "merge_upsert": q_merge_upsert,
@@ -202,9 +254,24 @@ QUERIES = {
     "skew_profile": q_skew_profile,
     "table_fingerprint": q_table_fingerprint,
     "snapshot_diff": q_snapshot_diff,
+    "referential_integrity": q_referential_integrity,
 }
 
 ORACLES = {
+    "referential_integrity": """
+        SELECT 'customers_without_orders' AS "check",
+               CAST((SELECT count(*) FROM customer
+                     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS BIGINT) AS n
+        UNION ALL
+        SELECT 'lineitem_orphan_orders',
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+        UNION ALL
+        SELECT 'orders_orphan_customers',
+               CAST((SELECT count(*) FROM orders
+                     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+        ORDER BY "check"
+    """,
     "snapshot_diff": """
         WITH old AS (
             SELECT o_orderkey,

@@ -192,7 +192,29 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta_overlap(e, "event_type", "user_id", "click", "purchase")
 
 
+def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (approx_top_k, Spark ≥4.1): top-3 event
+    types with counts, flattened via explode. The sketch tracks up to
+    maxItemsTracked items, so on a column whose cardinality is below
+    that bound the 'approximation' is EXACT — which is what licenses
+    the DuckDB count/sort oracle here. At true 100 TB cardinalities
+    (urls, user ids) the same call degrades gracefully to an estimate
+    with bounded-memory mergeable state — the property the exact
+    GROUP BY in the oracle does not have."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        .select(F.explode("tk").alias("x"))
+        .select(
+            F.col("x.item").alias("event_type"),
+            F.col("x.count").cast("long").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+    )
+
+
 QUERIES = {
+    "approx_topk": q_approx_topk,
     "stats_moments": q_stats_moments,
     "regr_agg": q_regr_agg,
     "window_distribution": q_window_distribution,
@@ -203,6 +225,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "approx_topk": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type
+        ORDER BY cnt DESC, event_type ASC LIMIT 3
+    """,
     "stats_moments": """
         WITH m AS (
             SELECT l_returnflag, avg(l_extendedprice) AS mean_p
