@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "tfidf",
     "stratified_sample",
     "winnowing",
+    "prefix_jaccard",
     "multimodal_meta",
     "multimodal_features",
     "centroids",

@@ -20,7 +20,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
@@ -425,3 +425,110 @@ def connected_components(
         prev_sum = cur_sum
     sym.unpersist()
     return labels.select("id", F.col("lbl").alias("cluster"))
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 0,
+    persist: bool = True,
+) -> DataFrame:
+    """Exact all-pairs set Jaccard ≥ τ via PREFIX FILTERING. The set
+    universe is whitespace words (shingle_n=0) or word shingle_n-grams
+    — on templated corpora word sets barely discriminate (shared
+    vocabulary ⇒ J≈0.5 for unrelated docs) while 3-shingles do;
+    pick the granularity whose natural pair density matches the τ you
+    care about.
+
+    The algorithm (Bayardo et al. 2007 "Scaling Up All Pairs
+    Similarity Search"; Xiao et al. 2008 PPJoin) is the
+    exact-answer counterpart to
+    MinHash-LSH and the scale-principled replacement for
+    ngram_jaccard_pairs' O(n²/blocks) cross product.
+
+    Under ANY consistent global token order, two sets with
+    J(x,y) ≥ τ must share at least one token among the first
+    |x| − ⌈τ·|x|⌉ + 1 tokens of each (if all prefix tokens differed,
+    the overlap could not reach the τ-implied minimum). Ordering
+    tokens by ascending document frequency makes those prefix tokens
+    the RAREST ones, so the candidate equi-join on prefix tokens
+    explodes near-nothing: candidate count tracks the true pair count,
+    not n².
+
+    Plan shape: tokenize→explode (no shuffle) → docfreq agg (one
+    shuffle on token) → per-doc rank window (one shuffle on id) →
+    prefix self-equi-join on token (shuffle of PREFIX rows only, a
+    τ-fraction of the token table) → exact verify of the deduped
+    candidates via array_intersect on the full sorted token arrays.
+    Pair completeness is exact — verified against the brute-force
+    cross product in tests.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, J ≥ τ.
+    """
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        normalize_text,
+        shingles_from,
+        tokens as _tokens,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("_id"), _tokens(normalize_text(text_col)).alias("_w")
+    )
+    if shingle_n >= 2:
+        base = base.select(
+            "_id", F.array_distinct(shingles_from("_w", shingle_n)).alias("_tk")
+        )
+    else:
+        base = base.select("_id", F.array_distinct("_w").alias("_tk"))
+    base = base.filter(F.size("_tk") > 0)
+    if persist:
+        # The (id, set) projection feeds three consumers (explode for
+        # the prefix join, both verify sides) and sits under an
+        # explode — without the barrier the optimizer re-inlines the
+        # O(tokens·n) shingling into every consumer (see the winnowing
+        # note in NOTES.md: same shape, 90 s → 0.7 s).
+        from pyspark.storagelevel import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    tok = base.select("_id", F.size("_tk").alias("_sz"), F.explode("_tk").alias("_t"))
+    docfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_t"))
+    ranked = tok.join(docfreq, "_t").withColumn("_rn", F.row_number().over(w))
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).select("_t", F.col("_id").alias("_pid"), F.col("_sz").alias("_psz"))
+
+    a = prefix.select(
+        F.col("_t"), F.col("_pid").alias("_ida"), F.col("_psz").alias("_sza")
+    )
+    b = prefix.select(
+        F.col("_t"), F.col("_pid").alias("_idb"), F.col("_psz").alias("_szb")
+    )
+    cands = (
+        a.join(b, "_t")
+        .filter(
+            (F.col("_ida") < F.col("_idb"))
+            # length filter: J ≥ τ forces τ·|x| ≤ |y| ≤ |x|/τ
+            & (F.col("_szb") >= F.lit(threshold) * F.col("_sza"))
+            & (F.col("_sza") >= F.lit(threshold) * F.col("_szb"))
+        )
+        .select("_ida", "_idb")
+        .distinct()
+    )
+
+    sets = base.select("_id", F.array_sort("_tk").alias("_set"))
+    inter = F.size(F.array_intersect(F.col("_seta"), F.col("_setb")))
+    union = F.size(F.array_union(F.col("_seta"), F.col("_setb")))
+    return (
+        cands.join(sets.select(F.col("_id").alias("_ida"), F.col("_set").alias("_seta")), "_ida")
+        .join(sets.select(F.col("_id").alias("_idb"), F.col("_set").alias("_setb")), "_idb")
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            (inter / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

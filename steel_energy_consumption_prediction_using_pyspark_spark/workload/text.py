@@ -327,7 +327,30 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-shingle Jaccard ≥ 0.5 by prefix filtering
+    (operators/dedup.py::prefix_jaccard_pairs) over an 800-doc slice
+    plus 10 planted clones — the candidate join touches only
+    rarest-shingle prefix rows, never the cross product. The DuckDB
+    oracle IS the brute-force O(n²) verification, so the hash match
+    proves exactness, not just plausibility."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 800).select(
+        "doc_id", "text"
+    )
+    clones = (
+        d.orderBy("doc_id")
+        .limit(10)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    u = d.unionByName(clones)
+    pairs = D.prefix_jaccard_pairs(u, threshold=0.5, shingle_n=3)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 QUERIES = {
+    "prefix_jaccard": q_prefix_jaccard,
     "chunk_documents": q_chunk_documents,
     "text_stats": q_text_stats,
     "token_count_bpe": q_token_count_bpe,
@@ -355,6 +378,34 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "prefix_jaccard": r"""
+        WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 800),
+        clones AS (
+            SELECT doc_id + 10000000 AS doc_id, text
+            FROM (SELECT * FROM sub ORDER BY doc_id LIMIT 10)
+        ),
+        u AS (SELECT * FROM sub UNION ALL SELECT * FROM clones),
+        w AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+            FROM u
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]
+                            || ' ' || ws[CAST(i+2 AS INT)])) AS tk
+            FROM w WHERE len(ws) >= 3
+        ),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.tk, b.tk))) AS j
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, round(j, 4) AS jaccard
+        FROM p WHERE j >= 0.5 ORDER BY id_a, id_b
+    """,
     "chunk_documents": """
         WITH starts AS (
             SELECT doc_id, text,

@@ -227,3 +227,35 @@ def test_chunk_text_covers_and_overlaps(spark):
     # reconstruction: dropping each chunk's leading overlap re-yields the text
     rebuilt = rows[0].chunk_text + "".join(r.chunk_text[20:] for r in rows[1:])
     assert rebuilt == text
+
+
+def test_prefix_jaccard_matches_bruteforce(spark, sf_dir):
+    """Prefix filtering is EXACT: pair-for-pair identical to the
+    unblocked O(n²) cross product at the same threshold, including
+    the planted clones at J=1.0."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    clones = (
+        d.orderBy("doc_id").limit(5).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    u = d.unionByName(clones)
+    fast = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in prefix_jaccard_pairs(u, threshold=0.5, shingle_n=3).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(
+            u, "text", "doc_id", block_col=None, shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert fast == brute
+    assert sum(1 for (_, b, j) in fast if b >= 10_000_000 and j == 1.0) >= 5
