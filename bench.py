@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "er_quality",
     "salted_join",
     "cohort_retention",
+    "ewma_value",
     "zscore_anomaly",
     "customer_deciles",
     "scd2_history",

@@ -179,7 +179,50 @@ def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.3
+
+
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (y_t = αx_t + (1−α)y_{t−1}, y_0 = x_0 — pandas ewm(adjust=False)
+    semantics) computed ENTIRELY JVM-side: sort_array(collect_list)
+    per user, then a fold (F.aggregate) over the ordered values. The
+    recursion is inherently sequential per key, so the per-key series
+    is the minimal unit of serial work — state is one double, work is
+    one pass, parallelism is across users. DuckDB's list_reduce is the
+    identical left fold, so the same float op sequence runs on both
+    engines and the values match exactly.
+
+    Memory note: collect_list buffers one user's series (like the
+    percentile() aggregate, spill-less); at 100 TB cap the window
+    (e.g. last 10k events per user via a pre-filter window) or feed
+    day-partials — the recursion composes: y over day N seeds day N+1.
+    """
+    e = T(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq")
+        )
+        .withColumn("vals", F.expr("transform(seq, s -> s.value)"))
+    )
+    a = float(EWMA_ALPHA)
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    ).orderBy("user_id")
+
+
 QUERIES = {
+    "ewma_value": q_ewma_value,
     "cohort_retention": q_cohort_retention,
     "zscore_anomaly": q_zscore_anomaly,
     "customer_deciles": q_customer_deciles,
@@ -188,6 +231,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ewma_value": """
+        SELECT user_id,
+               CAST(len(list(value ORDER BY ts, event_id)) AS BIGINT) AS n_events,
+               round(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                     (acc, x) -> 0.3e0 * x + 0.7e0 * acc), 6) AS ewma_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     "cohort_retention": """
         WITH first AS (
             SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id

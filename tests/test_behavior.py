@@ -93,3 +93,35 @@ def test_cohort_week_zero_covers_all_users(spark, sf_dir):
     )
     total = T(spark, sf_dir, "events").select("user_id").distinct().count()
     assert week0 == total
+
+
+def test_ewma_hand_computed(spark):
+    """y = [1, 2, 3] with alpha 0.3: y0=1, y1=0.3*2+0.7*1=1.3,
+    y2=0.3*3+0.7*1.3=1.81; order must follow (ts, event_id)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.behavior import (
+        q_ewma_value,
+    )
+    import datetime as dt
+
+    # build a tiny events-shaped frame and monkey-route through the
+    # same fold expression by calling the operator inline
+    from pyspark.sql import functions as F
+
+    rows = [
+        (2, dt.datetime(2024, 1, 1, 0, 2), 7, 3.0),
+        (0, dt.datetime(2024, 1, 1, 0, 0), 7, 1.0),
+        (1, dt.datetime(2024, 1, 1, 0, 1), 7, 2.0),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    seq = (
+        e.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq"))
+        .withColumn("vals", F.expr("transform(seq, s -> s.value)"))
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    got = seq.select(F.round(ewma, 6).alias("y")).collect()[0].y
+    assert got == 1.81
