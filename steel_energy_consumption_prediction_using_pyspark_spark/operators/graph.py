@@ -31,6 +31,7 @@ def pagerank(
     dst: str = "dst",
     persist: bool = True,
     eager: bool = False,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (one row per
     edge; parallel edges should be pre-deduped by the caller).
@@ -47,7 +48,15 @@ def pagerank(
     job). `eager` additionally forces a count() barrier per iteration
     — unnecessary scheduling overhead at 5 iterations, but the right
     call for long runs (30+ iterations to convergence), where one
-    deep plan would bloat planning time and executor retry cost."""
+    deep plan would bloat planning time and executor retry cost.
+
+    `reset` switches to PERSONALIZED PageRank (Haveliwala 2002): a
+    (node, weight) DataFrame summing to 1 replaces the uniform
+    teleport — r_{t+1}(v) = (1-d)·w(v) + d·Σ incoming, with w(v)=0
+    off the seed set, so rank mass concentrates around the seeds.
+    The curation reading: authority RELATIVE to a trusted whitelist
+    (seed quality domains), not global popularity. Initialization is
+    the reset vector itself; same execution shape per iteration."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -64,9 +73,20 @@ def pagerank(
         nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
         contrib = contrib.persist(StorageLevel.MEMORY_AND_DISK)
     n_nodes = nodes.count()  # materializes both persists' upstream scan
-    base = (1.0 - damping) / n_nodes
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    if reset is not None:
+        w_df = nodes.join(
+            reset.select("node", F.col("weight").alias("_w")), "node", "left"
+        ).select("node", F.coalesce(F.col("_w"), F.lit(0.0)).alias("_w"))
+        if persist:
+            w_df = w_df.persist(StorageLevel.MEMORY_AND_DISK)
+        base_df = w_df.select(
+            "node", (F.lit(1.0 - damping) * F.col("_w")).alias("_base")
+        )
+        ranks = w_df.select("node", F.col("_w").alias("rank"))
+    else:
+        base_df = nodes.withColumn("_base", F.lit((1.0 - damping) / n_nodes))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
         incoming = (
             contrib.join(ranks, contrib.src == ranks.node)
@@ -74,12 +94,12 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("m").alias("in_mass"))
         )
-        new_ranks = nodes.join(
-            incoming, nodes.node == incoming.dst, "left"
+        new_ranks = base_df.join(
+            incoming, base_df.node == incoming.dst, "left"
         ).select(
             "node",
             (
-                F.lit(base)
+                F.col("_base")
                 + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
             ).alias("rank"),
         )

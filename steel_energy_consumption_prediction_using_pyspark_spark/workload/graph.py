@@ -84,7 +84,29 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"pagerank": q_pagerank, "bfs_hops": q_bfs_hops}
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002) from a two-customer
+    seed set {c0, c1} with weight ½ each: authority relative to a
+    trusted whitelist instead of global popularity — the seed-domain
+    quality prior of web-corpus curation. Same per-iteration execution
+    shape as q_pagerank; oracle unrolls the seeded recurrence."""
+    seeds = spark.createDataFrame(
+        [("c0", 0.5), ("c1", 0.5)], "node string, weight double"
+    )
+    ranks = G.pagerank(
+        _copurchase_edges(spark, sf_dir),
+        iterations=PR_ITERATIONS,
+        damping=PR_DAMPING,
+        reset=seeds,
+    )
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
+QUERIES = {"pagerank": q_pagerank, "bfs_hops": q_bfs_hops, "ppr": q_ppr}
 
 
 def _pr_step(k: int) -> str:
@@ -94,6 +116,20 @@ def _pr_step(k: int) -> str:
                    (SELECT (1e0 - 0.85e0) / n FROM nn)
                        + 0.85e0 * coalesce(m.s, 0e0) AS r
             FROM nodes v
+            LEFT JOIN (
+                SELECT c.dst AS node, sum(p.r * c.w) AS s
+                FROM contrib c JOIN it{k - 1} p ON c.src = p.node
+                GROUP BY c.dst
+            ) m USING (node)
+        )"""
+
+
+def _ppr_step(k: int) -> str:
+    return f"""
+        it{k} AS (
+            SELECT v.node,
+                   (1e0 - 0.85e0) * v.w + 0.85e0 * coalesce(m.s, 0e0) AS r
+            FROM wv v
             LEFT JOIN (
                 SELECT c.dst AS node, sum(p.r * c.w) AS s
                 FROM contrib c JOIN it{k - 1} p ON c.src = p.node
@@ -119,6 +155,32 @@ ORACLES = {
         ),
         it0 AS (SELECT node, (SELECT 1e0 / n FROM nn) AS r FROM nodes),"""
         + ",".join(_pr_step(k) for k in range(1, PR_ITERATIONS + 1))
+        + f"""
+        SELECT node, round(r, 6) AS rank FROM it{PR_ITERATIONS}
+        ORDER BY rank DESC, node ASC LIMIT 20
+    """
+    ),
+    "ppr": (
+        """
+        WITH p AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        seeds AS (SELECT 'c0' AS node, 0.5e0 AS w
+                  UNION ALL SELECT 'c1', 0.5e0),
+        wv AS (
+            SELECT n.node, coalesce(s.w, 0e0) AS w
+            FROM nodes n LEFT JOIN seeds s USING (node)
+        ),
+        contrib AS (
+            SELECT src, dst,
+                   1e0 / CAST(count(*) OVER (PARTITION BY src) AS DOUBLE) AS w
+            FROM edges
+        ),
+        it0 AS (SELECT node, w AS r FROM wv),"""
+        + ",".join(_ppr_step(k) for k in range(1, PR_ITERATIONS + 1))
         + f"""
         SELECT node, round(r, 6) AS rank FROM it{PR_ITERATIONS}
         ORDER BY rank DESC, node ASC LIMIT 20

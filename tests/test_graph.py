@@ -105,3 +105,43 @@ def test_bfs_multi_source(spark):
     src = spark.createDataFrame([("a",), ("z",)], "node string")
     got = {r.node: r.dist for r in shortest_hops(e, src, max_hops=3).collect()}
     assert got == {"a": 0, "z": 0, "b": 1, "c": 1}
+
+
+# --- personalized PageRank --------------------------------------------------
+
+
+def test_ppr_uniform_reset_equals_classic(spark):
+    """A uniform reset vector must reproduce classic PageRank
+    exactly (same float sequence, not just approximately)."""
+    e = _edges(
+        spark,
+        [("h", "s1"), ("h", "s2"), ("h", "s3"),
+         ("s1", "h"), ("s2", "h"), ("s3", "h")],
+    )
+    classic = {r.node: r.rank for r in pagerank(e, iterations=3).collect()}
+    uniform = spark.createDataFrame(
+        [(n, 0.25) for n in ("h", "s1", "s2", "s3")], "node string, weight double"
+    )
+    seeded = {
+        r.node: r.rank
+        for r in pagerank(e, iterations=3, reset=uniform).collect()
+    }
+    assert seeded == pytest.approx(classic, abs=1e-12)
+
+
+def test_ppr_concentrates_near_seed(spark):
+    """Chain a<->b<->c<->d seeded at a: the seed holds the most mass
+    and the far end the least. (Strict monotonicity along the chain
+    does NOT hold at small iteration counts — the chain is bipartite,
+    so mass arrives in parity waves and even-distance c transiently
+    outranks odd-distance b; only the a>…>d envelope is
+    iteration-robust.)"""
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c")],
+    )
+    seeds = spark.createDataFrame([("a", 1.0)], "node string, weight double")
+    got = {r.node: r.rank for r in pagerank(e, iterations=8, reset=seeds).collect()}
+    assert got["a"] == max(got.values())
+    assert got["d"] == min(got.values())
+    assert got["a"] > 2 * got["d"]
