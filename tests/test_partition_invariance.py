@@ -18,6 +18,12 @@ REPRESENTATIVE = [
     "knn_bruteforce",      # fp-ordered top-k
     "corpus_curation",     # filter→dedup→agg pipeline
     "minhash_lsh",         # sketch + LSH join
+    "salted_join",         # tuple-hash salt must not vary with layout
+    "prefix_jaccard",      # prefix self-join + exact verify
+    "ewma_value",          # per-key ordered fold
+    "table_fingerprint",   # XOR aggregate (order-free by algebra)
+    "bfs_hops",            # iterative frontier expansion
+    "er_match",            # blocked linkage + window best-match
 ]
 
 
