@@ -108,7 +108,10 @@ def table_fingerprint(df, row_str):
 
     `row_str` must be a deterministic, engine-portable stringification
     of the row (caller formats floats/timestamps explicitly — plain
-    casts of doubles differ across engines). Note the XOR algebra
+    casts of doubles differ across engines, and %.Nf parity across
+    Java/C formatters holds only when the value is already N-decimal:
+    halfway digits beyond N round differently, see
+    test_parity_fuzz.py::test_printf_float_format_parity). Note the XOR algebra
     cancels rows appearing an EVEN number of times; include the
     table's unique key in `row_str` so physical duplicates are the
     only thing that can cancel — those are upstream bugs this check
