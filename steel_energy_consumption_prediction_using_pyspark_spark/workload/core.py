@@ -859,7 +859,10 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("c_mktsegment", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("pct_rank"), 6).alias("avg_pct_rank"),
+            # floor-recipe: averages of k/(n-1) rank fractions land on
+            # exact .5e-6 halfway points at small n (surfaced at sf0.001);
+            # engines round halfway differently (NOTES.md rule 5).
+            (F.floor(F.avg("pct_rank") * 1000000 + F.lit(0.5)) / 1000000).alias("avg_pct_rank"),
             F.round(F.max("cume"), 6).alias("max_cume"),
         )
         .orderBy("c_mktsegment", "quartile")
@@ -1488,7 +1491,7 @@ ORACLES = {
         )
         SELECT c_mktsegment, quartile,
                CAST(count(*) AS BIGINT) AS n,
-               round(avg(pct_rank), 6) AS avg_pct_rank,
+               floor(avg(pct_rank) * 1000000 + 0.5e0) / 1000000 AS avg_pct_rank,
                round(max(cume), 6) AS max_cume
         FROM ranked
         GROUP BY c_mktsegment, quartile

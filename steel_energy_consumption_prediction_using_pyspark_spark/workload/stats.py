@@ -43,7 +43,11 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_pop("l_extendedprice"), 2).alias("sd_pop"),
             F.round(F.skewness("l_extendedprice"), 4).alias("skew"),
             F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt"),
-            F.round(F.median("l_extendedprice"), 2).alias("med_price"),
+            # floor-recipe, not round(): the exact median of cent-valued
+            # prices is x.xx5 whenever the two middle values differ by an
+            # odd cent count, and Spark/DuckDB round halfway cases
+            # differently (NOTES.md rule 5) — surfaced at sf0.001.
+            (F.floor(F.median("l_extendedprice") * 100 + F.lit(0.5)) / 100).alias("med_price"),
             F.bool_and(F.col("l_quantity") > 0).alias("all_pos_qty"),
             F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
             F.count(F.lit(1)).alias("n"),
@@ -245,7 +249,7 @@ ORACLES = {
                round(avg(power(l_extendedprice - mean_p, 4))
                      / power(avg(power(l_extendedprice - mean_p, 2)), 2e0) - 3,
                      4) AS kurt,
-               round(median(l_extendedprice), 2) AS med_price,
+               floor(median(l_extendedprice) * 100 + 0.5e0) / 100 AS med_price,
                bool_and(l_quantity > 0) AS all_pos_qty,
                bool_or(l_discount > 0.09e0) AS any_big_disc,
                CAST(count(*) AS BIGINT) AS n
