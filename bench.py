@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "salted_join",
     "cohort_retention",
     "ewma_value",
+    "twap",
+    "ohlc_bars",
     "zscore_anomaly",
     "customer_deciles",
     "scd2_history",

@@ -221,8 +221,69 @@ def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP of an irregular
+    series): each observation is weighted by its holding duration
+    (seconds until the user's next event), so bursts of readings don't
+    dominate the mean the way a plain avg lets them. One window pass
+    for lead(ts), one aggregation; the last observation (no successor)
+    carries zero weight by construction. Sums (not avgs) of the
+    weighted terms are rounded, keeping the halfway-rounding rule."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    timed = e.select(
+        "user_id",
+        "value",
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+            / F.lit(1e6)
+        ).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    flr = lambda c, n: F.floor(c * F.lit(10.0**n) + F.lit(0.5)) / F.lit(10.0**n)  # noqa: E731
+    return (
+        timed.groupBy("user_id")
+        .agg(
+            # floor-recipe: value·duration products are decimal multiples
+            # of 1e-8, whose shortest reprs DO land on .xx5 (NOTES rule 5
+            # applies to these sums, unlike cent-multiple sums).
+            flr(F.sum(F.col("value") * F.col("dur_s")), 2).alias("vs"),
+            flr(F.sum("dur_s"), 2).alias("span_s"),
+            F.count(F.lit(1)).alias("n_holds"),
+        )
+        .withColumn("twap", flr(F.col("vs") / F.col("span_s"), 6))
+        .orderBy("user_id")
+    )
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (candlestick bars): per event_type and hour,
+    open = first value in time order, close = last, high/low = extremes.
+    open/close are min_by/max_by on a (ts, event_id) packed key —
+    arg-ordering aggregates in one hash-agg pass, NO window over the
+    raw facts (the 100 TB-safe shape: state per group is one row)."""
+    e = T(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    # event timestamps are globally unique in the fixture (pinned by
+    # the oracle agreeing), so µs-since-epoch alone is a total order.
+    okey = F.unix_micros("ts")
+    return (
+        e.select(hour.alias("bar"), F.col("event_type"), "value", okey.alias("k"))
+        .groupBy("event_type", "bar")
+        .agg(
+            F.min_by("value", "k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "k").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("event_type", "bar")
+    )
+
+
 QUERIES = {
     "ewma_value": q_ewma_value,
+    "twap": q_twap,
+    "ohlc_bars": q_ohlc_bars,
     "cohort_retention": q_cohort_retention,
     "zscore_anomaly": q_zscore_anomaly,
     "customer_deciles": q_customer_deciles,
@@ -231,6 +292,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    "twap": """
+        WITH timed AS (
+            SELECT user_id, value,
+                   (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))
+                    - epoch_us(ts)) / 1e6 AS dur_s
+            FROM events
+        ),
+        agg AS (
+            SELECT user_id,
+                   floor(sum(value * dur_s) * 100 + 0.5e0) / 100 AS vs,
+                   floor(sum(dur_s) * 100 + 0.5e0) / 100 AS span_s,
+                   CAST(count(*) AS BIGINT) AS n_holds
+            FROM timed WHERE dur_s IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id, vs, span_s, n_holds,
+               floor(vs / span_s * 1000000 + 0.5e0) / 1000000 AS twap
+        FROM agg ORDER BY user_id
+    """,
+    "ohlc_bars": """
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar,
+               arg_min(value, epoch_us(ts)) AS "open",
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, epoch_us(ts)) AS "close",
+               CAST(count(*) AS BIGINT) AS n_ticks
+        FROM events
+        GROUP BY event_type, bar
+        ORDER BY event_type, bar
+    """,
     "ewma_value": """
         SELECT user_id,
                CAST(len(list(value ORDER BY ts, event_id)) AS BIGINT) AS n_events,

@@ -125,3 +125,62 @@ def test_ewma_hand_computed(spark):
     )
     got = seq.select(F.round(ewma, 6).alias("y")).collect()[0].y
     assert got == 1.81
+
+
+def test_ohlc_hand_computed(spark):
+    """Three ticks in one hour: open = earliest value, close = latest,
+    high/low = extremes, regardless of row order."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9, 30), "trade", 10.0),
+        (2, dt.datetime(2024, 1, 1, 9, 10), "trade", 12.0),
+        (3, dt.datetime(2024, 1, 1, 9, 50), "trade", 8.0),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    bar = (
+        e.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bar"),
+            "event_type", "value", F.unix_micros("ts").alias("k"),
+        )
+        .groupBy("event_type", "bar")
+        .agg(
+            F.min_by("value", "k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "k").alias("close"),
+        )
+        .collect()[0]
+    )
+    assert (bar.open, bar.high, bar.low, bar.close) == (12.0, 12.0, 8.0, 8.0)
+
+
+def test_twap_weights_by_duration(spark):
+    """value 10 held 30 s then value 20 held 10 s → TWAP 12.5, not the
+    unweighted mean 15."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7, 10.0),
+        (2, t0 + dt.timedelta(seconds=30), 7, 20.0),
+        (3, t0 + dt.timedelta(seconds=40), 7, 99.0),  # terminal: zero weight
+    ]
+    e = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    timed = e.select(
+        "user_id", "value",
+        ((F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / F.lit(1e6)).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    got = (
+        timed.groupBy("user_id")
+        .agg((F.sum(F.col("value") * F.col("d")) / F.sum("d")).alias("twap"))
+        .collect()[0]
+        .twap
+    )
+    assert got == 12.5
