@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "token_histogram",
     "tfidf",
     "stratified_sample",
+    "group_sample",
     "winnowing",
     "prefix_jaccard",
     "multimodal_meta",

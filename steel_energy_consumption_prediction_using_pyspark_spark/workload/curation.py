@@ -141,12 +141,35 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample: exactly 3 documents
+    per (lang, source) cell, chosen by the content-addressed
+    multiplicative hash order (row_number over hash, ties impossible —
+    the hash of a unique key is unique mod 2³²·collision-odds; the id
+    itself tiebreaks). The inspect-a-few-per-stratum primitive for
+    corpus QA dashboards: unlike LIMIT-per-group via raw order, the
+    chosen rows are stable across partitionings, reruns, and engines.
+    One shuffle (the window partition key)."""
+    d = T(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "source", F.col("rn").cast("long").alias("rn"), "doc_id", "n_chars")
+        .orderBy("lang", "source", "rn")
+    )
+
+
 QUERIES = {
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
     "pack_windows": q_pack_windows,
     "dq_summary": q_dq_summary,
     "weighted_sample": q_weighted_sample,
+    "group_sample": q_group_sample,
 }
 
 # Word n-grams in DuckDB: 1-indexed list slots, end-exclusive range.
@@ -238,6 +261,20 @@ ORACLES = {
                      / ((max(pack_id) + 1) * {PACK_WINDOW}), 6)
                    AS utilization
         FROM p GROUP BY source ORDER BY source
+    """,
+    "group_sample": """
+        SELECT lang, source, CAST(rn AS BIGINT) AS rn, doc_id, n_chars
+        FROM (
+            SELECT lang, source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                                doc_id ASC
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= 3
+        ORDER BY lang, source, rn
     """,
     "weighted_sample": """
         SELECT lang,

@@ -187,3 +187,28 @@ def test_q11_single_fact_scan(spark, sf_dir):
     plan = physical_plan(tpch.q_tpch_important_stock(spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1, plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_salted_join_is_hash_equi_join(spark, sf_dir):
+    """The salted formulation must stay a hash equi-join on the
+    composite (key, salt) — never a nested loop — and the salt must
+    appear in the join keys."""
+    from pyspark.sql import functions as F
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        salted_join,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    plan = (
+        salted_join(li, o, on=["o_orderkey"], salt_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "_salt" in plan
