@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "tfidf",
     "stratified_sample",
     "group_sample",
+    "pii_scrub",
     "winnowing",
     "prefix_jaccard",
     "multimodal_meta",

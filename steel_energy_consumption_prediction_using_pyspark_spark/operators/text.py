@@ -294,3 +294,35 @@ def chunk_text(
         chunk.alias("chunk_text"),
         F.length(chunk).alias("chunk_len"),
     )
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# Deliberately conservative, engine-portable patterns (both Java regex
+# and DuckDB's RE2 read them identically — no lookaround, no \b).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{4}"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub email- and phone-shaped spans to typed placeholders — the
+    mandatory pre-training hygiene pass. Pure regexp_replace chain:
+    JVM-side, codegen'd, zero shuffles — it rides the scan like every
+    other per-row text op. Order matters: emails first, or the phone
+    pattern could bite digit runs inside an address's local part."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(email_count, phone_count) per row via regexp_count — the audit
+    twin of redact_pii (phone counted AFTER email removal, mirroring
+    the redaction order)."""
+    c = F.col(text) if isinstance(text, str) else text
+    emails = F.regexp_count(c, F.lit(EMAIL_RE))
+    phones = F.regexp_count(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), F.lit(PHONE_RE)
+    )
+    return emails, phones

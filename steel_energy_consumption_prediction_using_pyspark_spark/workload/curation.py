@@ -163,6 +163,53 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit (operators/text.py::redact_pii/pii_counts):
+    emails and phone-shaped spans scrubbed to typed placeholders — the
+    mandatory pretraining hygiene pass, a pure codegen'd
+    regexp_replace chain riding the scan. The fixture corpus is
+    synthetic and PII-free, so the query PLANTS deterministic PII
+    (email on keys ≡0 mod 37, phone on ≡0 mod 41 — some docs get
+    both) with identical SQL on the oracle side; the per-lang audit
+    (docs touched, emails/phones redacted, chars removed) is then
+    value-checked, proving detection AND reconstruction byte-for-byte."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 41 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    aug = d.select("doc_id", "lang", planted.alias("t"))
+    emails, phones = pii_counts("t")
+    audited = aug.select(
+        "lang",
+        emails.alias("ne"),
+        phones.alias("np"),
+        (F.length("t") - F.length(redact_pii("t"))).alias("chars_removed"),
+    )
+    return (
+        audited.groupBy("lang")
+        .agg(
+            F.sum((F.col("ne") + F.col("np") > 0).cast("long")).alias("docs_with_pii"),
+            F.sum("ne").cast("long").alias("emails_redacted"),
+            F.sum("np").cast("long").alias("phones_redacted"),
+            F.sum("chars_removed").cast("long").alias("chars_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
@@ -170,6 +217,7 @@ QUERIES = {
     "dq_summary": q_dq_summary,
     "weighted_sample": q_weighted_sample,
     "group_sample": q_group_sample,
+    "pii_scrub": q_pii_scrub,
 }
 
 # Word n-grams in DuckDB: 1-indexed list slots, end-exclusive range.
@@ -261,6 +309,42 @@ ORACLES = {
                      / ((max(pack_id) + 1) * {PACK_WINDOW}), 6)
                    AS utilization
         FROM p GROUP BY source ORDER BY source
+    """,
+    "pii_scrub": r"""
+        WITH aug AS (
+            SELECT lang,
+                   text
+                   || CASE WHEN doc_id % 37 = 0
+                           THEN ' contact user' || doc_id || '@example.com now'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 41 = 0
+                           THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS t
+            FROM documents
+        ),
+        audited AS (
+            SELECT lang,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+                   len(regexp_extract_all(
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\d{3}-\d{4}')) AS np,
+                   length(t) - length(
+                       regexp_replace(
+                           regexp_replace(t,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\d{3}-\d{4}', '<PHONE>', 'g')) AS chars_removed
+            FROM aug
+        )
+        SELECT lang,
+               CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+               CAST(sum(ne) AS BIGINT) AS emails_redacted,
+               CAST(sum(np) AS BIGINT) AS phones_redacted,
+               CAST(sum(chars_removed) AS BIGINT) AS chars_removed
+        FROM audited GROUP BY lang ORDER BY lang
     """,
     "group_sample": """
         SELECT lang, source, CAST(rn AS BIGINT) AS rn, doc_id, n_chars

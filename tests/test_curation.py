@@ -92,3 +92,34 @@ def test_repetition_filter_composes_scan_side(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pii_redaction_hand_cases(spark):
+    """Planted emails/phones are scrubbed to placeholders; clean text
+    is untouched; phone digits inside an email's local part are not
+    double-counted (emails removed before phone matching)."""
+    from pyspark.sql import functions as F
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "write to alice.smith+x@mail.example.org today"),
+        (2, "call 555-0199 or 555-0200"),
+        (3, "clean text, nothing to see"),
+        (4, "dual: bob@x.io and 123-4567"),
+        (5, "tricky 123-4567@a.bc local part looks like a phone"),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    emails, phones = pii_counts("t")
+    out = {
+        r.i: (r.s, r.ne, r.np)
+        for r in df.select("i", redact_pii("t").alias("s"), emails.alias("ne"), phones.alias("np")).collect()
+    }
+    assert out[1] == ("write to <EMAIL> today", 1, 0)
+    assert out[2] == ("call <PHONE> or <PHONE>", 0, 2)
+    assert out[3] == ("clean text, nothing to see", 0, 0)
+    assert out[4] == ("dual: <EMAIL> and <PHONE>", 1, 1)
+    assert out[5][1] == 1 and out[5][2] == 0  # email eaten first
