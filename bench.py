@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "corpus_curation",
     "token_histogram",
     "tfidf",
+    "bm25",
     "stratified_sample",
     "group_sample",
     "pii_scrub",

@@ -349,7 +349,62 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson-Spärck Jones; k1=1.2, b=0.75)
+    of the whole corpus against the 3 highest-df terms, top-15 docs.
+    Everything derives from integer counts (tf, df, N, doc lengths —
+    all exactly representable), so the float expression sequence is
+    bit-identical across engines; per-term scores are rounded to 6
+    BEFORE the per-doc sum, making the 3-term sum a near-multiple of
+    1e-6 that summation order cannot push across a rounding boundary.
+    Plan: the tf/df aggregations of tfidf + a broadcast of the 3-term
+    query + one shuffle join on doc_id for length normalization —
+    scoring touches only the query terms' postings, never the full
+    token table."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(X.normalize_text("text")).alias("tk")
+    )
+    dl = d.select("doc_id", F.size("tk").cast("double").alias("dl"))
+    tok = d.select("doc_id", F.explode("tk").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = dfx.orderBy(F.desc("df"), F.asc("term")).limit(3)
+    k1, b = 1.2, 0.75
+    idf = F.log(
+        (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = F.round(
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
 QUERIES = {
+    "bm25": q_bm25,
     "prefix_jaccard": q_prefix_jaccard,
     "chunk_documents": q_chunk_documents,
     "text_stats": q_text_stats,
@@ -378,6 +433,39 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "bm25": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM d),
+        tok AS (SELECT doc_id, unnest(tk) AS term FROM d),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, term),
+        dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         sum(dl) / count(*) AS avgdl
+                  FROM dl),
+        qterms AS (SELECT term, df FROM dfx ORDER BY df DESC, term ASC LIMIT 3),
+        scored AS (
+            SELECT tf.doc_id,
+                   round(
+                       ln((stats.n - qterms.df + 0.5e0) / (qterms.df + 0.5e0) + 1e0)
+                       * (tf.tf * 2.2e0)
+                       / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl)),
+                       6) AS s
+            FROM tf
+            JOIN qterms USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+        )
+        SELECT doc_id, round(sum(s), 6) AS bm25,
+               CAST(count(*) AS BIGINT) AS terms_hit
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+    """,
     "prefix_jaccard": r"""
         WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 800),
         clones AS (
