@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "token_histogram",
     "tfidf",
     "bm25",
+    "pmi_collocations",
     "stratified_sample",
     "group_sample",
     "pii_scrub",

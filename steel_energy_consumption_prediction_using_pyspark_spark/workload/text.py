@@ -403,8 +403,58 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990): which adjacent word pairs co-occur far above chance —
+    PMI = ln(c(ab)·T / (c(a)·c(b))) over corpus-wide bigram/unigram
+    counts, min support 5, top-20 by (PMI, pair). The multiword-
+    expression detector of a tokenizer-prep pipeline. All counts are
+    integers, so the PMI float sequence is engine-identical. Plan:
+    one explode→agg for unigrams, one shingle→agg for bigrams, two
+    broadcast-joinable lookups of the unigram table (its distinct-term
+    cardinality is vocabulary-sized, not corpus-sized)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(X.normalize_text("text")).alias("tk")
+    )
+    uni = (
+        d.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    big = (
+        d.select(F.explode(X.shingles_from("tk", 2)).alias("ab"))
+        .groupBy("ab")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 5)
+    )
+    tot = d.select(F.explode("tk").alias("w")).agg(
+        F.count(F.lit(1)).cast("double").alias("t")
+    )
+    a = F.split_part(F.col("ab"), F.lit(" "), F.lit(1))
+    b = F.split_part(F.col("ab"), F.lit(" "), F.lit(2))
+    pmi = F.round(
+        F.log(
+            F.col("cab").cast("double")
+            * F.col("t")
+            / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+        ),
+        6,
+    )
+    return (
+        big.withColumn("wa", a)
+        .withColumn("wb", b)
+        .join(F.broadcast(uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))), "wa")
+        .join(F.broadcast(uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb"))), "wb")
+        .crossJoin(F.broadcast(tot))
+        .select("ab", "cab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("ab"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "bm25": q_bm25,
+    "pmi_collocations": q_pmi_collocations,
     "prefix_jaccard": q_prefix_jaccard,
     "chunk_documents": q_chunk_documents,
     "text_stats": q_text_stats,
@@ -433,6 +483,32 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "pmi_collocations": r"""
+        WITH d AS (
+            SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+            FROM documents
+        ),
+        uni AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS cw
+            FROM (SELECT unnest(tk) AS w FROM d) GROUP BY w
+        ),
+        tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS t FROM uni),
+        big AS (
+            SELECT g AS ab, CAST(count(*) AS BIGINT) AS cab
+            FROM (
+                SELECT tk[CAST(i AS INT)] || ' ' || tk[CAST(i+1 AS INT)] AS g
+                FROM d, UNNEST(range(1, len(tk))) AS r(i)
+            ) GROUP BY g HAVING count(*) >= 5
+        )
+        SELECT ab, cab,
+               round(ln(CAST(cab AS DOUBLE) * tot.t
+                        / (CAST(ua.cw AS DOUBLE) * CAST(ub.cw AS DOUBLE))), 6) AS pmi
+        FROM big
+        JOIN uni ua ON ua.w = split_part(ab, ' ', 1)
+        JOIN uni ub ON ub.w = split_part(ab, ' ', 2)
+        CROSS JOIN tot
+        ORDER BY pmi DESC, ab ASC LIMIT 20
+    """,
     "bm25": r"""
         WITH d AS (
             SELECT doc_id,
