@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "ewma_value",
     "twap",
     "ohlc_bars",
+    "rolling_median",
+    "sliding_distinct",
     "zscore_anomaly",
     "customer_deciles",
     "scd2_history",

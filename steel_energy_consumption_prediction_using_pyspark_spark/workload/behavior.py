@@ -280,10 +280,59 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (robust smoother) of each user's last 5
+    values: Spark's median() cannot take a window frame, so the frame
+    is materialized per row (collect_list over ROWS BETWEEN 4
+    PRECEDING), sorted in place, and interpolated — bounded state (5
+    doubles/row) regardless of series length, one shuffle on user_id.
+    DuckDB's framed median() computes the identical interpolation;
+    floor-recipe rounding (cent-valued inputs make even-count medians
+    land on .xx5)."""
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    frame = e.select(
+        "event_id",
+        "user_id",
+        F.array_sort(F.collect_list("value").over(w)).alias("arr"),
+    )
+    n = F.size("arr")
+    lo = F.element_at(F.col("arr"), F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(F.col("arr"), (F.floor(n / 2) + 1).cast("int"))
+    med = (lo + hi) / 2
+    return frame.select(
+        "event_id",
+        "user_id",
+        (F.floor(med * 100 + F.lit(0.5)) / 100).alias("med5"),
+    ).orderBy("event_id")
+
+
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per overlapping window (2 h window, 1 h
+    slide): each event lands in 2 windows, and COUNT(DISTINCT) must
+    dedup within each independently — the overlap makes this
+    non-mergeable from tumbling partials (the sketch path for the same
+    question at 100 TB is sketch_distinct's HLL partials; this is the
+    exact twin)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count_distinct("user_id").alias("users"))
+        .select(ts_str(F.col("w.start")).alias("wstart"), "users")
+        .orderBy("wstart")
+    )
+
+
 QUERIES = {
     "ewma_value": q_ewma_value,
     "twap": q_twap,
     "ohlc_bars": q_ohlc_bars,
+    "rolling_median": q_rolling_median,
+    "sliding_distinct": q_sliding_distinct,
     "cohort_retention": q_cohort_retention,
     "zscore_anomaly": q_zscore_anomaly,
     "customer_deciles": q_customer_deciles,
@@ -292,6 +341,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rolling_median": """
+        SELECT event_id, user_id,
+               floor(median(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) * 100 + 0.5e0) / 100 AS med5
+        FROM events ORDER BY event_id
+    """,
+    "sliding_distinct": """
+        WITH ev AS (SELECT date_trunc('hour', ts) AS h, user_id FROM events),
+        assign AS (
+            SELECT h AS ws, user_id FROM ev
+            UNION ALL
+            SELECT h - INTERVAL 1 HOUR, user_id FROM ev
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        FROM assign GROUP BY ws ORDER BY wstart
+    """,
     "twap": """
         WITH timed AS (
             SELECT user_id, value,
