@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "merge_upsert",
     "forward_fill",
     "skew_profile",
+    "profile_table",
     "weighted_sample",
     "table_fingerprint",
     "snapshot_diff",

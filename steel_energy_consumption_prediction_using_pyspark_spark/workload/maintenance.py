@@ -247,7 +247,50 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("check")
 
 
+PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over orders: per column — null count, distinct
+    count, Shannon entropy (nats), modal value and its frequency. The
+    schema-on-read sanity report run before trusting any new feed.
+    One groupBy per column over the same scan (Catalyst reuses the
+    exchange where possible); entropy derives from integer counts so
+    the float sequence is engine-identical; the mode tiebreaks on the
+    value string."""
+    o = T(spark, sf_dir, "orders")
+    outs = []
+    for c in PROFILE_COLS:
+        per_val = (
+            o.groupBy(F.col(c).cast("string").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        tot = F.sum("cnt").cast("double")
+        p = F.col("cnt").cast("double")
+        prof = (
+            per_val.agg(
+                F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(F.lit(0))).cast("long").alias("n_nulls"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.round(
+                    F.log(tot)
+                    - F.sum(F.col("cnt").cast("double") * F.log(p)) / tot,
+                    6,
+                ).alias("entropy"),
+                F.max_by("v", F.struct(F.col("cnt"), F.col("v"))).alias("top_value"),
+                F.max("cnt").cast("long").alias("top_freq"),
+            )
+            .select(F.lit(c).alias("col"), "*")
+        )
+        outs.append(prof)
+    out = outs[0]
+    for p2 in outs[1:]:
+        out = out.unionByName(p2)
+    return out.orderBy("col")
+
+
 QUERIES = {
+    "profile_table": q_profile_table,
     "incremental_rollup": q_incremental_rollup,
     "merge_upsert": q_merge_upsert,
     "forward_fill": q_forward_fill,
@@ -257,7 +300,36 @@ QUERIES = {
     "referential_integrity": q_referential_integrity,
 }
 
+def _profile_sql(col: str) -> str:
+    return f"""
+        SELECT '{col}' AS col,
+               CAST(coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               round(ln(CAST(sum(cnt) AS DOUBLE))
+                     - sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)))
+                       / CAST(sum(cnt) AS DOUBLE), 6) AS entropy,
+               (SELECT v FROM pv_{col} ORDER BY cnt DESC, v DESC LIMIT 1) AS top_value,
+               (SELECT max(cnt) FROM pv_{col}) AS top_freq
+        FROM pv_{col}"""
+
+
 ORACLES = {
+    "profile_table": (
+        "WITH "
+        + ", ".join(
+            f"""pv_{c} AS (
+                SELECT CAST({c} AS VARCHAR) AS v, CAST(count(*) AS BIGINT) AS cnt
+                FROM orders GROUP BY 1
+            )"""
+            for c in PROFILE_COLS
+        )
+        + " ".join(
+            (" UNION ALL " if i else "") + _profile_sql(c)
+            for i, c in enumerate(PROFILE_COLS)
+        )
+        + " ORDER BY col"
+    ),
     "referential_integrity": """
         SELECT 'customers_without_orders' AS "check",
                CAST((SELECT count(*) FROM customer
