@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "forward_fill",
     "skew_profile",
     "profile_table",
+    "benford",
     "weighted_sample",
     "table_fingerprint",
     "snapshot_diff",

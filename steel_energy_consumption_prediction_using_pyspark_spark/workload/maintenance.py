@@ -289,7 +289,44 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("col")
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed digit
+    share vs the log10(1+1/d) expectation and the chi-square distance
+    — the classic fabricated-numbers screen in financial DQ. Digit
+    extraction is string-based (first char of the integral part), one
+    9-group aggregation; expected shares are constants folded at plan
+    time. (TPC-H-style uniform prices are NOT Benford-distributed —
+    the point here is the measurement, and the oracle pins the exact
+    chi-square either way.)"""
+    o = T(spark, sf_dir, "orders")
+    digit = F.substring(F.floor(F.col("o_totalprice")).cast("string"), 1, 1).cast("int")
+    counts = o.select(digit.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    import math
+
+    expected = F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)])
+    exp_d = F.element_at(expected, F.col("d"))
+    return (
+        counts.crossJoin(
+            F.broadcast(counts.agg(F.sum("cnt").cast("double").alias("t")))
+        )
+        .select(
+            "d",
+            "cnt",
+            F.round(F.col("cnt") / F.col("t"), 6).alias("obs_share"),
+            F.round(exp_d, 6).alias("exp_share"),
+            F.round(
+                (F.col("cnt") / F.col("t") - exp_d) * (F.col("cnt") / F.col("t") - exp_d) / exp_d,
+                8,
+            ).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )
+
+
 QUERIES = {
+    "benford": q_benford,
     "profile_table": q_profile_table,
     "incremental_rollup": q_incremental_rollup,
     "merge_upsert": q_merge_upsert,
@@ -314,7 +351,33 @@ def _profile_sql(col: str) -> str:
         FROM pv_{col}"""
 
 
+import math as _math
+
+# Benford expectations as full-precision Python doubles, embedded as
+# literals in BOTH plans — computing log10 separately per engine could
+# differ by an ulp; a shared literal cannot.
+_BENFORD = {d: repr(_math.log10(1 + 1 / d)) for d in range(1, 10)}
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {v}e0" for d, v in _BENFORD.items()
+) + " END"
+
 ORACLES = {
+    "benford": f"""
+        WITH counts AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM counts)
+        SELECT d, cnt,
+               round(cnt / t.t, 6) AS obs_share,
+               round({_BENFORD_CASE}, 6) AS exp_share,
+               round((cnt / t.t - {_BENFORD_CASE})
+                     * (cnt / t.t - {_BENFORD_CASE})
+                     / {_BENFORD_CASE}, 8) AS chi2_term
+        FROM counts CROSS JOIN t
+        ORDER BY d
+    """,
     "profile_table": (
         "WITH "
         + ", ".join(

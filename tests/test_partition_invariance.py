@@ -24,6 +24,8 @@ REPRESENTATIVE = [
     "table_fingerprint",   # XOR aggregate (order-free by algebra)
     "bfs_hops",            # iterative frontier expansion
     "er_match",            # blocked linkage + window best-match
+    "bm25",                # integer-count float scoring + top-k
+    "rolling_median",      # framed collect + interpolation
 ]
 
 
