@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "incremental_rollup",
     "merge_upsert",
     "forward_fill",
+    "interpolate",
     "skew_profile",
     "profile_table",
     "benford",

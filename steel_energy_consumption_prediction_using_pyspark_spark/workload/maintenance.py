@@ -325,8 +325,57 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of missing readings — the
+    upgrade from forward_fill's LOCF: a masked value is reconstructed
+    from its nearest non-null neighbors on BOTH sides, weighted by
+    time distance. Deterministic mask (event_id ≡ 2 mod 5) planted in
+    the query so both engines repair the same holes. Four framed
+    window expressions over one user_id shuffle (prev/next value and
+    timestamp each via IGNORE NULLS over half-open frames); boundary
+    holes (no neighbor on one side) fall back to the available side.
+    All inputs are exact (cent values, integer µs), so the
+    interpolation float sequence is engine-identical."""
+    e = T(spark, sf_dir, "events")
+    masked = F.when(F.col("event_id") % 5 == 2, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    src = e.select(
+        "event_id", "user_id", "ts", masked.alias("v"), F.unix_micros("ts").alias("us")
+    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    pv = F.last("v", ignorenulls=True).over(wp)
+    pt = F.last(F.when(F.col("v").isNotNull(), F.col("us")), ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nt = F.first(F.when(F.col("v").isNotNull(), F.col("us")), ignorenulls=True).over(wn)
+    frac = (F.col("us") - pt).cast("double") / (nt - pt).cast("double")
+    interp = pv + (nv - pv) * frac
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(interp)
+    )
+    return src.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_masked"),
+        F.round(filled, 6).alias("filled"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "benford": q_benford,
+    "interpolate": q_interpolate,
     "profile_table": q_profile_table,
     "incremental_rollup": q_incremental_rollup,
     "merge_upsert": q_merge_upsert,
@@ -362,6 +411,39 @@ _BENFORD_CASE = "CASE d " + " ".join(
 ) + " END"
 
 ORACLES = {
+    "interpolate": """
+        WITH src AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 5 = 2 THEN NULL ELSE value END AS v,
+                   epoch_us(ts) AS us
+            FROM events
+        ),
+        w AS (
+            SELECT event_id, user_id, v, us,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+                   first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+            FROM src
+        )
+        SELECT event_id, user_id,
+               v IS NULL AS was_masked,
+               round(CASE WHEN v IS NOT NULL THEN v
+                          WHEN pv IS NULL THEN nv
+                          WHEN nv IS NULL THEN pv
+                          ELSE pv + (nv - pv) * (CAST(us - pt AS DOUBLE)
+                                                 / CAST(nt - pt AS DOUBLE))
+                     END, 6) AS filled
+        FROM w ORDER BY event_id
+    """,
     "benford": f"""
         WITH counts AS (
             SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
