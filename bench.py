@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "tpch_top_supplier",
     "tpch_promo_suppliers",
     "stats_moments",
+    "quantile_normalize",
     "regr_agg",
     "window_distribution",
     "string_distance",

@@ -217,7 +217,47 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (the batch-effect correction of
+    bioinformatics / feature alignment of ML pipelines): each event's
+    value is replaced by the GLOBAL distribution's value at the same
+    within-type percentile, so every event_type ends up with an
+    identical value distribution. Implementation: a 1001-point global
+    quantile grid (one percentile() aggregate → posexplode — bounded
+    state; the rank-based `percentiles` query is the same answer's
+    spill-safe form at 100 TB), one percent_rank window per type, and
+    a BROADCAST equi-join of the grid on the floored grid index — no
+    global window anywhere. Output: per-type distribution summary of
+    the normalized values; sums not avgs (cent-valued halfway rule)."""
+    e = T(spark, sf_dir, "events")
+    grid = (
+        e.agg(F.expr(
+            "percentile(value, array(" + ",".join(str(i / 1000.0) for i in range(1001)) + "))"
+        ).alias("qs"))
+        .select(F.posexplode("qs").alias("gi", "qv"))
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        F.least(
+            F.floor(F.percent_rank().over(w) * 1000).cast("int"), F.lit(1000)
+        ).alias("gi"),
+    )
+    return (
+        ranked.join(F.broadcast(grid), "gi")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("qv"), 2).alias("sum_norm"),
+            F.round(F.min("qv"), 2).alias("min_norm"),
+            F.round(F.max("qv"), 2).alias("max_norm"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "quantile_normalize": q_quantile_normalize,
     "approx_topk": q_approx_topk,
     "stats_moments": q_stats_moments,
     "regr_agg": q_regr_agg,
@@ -229,6 +269,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quantile_normalize": """
+        WITH grid AS (
+            SELECT CAST(gi - 1 AS INT) AS gi, qv
+            FROM (
+                SELECT unnest(quantile_cont(value,
+                           list_transform(range(0, 1001), i -> i / 1000.0))) AS qv,
+                       generate_subscripts(quantile_cont(value,
+                           list_transform(range(0, 1001), i -> i / 1000.0)), 1) AS gi
+                FROM events
+            )
+        ),
+        ranked AS (
+            SELECT event_type,
+                   least(CAST(floor(percent_rank() OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                   ) * 1000) AS INT), 1000) AS gi
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(qv), 2) AS sum_norm,
+               round(min(qv), 2) AS min_norm,
+               round(max(qv), 2) AS max_norm
+        FROM ranked JOIN grid USING (gi)
+        GROUP BY event_type ORDER BY event_type
+    """,
     "approx_topk": """
         SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
         FROM events GROUP BY event_type
