@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "tpch_promo_suppliers",
     "stats_moments",
     "quantile_normalize",
+    "ks_drift",
     "regr_agg",
     "window_distribution",
     "string_distance",

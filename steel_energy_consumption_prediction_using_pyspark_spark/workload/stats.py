@@ -256,7 +256,57 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    click and purchase value distributions: D = max |F₁(x) − F₂(x)|
+    over the pooled support — the standard no-assumptions
+    batch-drift detector. One sort-order window pass over the pooled
+    (value, group) points computing both running ECDFs via
+    conditional cumulative sums; all ECDF values are integer-count
+    ratios, so D is engine-exact. Output: D, the value attaining it
+    (earliest, deterministic), and sample sizes."""
+    e = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    # Aggregate to the distinct-value support FIRST (distributed
+    # hash agg) — the global ECDF window then runs over the bounded
+    # support (cent-valued range), never the raw facts: the one
+    # legitimate single-partition window placement (same argument as
+    # customer_deciles).
+    per_val = e.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("c2"),
+    )
+    tot = per_val.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = per_val.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "n1",
+        "n2",
+        (F.sum("c1").over(w) / F.col("n1")).alias("f1"),
+        (F.sum("c2").over(w) / F.col("n2")).alias("f2"),
+    )
+    diff = F.abs(F.col("f1") - F.col("f2"))
+    return (
+        ecdf.select("value", "n1", "n2", diff.alias("d"))
+        .orderBy(F.desc("d"), F.asc("value"))
+        .limit(1)
+        .select(
+            F.round("d", 6).alias("ks_d"),
+            F.round("value", 2).alias("at_value"),
+            F.col("n1").cast("long").alias("n_click"),
+            F.col("n2").cast("long").alias("n_purchase"),
+        )
+    )
+
+
 QUERIES = {
+    "ks_drift": q_ks_drift,
     "quantile_normalize": q_quantile_normalize,
     "approx_topk": q_approx_topk,
     "stats_moments": q_stats_moments,
@@ -269,6 +319,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ks_drift": """
+        WITH per_val AS (
+            SELECT value,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+            FROM events WHERE event_type IN ('click', 'purchase')
+            GROUP BY value
+        ),
+        tot AS (
+            SELECT CAST(sum(c1) AS DOUBLE) AS n1, CAST(sum(c2) AS DOUBLE) AS n2
+            FROM per_val
+        ),
+        ecdf AS (
+            SELECT value, n1, n2,
+                   sum(c1) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / n1 AS f1,
+                   sum(c2) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / n2 AS f2
+            FROM per_val CROSS JOIN tot
+        )
+        SELECT round(abs(f1 - f2), 6) AS ks_d,
+               round(value, 2) AS at_value,
+               CAST(n1 AS BIGINT) AS n_click,
+               CAST(n2 AS BIGINT) AS n_purchase
+        FROM ecdf ORDER BY abs(f1 - f2) DESC, value ASC LIMIT 1
+    """,
     "quantile_normalize": """
         WITH grid AS (
             SELECT CAST(gi - 1 AS INT) AS gi, qv
