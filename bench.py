@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "tfidf",
     "bm25",
     "pmi_collocations",
+    "skipgram_counts",
     "stratified_sample",
     "group_sample",
     "pii_scrub",

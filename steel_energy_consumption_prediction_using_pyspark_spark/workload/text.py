@@ -452,7 +452,54 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts within a ±2
+    window — the count table word2vec/GloVe training starts from.
+    Pair generation is a per-row higher-order expression (sequence →
+    nested transform over the 4 offsets → filter), so the 4n pairs per
+    document materialize only in the explode feeding the count
+    aggregation — no self-join on position, no shuffle before the
+    (wa, wb) groupBy. Window edges are guarded with try_element_at
+    (plain element_at throws on index 0). Top-20 pairs with full
+    lexicographic tiebreak."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(X.normalize_text("text")).alias("tk")
+    )
+    n = F.size("tk")
+    offs = F.array(F.lit(-2), F.lit(-1), F.lit(1), F.lit(2))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.filter(
+                F.transform(
+                    offs,
+                    lambda o: F.struct(
+                        F.element_at(F.col("tk"), i.cast("int")).alias("wa"),
+                        # guard i+o >= 1 explicitly: negative indices
+                        # would wrap from the array END, silently
+                        # pairing with the wrong word.
+                        F.when(
+                            i + o >= 1,
+                            F.try_element_at(F.col("tk"), (i + o).cast("int")),
+                        ).alias("wb"),
+                    ),
+                ),
+                lambda s: s["wb"].isNotNull(),
+            ),
+        )
+    )
+    return (
+        d.filter(n >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("wa"), F.asc("wb"))
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "skipgram_counts": q_skipgram_counts,
     "bm25": q_bm25,
     "pmi_collocations": q_pmi_collocations,
     "prefix_jaccard": q_prefix_jaccard,
@@ -483,6 +530,22 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "skipgram_counts": r"""
+        WITH w AS (
+            SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+            FROM documents
+        ),
+        pairs AS (
+            SELECT ws[CAST(i AS INT)] AS wa, ws[CAST(i + o AS INT)] AS wb
+            FROM w,
+                 UNNEST(range(1, len(ws) + 1)) AS r(i),
+                 UNNEST([-2, -1, 1, 2]) AS t(o)
+            WHERE len(ws) >= 2 AND i + o BETWEEN 1 AND len(ws)
+        )
+        SELECT wa, wb, CAST(count(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY wa, wb
+        ORDER BY cnt DESC, wa ASC, wb ASC LIMIT 20
+    """,
     "pmi_collocations": r"""
         WITH d AS (
             SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
