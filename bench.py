@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "bm25",
     "pmi_collocations",
     "skipgram_counts",
+    "inverted_index",
     "stratified_sample",
     "group_sample",
     "pii_scrub",
@@ -147,6 +148,7 @@ BENCH_QUERIES = [
     "salted_join",
     "cohort_retention",
     "ewma_value",
+    "survival_curve",
     "twap",
     "ohlc_bars",
     "rolling_median",

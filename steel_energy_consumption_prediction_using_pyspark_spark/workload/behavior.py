@@ -327,7 +327,43 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifespan survival curve S(t): the fraction of users still
+    active ≥ t days after their first event (lifespan = last−first
+    event day). Per-user reduction first (the cardinality drop every
+    behavior query leads with), then the day grid 0..max joins the
+    lifespan histogram by a suffix cumulative sum — generated
+    dimension + tiny global window, never a window over facts.
+    Survival fractions are integer-count ratios: engine-exact."""
+    e = T(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("life_d")
+    )
+    hist = spans.groupBy("life_d").agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = hist.agg(
+        F.max("life_d").alias("mx"), F.sum("cnt").cast("double").alias("n")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.col("mx"))).alias("t"), "n"
+    )
+    joined = grid.join(hist, grid.t == hist.life_d, "left").select(
+        "t", "n", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        joined.select(
+            "t",
+            (F.sum("cnt").over(w) / F.col("n")).alias("s_raw"),
+        )
+        .select("t", F.round("s_raw", 6).alias("surviving_frac"))
+        .orderBy("t")
+    )
+
+
 QUERIES = {
+    "survival_curve": q_survival_curve,
     "ewma_value": q_ewma_value,
     "twap": q_twap,
     "ohlc_bars": q_ohlc_bars,
@@ -341,6 +377,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "survival_curve": """
+        WITH spans AS (
+            SELECT user_id,
+                   date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS life_d
+            FROM events GROUP BY user_id
+        ),
+        hist AS (SELECT life_d, CAST(count(*) AS BIGINT) AS cnt
+                 FROM spans GROUP BY life_d),
+        bounds AS (SELECT max(life_d) AS mx, CAST(sum(cnt) AS DOUBLE) AS n FROM hist),
+        grid AS (SELECT unnest(range(0, mx + 1)) AS t, n FROM bounds),
+        joined AS (
+            SELECT t, n, coalesce(cnt, 0) AS cnt
+            FROM grid LEFT JOIN hist ON grid.t = hist.life_d
+        )
+        SELECT CAST(t AS BIGINT) AS t,
+               round(sum(cnt) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / n, 6)
+                   AS surviving_frac
+        FROM joined ORDER BY t
+    """,
     "rolling_median": """
         SELECT event_id, user_id,
                floor(median(value) OVER (

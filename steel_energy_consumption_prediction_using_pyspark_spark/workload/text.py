@@ -498,7 +498,35 @@ def q_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term → sorted posting list, the
+    storage layout of every search engine. Postings build as ONE
+    aggregation per term (sort_array(collect_set(doc_id)) — set dedups
+    multi-occurrence, sort makes the list canonical); the output keeps
+    the 20 rarest indexable terms (df ≥ 5, the low-value tail cut) so
+    the driver compares full posting lists, serialized to a string the
+    engines render identically. At 100 TB posting lists for stop-words
+    are the skew risk — the df band IS the mitigation (common terms
+    route to the sketch/impact-ordered tier, not raw postings)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(X.normalize_text("text")).alias("tk")
+    )
+    tok = d.select("doc_id", F.explode(F.array_distinct("tk")).alias("term"))
+    postings = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.sort_array(F.collect_set("doc_id")), ","
+        ).alias("postings"),
+    )
+    return (
+        postings.filter(F.col("df") >= 5)
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "inverted_index": q_inverted_index,
     "skipgram_counts": q_skipgram_counts,
     "bm25": q_bm25,
     "pmi_collocations": q_pmi_collocations,
@@ -530,6 +558,21 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "inverted_index": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tk
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(tk) AS term FROM d),
+        p AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM tok GROUP BY term
+        )
+        SELECT term, df, postings FROM p
+        WHERE df >= 5 ORDER BY df ASC, term ASC LIMIT 20
+    """,
     "skipgram_counts": r"""
         WITH w AS (
             SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
