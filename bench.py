@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "ewma_value",
     "survival_curve",
+    "streaks",
     "twap",
     "ohlc_bars",
     "rolling_median",

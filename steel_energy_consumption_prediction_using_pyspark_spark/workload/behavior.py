@@ -362,7 +362,44 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive same-event-type runs per user via
+    the row_number-difference trick (global seq − per-type seq is
+    constant within an island, both over ONE user_id shuffle that the
+    grouping then reuses). Output: per event_type, number of runs, the
+    longest run, and mean run length — the repetition texture of a
+    behavioral stream. Mean = sum/count-derived, floor-recipe rounded
+    (integer ratios can land on exact halves)."""
+    e = T(spark, sf_dir, "events")
+    worder = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_all = Window.partitionBy("user_id").orderBy(*worder)
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(*worder)
+    islands = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("isl"),
+    )
+    runs = islands.groupBy("user_id", "event_type", "isl").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("longest"),
+            (
+                F.floor(
+                    (F.sum("run_len") / F.count(F.lit(1))) * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("mean_len"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "streaks": q_streaks,
     "survival_curve": q_survival_curve,
     "ewma_value": q_ewma_value,
     "twap": q_twap,
@@ -377,6 +414,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaks": """
+        WITH islands AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   - row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS isl
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, event_type, isl,
+                   CAST(count(*) AS BIGINT) AS run_len
+            FROM islands GROUP BY user_id, event_type, isl
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               max(run_len) AS longest,
+               floor((CAST(sum(run_len) AS DOUBLE) / count(*)) * 10000 + 0.5e0)
+                   / 10000 AS mean_len
+        FROM runs GROUP BY event_type ORDER BY event_type
+    """,
     "survival_curve": """
         WITH spans AS (
             SELECT user_id,
