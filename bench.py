@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "ewma_value",
     "survival_curve",
     "streaks",
+    "basket_lift",
     "twap",
     "ohlc_bars",
     "rolling_median",

@@ -398,7 +398,51 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over user behavior baskets: support,
+    confidence, and lift for every ordered event-type pair (a→b) —
+    does doing a make doing b more likely than chance. Baskets reduce
+    to one distinct (user, type) table; the pair join is
+    vocabulary-sized (25 cells for 5 types), so the only fact-sized
+    work is the distinct. All ratios are integer-count quotients:
+    engine-exact."""
+    e = T(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n_df = ut.agg(F.count_distinct("user_id").cast("double").alias("n"))
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    a = ut.select("user_id", F.col("event_type").alias("ta"))
+    b = ut.select("user_id", F.col("event_type").alias("tb"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") != F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("ta"), F.col("cnt").alias("ca"))
+    sb = singles.select(F.col("event_type").alias("tb"), F.col("cnt").alias("cb"))
+    n = F.col("n")
+    return (
+        pairs.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "ta",
+            "tb",
+            "n_both",
+            F.round(F.col("n_both") / n, 6).alias("support"),
+            F.round(F.col("n_both") / F.col("ca").cast("double"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_both") * n)
+                / (F.col("ca").cast("double") * F.col("cb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
 QUERIES = {
+    "basket_lift": q_basket_lift,
     "streaks": q_streaks,
     "survival_curve": q_survival_curve,
     "ewma_value": q_ewma_value,
@@ -414,6 +458,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "basket_lift": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM ut),
+        singles AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+                    FROM ut GROUP BY event_type),
+        pairs AS (
+            SELECT a.event_type AS ta, b.event_type AS tb,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b USING (user_id)
+            WHERE a.event_type <> b.event_type
+            GROUP BY ta, tb
+        )
+        SELECT ta, tb, n_both,
+               round(n_both / n.n, 6) AS support,
+               round(n_both / CAST(sa.cnt AS DOUBLE), 6) AS confidence,
+               round((n_both * n.n) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)), 6) AS lift
+        FROM pairs
+        JOIN singles sa ON sa.event_type = ta
+        JOIN singles sb ON sb.event_type = tb
+        CROSS JOIN n
+        ORDER BY ta, tb
+    """,
     "streaks": """
         WITH islands AS (
             SELECT user_id, event_type,
