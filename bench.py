@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "table_fingerprint",
     "snapshot_diff",
     "referential_integrity",
+    "reconcile",
+    "skyline",
     "approx_topk",
 ]
 

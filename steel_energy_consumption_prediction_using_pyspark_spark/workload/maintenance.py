@@ -373,8 +373,89 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation: order headers vs the sum of their
+    line items — the daily closing check of any billing warehouse.
+    One map-side-combinable aggregation of lineitem, one join back to
+    headers, relative differences bucketed to a fixed schema (exact /
+    within 1% / within 10% / worse / no lines). The fixture generates
+    headers and lines independently, so mismatches are EXPECTED — the
+    point is measuring them identically in both engines."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = T(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("line_total"))
+    j = o.join(li, "o_orderkey", "left")
+    rel = F.abs(F.col("line_total") - F.col("o_totalprice")) / F.col("o_totalprice")
+    bucket = (
+        F.when(F.col("line_total").isNull(), "no_lines")
+        .when(rel == 0, "exact")
+        .when(rel <= 0.01, "within_1pct")
+        .when(rel <= 0.10, "within_10pct")
+        .otherwise("worse")
+    )
+    return (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("header_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier, Börzsönyi et al. 2001): customers
+    not dominated on (account balance, total order count) — no other
+    customer is ≥ on both and > on one. The textbook formulation is an
+    O(n²) NOT-EXISTS self-join; for 2-D it collapses to ONE window
+    pass: sort by balance desc (count desc, key tiebreak), keep rows
+    whose order count strictly exceeds the running maximum BEFORE
+    them — a frontier point is exactly a new running-max of the second
+    dimension. The window runs over the per-customer aggregate
+    (|customers| rows), and the oracle runs the O(n²) definition, so
+    the match proves the rewrite."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(
+            c.select(F.col("c_custkey").alias("o_custkey"), "c_acctbal"), "o_custkey"
+        )
+    )
+    # Tie-correct rewrite: a row survives iff its n_orders equals its
+    # OWN balance-group's max (equal-balance rows with fewer orders
+    # are dominated inside the group; exact (bal, orders) ties are
+    # mutually non-dominated and all survive) AND that group max
+    # strictly exceeds the running max over STRICTLY greater balances
+    # (a rows-frame over the distinct-balance groups, so equal
+    # balances never leak into "greater").
+    groups = per.groupBy("c_acctbal").agg(F.max("n_orders").alias("gm"))
+    wg = Window.orderBy(F.desc("c_acctbal")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_groups = (
+        groups.withColumn("prev", F.max("gm").over(wg))
+        .filter(F.col("prev").isNull() | (F.col("gm") > F.col("prev")))
+        .select("c_acctbal", "gm")
+    )
+    return (
+        per.join(F.broadcast(frontier_groups), "c_acctbal")
+        .filter(F.col("n_orders") == F.col("gm"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_orders",
+        )
+        .orderBy(F.desc("acctbal"), F.asc("custkey"))
+    )
+
+
 QUERIES = {
     "benford": q_benford,
+    "reconcile": q_reconcile,
+    "skyline": q_skyline,
     "interpolate": q_interpolate,
     "profile_table": q_profile_table,
     "incremental_rollup": q_incremental_rollup,
@@ -411,6 +492,44 @@ _BENFORD_CASE = "CASE d " + " ".join(
 ) + " END"
 
 ORACLES = {
+    "reconcile": """
+        WITH li AS (
+            SELECT l_orderkey AS o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS line_total
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+            SELECT o.o_orderkey, o.o_totalprice, li.line_total,
+                   abs(li.line_total - o.o_totalprice) / o.o_totalprice AS rel
+            FROM orders o LEFT JOIN li USING (o_orderkey)
+        )
+        SELECT CASE WHEN line_total IS NULL THEN 'no_lines'
+                    WHEN rel = 0 THEN 'exact'
+                    WHEN rel <= 0.01 THEN 'within_1pct'
+                    WHEN rel <= 0.10 THEN 'within_10pct'
+                    ELSE 'worse' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS header_total
+        FROM j GROUP BY bucket ORDER BY bucket
+    """,
+    "skyline": """
+        WITH per AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, c_acctbal
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey, c_acctbal
+        )
+        SELECT a.o_custkey AS custkey,
+               round(a.c_acctbal, 2) AS acctbal,
+               a.n_orders
+        FROM per a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM per b
+            WHERE b.c_acctbal >= a.c_acctbal
+              AND b.n_orders >= a.n_orders
+              AND (b.c_acctbal > a.c_acctbal OR b.n_orders > a.n_orders)
+        )
+        ORDER BY acctbal DESC, custkey ASC
+    """,
     "interpolate": """
         WITH src AS (
             SELECT event_id, user_id, ts,
