@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "survival_curve",
     "streaks",
     "basket_lift",
+    "session_stats",
     "twap",
     "ohlc_bars",
     "rolling_median",

@@ -441,7 +441,47 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level quality stats: sessionize (30-min gap, same
+    construction as q_sessionize), assign session ids by a running sum
+    of the start flags, reduce each session to (events, duration),
+    then the product-analytics headline numbers: session count, bounce
+    rate (single-event sessions), mean events/session, total engaged
+    seconds. Two window passes and both aggregations reuse the one
+    user_id shuffle. Counts and µs-integer durations keep every ratio
+    engine-exact (floor-recipe on the two means)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.sum(new_sess).over(wrun).alias("sid"),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        ((F.max("us") - F.min("us")) / F.lit(1e6)).alias("dur_s"),
+    )
+    flr = lambda c, n: F.floor(c * F.lit(10.0**n) + F.lit(0.5)) / F.lit(10.0**n)  # noqa: E731
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_ev") == 1).cast("long")).alias("bounces"),
+        flr(F.sum((F.col("n_ev") == 1).cast("long")) / F.count(F.lit(1)), 6).alias("bounce_rate"),
+        flr(F.sum("n_ev") / F.count(F.lit(1)), 4).alias("mean_events"),
+        flr(F.sum("dur_s"), 2).alias("engaged_s"),
+    )
+
+
 QUERIES = {
+    "session_stats": q_session_stats,
     "basket_lift": q_basket_lift,
     "streaks": q_streaks,
     "survival_curve": q_survival_curve,
@@ -458,6 +498,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "session_stats": """
+        WITH flags AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, us,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flags
+        ),
+        per_session AS (
+            SELECT user_id, sid,
+                   CAST(count(*) AS BIGINT) AS n_ev,
+                   (max(us) - min(us)) / 1e6 AS dur_s
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+               floor(CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 1000000 + 0.5e0) / 1000000 AS bounce_rate,
+               floor(CAST(sum(n_ev) AS DOUBLE) / count(*) * 10000 + 0.5e0) / 10000 AS mean_events,
+               floor(sum(dur_s) * 100 + 0.5e0) / 100 AS engaged_s
+        FROM per_session
+    """,
     "basket_lift": """
         WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM ut),
