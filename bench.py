@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "streaks",
     "basket_lift",
     "session_stats",
+    "markov_transitions",
     "twap",
     "ohlc_bars",
     "rolling_median",

@@ -480,7 +480,40 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next = b | current = a) from lead() pairs — the
+    behavioral-model fit (and the next-event-prediction baseline every
+    fancier sequence model must beat). One lead window on the user_id
+    shuffle, one pair aggregation; probabilities are integer-count
+    ratios (engine-exact), floor-recipe rounded."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wtot = Window.partitionBy("cur")
+    flr = lambda c, n: F.floor(c * F.lit(10.0**n) + F.lit(0.5)) / F.lit(10.0**n)  # noqa: E731
+    return (
+        pairs.withColumn("row_total", F.sum("cnt").over(wtot))
+        .select(
+            "cur",
+            "nxt",
+            "cnt",
+            flr(F.col("cnt") / F.col("row_total").cast("double"), 6).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
 QUERIES = {
+    "markov_transitions": q_markov_transitions,
     "session_stats": q_session_stats,
     "basket_lift": q_basket_lift,
     "streaks": q_streaks,
@@ -498,6 +531,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "markov_transitions": """
+        WITH pairs AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        counts AS (
+            SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+            FROM pairs WHERE nxt IS NOT NULL GROUP BY cur, nxt
+        )
+        SELECT cur, nxt, cnt,
+               floor(cnt / CAST(sum(cnt) OVER (PARTITION BY cur) AS DOUBLE)
+                     * 1000000 + 0.5e0) / 1000000 AS p
+        FROM counts ORDER BY cur, nxt
+    """,
     "session_stats": """
         WITH flags AS (
             SELECT user_id, epoch_us(ts) AS us,
