@@ -206,17 +206,35 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "workload_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
+    # The driver's stdout capture is bounded: a single 151-key JSON line
+    # overflows it and nothing parses (BENCH_r01 lesson). Emit a compact
+    # summary line FIRST — metric/value/unit/sf plus a small headline
+    # subset of per-query timings — then the full per-query map on its
+    # own line, and persist the full detail next to the script.
+    headline = [
+        "scan_count", "pricing_summary", "join_fact", "shipping_priority",
+        "window_running", "cube", "tpch_market_share", "tpch_profit",
+        "fingerprint_dedup", "prefix_jaccard", "knn_bruteforce", "ann_ivf",
+        "tfidf", "pagerank", "bfs_hops", "sessionize",
+    ]
+    summary = {
+        "metric": "workload_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: timings[k] for k in headline if k in timings},
+        "sf": float(sf),
+        "n_queries": len(timings),
+    }
+    print(json.dumps(summary))
+    print(json.dumps({"metric": "per_query_seconds", "unit": "sec", "sf": float(sf), "queries": timings}))
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
         )
-    )
+        with open(detail_path, "w") as fh:
+            json.dump({"summary": summary, "queries": timings}, fh, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -172,9 +172,20 @@ def salted_join(
     result-identical to the unsalted join. Right/full outer are NOT
     supported (an unmatched small-side row would surface once per
     replica).
+
+    Limitation: the salt is a pure function of the row's content, so a
+    hot key whose rows are byte-identical duplicates all land in ONE
+    bucket and get no spreading — mix a high-entropy payload column
+    (id, offset) into the input when duplicates are possible.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError(
+            "salted_join: input already has a `_salt` column; rename it "
+            "first (withColumn would silently clobber it and the join "
+            "would drop the original)"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)
     )
@@ -183,6 +194,68 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long")))
     )
     return b.join(s, [*on, "_salt"], how).drop("_salt")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order: Sequence[Column],
+    tile_col: str = "_tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order...)`` WITHOUT the
+    single-partition global window (Spark's "Moving all data to a
+    single partition" — one task holding every row, a scale-killer at
+    ~10⁹ input rows).
+
+    Shape: range-repartition on the sort key (so partition i holds a
+    contiguous, ordered key range), row_number per partition (window
+    partitioned by spark_partition_id — parallel), then add each
+    partition's cumulative row-count offset to get the global rank.
+    The offsets come from a groupBy(partition_id).count() — a
+    #partitions-row driver-side collect (bounded metadata, not data),
+    broadcast-joined back. The tile is then the closed-form ntile
+    bucket of the global rank: buckets 1..(N mod n) get ⌈N/n⌉ rows,
+    the rest ⌊N/n⌋ — bit-identical to the window function for any
+    total order (pass a tiebreak column in `order` to make it one).
+
+    Cost: one range shuffle + one bounded collect; every stage
+    parallel. The input is persisted (it is consumed twice: once for
+    the counts, once for the ranked output).
+    """
+    order = list(order)
+    parted = df.repartitionByRange(
+        *( [num_partitions] if num_partitions else [] ), *order
+    ).withColumn("_pid", F.spark_partition_id())
+    parted = parted.persist()
+    cnts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    total = sum(c for _, c in cnts)
+    offsets, acc = {}, 0
+    for pid, c in cnts:
+        offsets[pid] = acc
+        acc += c
+    off_expr: Column = F.lit(0).cast("long")
+    mapping = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    off_expr = F.coalesce(mapping[F.col("_pid")].cast("long"), F.lit(0).cast("long"))
+    w = Window.partitionBy("_pid").orderBy(*order)
+    rank = (F.row_number().over(w).cast("long") + off_expr).alias("_grank")
+    q, rem = divmod(total, n) if total else (0, 0)
+    q_safe = max(q, 1)  # branch-2 divisor; unreachable when q == 0
+    big_span = rem * (q + 1)
+    r = F.col("_grank")
+    tile = F.when(
+        r <= F.lit(big_span), F.ceil(r / F.lit(q + 1))
+    ).otherwise(F.lit(rem) + F.ceil((r - F.lit(big_span)) / F.lit(q_safe)))
+    return (
+        parted.select(*df.columns, rank)
+        .withColumn(tile_col, tile.cast("int"))
+        .drop("_grank")
+    )
 
 
 def seeded_split(
@@ -263,7 +336,7 @@ def stratified_hash_sample(
     rebalancing: downsample over-represented languages/sources hard,
     keep rare ones at 1.0.
     """
-    h = (F.col(key_col) * F.lit(2654435761)) % F.lit(4294967296)
+    h = ((F.col(key_col) % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
     thr: Column = F.lit(int(default_rate * 4294967296))
     expr = None
     for stratum, rate in sorted(rates.items()):
@@ -290,7 +363,7 @@ def weighted_hash_sample(
     scalings. The threshold arithmetic is floor()-ed explicitly so
     engines that round float→int casts (DuckDB) agree with engines
     that truncate (Spark)."""
-    h = (F.col(key_col) * F.lit(2654435761)) % F.lit(4294967296)
+    h = ((F.col(key_col) % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
     rate = F.least(F.lit(1.0), weight * F.lit(base_rate))
     thr = F.floor(rate * F.lit(4294967296.0))
     return df.filter(h < thr)

@@ -22,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+    distributed_ntile,
+)
 from steel_energy_consumption_prediction_using_pyspark_spark.operators.scd import (
     scd2_compress,
 )
@@ -94,21 +97,23 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-lifetime-value deciles: total spend per customer, then
-    ntile(10) over the aggregate. The global (unpartitioned) window is
-    deliberate and safe: it ranks the per-customer aggregate —
-    |customers| rows, not |orders| — which is the only legitimate
-    place for a single-partition window at 100 TB. Ties broken by
-    custkey so decile assignment is total-ordered and cross-engine
-    deterministic."""
+    an exact ntile(10) over the aggregate — computed by
+    `distributed_ntile` (range-repartition + partition-offset rank),
+    NOT a global unpartitioned window: the per-customer aggregate is
+    ~10⁹ rows at 100 TB and a single-partition ntile window would push
+    all of them through one task. Ties broken by custkey so decile
+    assignment is total-ordered and cross-engine deterministic
+    (bit-identical to DuckDB's ntile(10) oracle)."""
     spend = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("spend"))
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    tiled = distributed_ntile(
+        spend, 10, [F.col("spend").desc(), F.col("o_custkey")], tile_col="decile"
+    )
     return (
-        spend.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        tiled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.sum("spend"), 2).alias("decile_spend"),
@@ -349,6 +354,9 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = grid.join(hist, grid.t == hist.life_d, "left").select(
         "t", "n", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
+    # BOUNDED global window: input is the day grid 0..max-lifetime —
+    # a few thousand rows regardless of data scale (days, not users) —
+    # so the single-partition sort is metadata-sized by construction.
     w = Window.orderBy(F.desc("t")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -400,12 +400,19 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms differ across engines; accuracy vs exact is pinned in
     tests/test_relational.py::test_approx_within_tolerance."""
     li = T(spark, sf_dir, "lineitem")
-    return li.agg(
+    # Scalar columns only: array-typed outputs break downstream
+    # canonicalizers (pandas sort over ndarray cells is unhashable).
+    agg = li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("q"),
+    )
+    return agg.select(
+        "approx_orders",
+        "approx_parts",
+        F.element_at("q", 1).alias("price_p50"),
+        F.element_at("q", 2).alias("price_p95"),
+        F.element_at("q", 3).alias("price_p99"),
     )
 
 
@@ -925,7 +932,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, pushed to the scan as a filter."""
     o = T(spark, sf_dir, "orders")
     sampled = o.filter(
-        (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(429496729)
+        ((F.col("o_orderkey") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296) < F.lit(429496729)
     )
     return (
         sampled.groupBy("o_orderpriority")
@@ -1404,7 +1411,7 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS n,
                round(sum(o_totalprice), 2) AS sum_price
         FROM orders
-        WHERE (o_orderkey * 2654435761) % 4294967296 < 429496729
+        WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296 < 429496729
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "gapfill": """

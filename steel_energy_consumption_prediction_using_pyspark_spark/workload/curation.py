@@ -151,7 +151,7 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen rows are stable across partitionings, reruns, and engines.
     One shuffle (the window partition key)."""
     d = T(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id").asc())
@@ -352,7 +352,7 @@ ORACLES = {
             SELECT lang, source, doc_id, n_chars,
                    row_number() OVER (
                        PARTITION BY lang, source
-                       ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                       ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296 ASC,
                                 doc_id ASC
                    ) AS rn
             FROM documents
@@ -365,7 +365,7 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS n_kept,
                CAST(sum(n_chars) AS BIGINT) AS chars_kept
         FROM documents
-        WHERE (doc_id * 2654435761) % 4294967296
+        WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296
               < CAST(floor(least(1.0e0, (n_chars / 2000.0e0) * 0.5e0)
                            * 4294967296e0) AS BIGINT)
         GROUP BY lang ORDER BY lang

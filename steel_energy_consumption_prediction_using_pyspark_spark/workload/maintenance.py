@@ -432,6 +432,10 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a rows-frame over the distinct-balance groups, so equal
     # balances never leak into "greater").
     groups = per.groupBy("c_acctbal").agg(F.max("n_orders").alias("gm"))
+    # BOUNDED global window: input is one row per DISTINCT balance
+    # (acctbal has fixed 2-dp precision over a fixed range → ~1.1M
+    # possible values, hard-capped regardless of row count), so the
+    # single-partition running-max is safe at any data scale.
     wg = Window.orderBy(F.desc("c_acctbal")).rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -281,6 +281,10 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").cast("double").alias("n1"),
         F.sum("c2").cast("double").alias("n2"),
     )
+    # BOUNDED global window: input is one row per DISTINCT metric
+    # value (the ECDF support, already aggregated) — bounded by value
+    # precision, not event count — so the single-partition running sum
+    # is safe at any data scale.
     w = Window.orderBy("value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

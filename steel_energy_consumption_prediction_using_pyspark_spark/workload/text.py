@@ -694,7 +694,7 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS n_sampled,
                CAST(sum(doc_id) AS BIGINT) AS id_sum
         FROM documents
-        WHERE (doc_id * 2654435761) % 4294967296 <
+        WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
               CASE lang WHEN 'en' THEN 429496729
                         WHEN 'es' THEN 2147483648
                         WHEN 'zh' THEN 2147483648

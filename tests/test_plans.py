@@ -189,6 +189,48 @@ def test_q11_single_fact_scan(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan
 
 
+def test_customer_deciles_no_single_partition_window(spark, sf_dir):
+    """customer_deciles must NOT plan a global (unpartitioned) window:
+    distributed_ntile replaces the single-partition ntile with a range
+    repartition + per-partition row_number, so no `Exchange
+    SinglePartition` may feed a Window node at any point in the plan."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.behavior import (
+        q_customer_deciles,
+    )
+
+    plan = physical_plan(q_customer_deciles(spark, sf_dir))
+    assert "Window" in plan, plan            # the per-partition row_number
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_distributed_ntile_matches_window_ntile(spark, sf_dir):
+    """Bit-identical to ntile() OVER a total order, including the
+    uneven-bucket edge (N not divisible by n) and n > N."""
+    from pyspark.sql import Window
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        distributed_ntile,
+    )
+
+    df = spark.range(0, 1003).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("v")
+    )
+    for n in (10, 7, 2000):
+        got = {
+            (r["id"], r["_tile"])
+            for r in distributed_ntile(
+                df, n, [F.col("v").desc(), F.col("id")], num_partitions=8
+            ).collect()
+        }
+        w = Window.orderBy(F.col("v").desc(), F.col("id"))
+        want = {
+            (r["id"], r["t"])
+            for r in df.select("id", F.ntile(n).over(w).alias("t")).collect()
+        }
+        assert got == want, f"ntile({n}) mismatch"
+
+
 def test_salted_join_is_hash_equi_join(spark, sf_dir):
     """The salted formulation must stay a hash equi-join on the
     composite (key, salt) — never a nested loop — and the salt must

@@ -184,7 +184,7 @@ def test_sample_hash_fraction_and_stability(spark, sf_dir):
     identical row set under different partitioning, and the sampled
     fraction is near 10%."""
     o = T(spark, sf_dir, "orders")
-    pred = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(
+    pred = ((F.col("o_orderkey") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296) < F.lit(
         429496729
     )
     a = sorted(r.o_orderkey for r in o.filter(pred).select("o_orderkey").collect())
