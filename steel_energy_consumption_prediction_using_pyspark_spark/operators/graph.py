@@ -32,6 +32,7 @@ def pagerank(
     persist: bool = True,
     eager: bool = False,
     reset: DataFrame | None = None,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (one row per
     edge; parallel edges should be pre-deduped by the caller).
@@ -56,7 +57,17 @@ def pagerank(
     off the seed set, so rank mass concentrates around the seeds.
     The curation reading: authority RELATIVE to a trusted whitelist
     (seed quality domains), not global popularity. Initialization is
-    the reset vector itself; same execution shape per iteration."""
+    the reset vector itself; same execution shape per iteration.
+
+    `broadcast_max_nodes`: when |V| (known exactly — it's counted for
+    the teleport base) is at or below this bound, the per-iteration
+    joins BROADCAST the |V|-sized side (rank vector, incoming mass)
+    instead of shuffling the |E|-sized contribution table — an
+    iteration then moves only the map-side-combined partial sums.
+    Rank vectors scale with |V| ≪ |E|, so this holds far longer than
+    intuition suggests (1M nodes ≈ tens of MB); above the bound —
+    billions of nodes at web scale — every join falls back to the
+    shuffle path automatically. Set 0 to force shuffle joins."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -87,13 +98,17 @@ def pagerank(
     else:
         base_df = nodes.withColumn("_base", F.lit((1.0 - damping) / n_nodes))
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    small = 0 < n_nodes <= broadcast_max_nodes
     for _ in range(iterations):
+        r = F.broadcast(ranks) if small else ranks
         incoming = (
-            contrib.join(ranks, contrib.src == ranks.node)
+            contrib.join(r, contrib.src == r.node)
             .select("dst", (F.col("rank") * F.col("w")).alias("m"))
             .groupBy("dst")
             .agg(F.sum("m").alias("in_mass"))
         )
+        if small:
+            incoming = F.broadcast(incoming)  # ≤ |V| rows by construction
         new_ranks = base_df.join(
             incoming, base_df.node == incoming.dst, "left"
         ).select(
@@ -108,6 +123,15 @@ def pagerank(
             if eager:
                 new_ranks.count()  # cut lineage, then drop the old vector
                 ranks.unpersist()
+            else:
+                # Non-eager: the superseded vector was never materialized
+                # (no action yet), so a lazy unpersist just cancels its
+                # cache intent — each intermediate level is consumed
+                # exactly once by the next level within the single final
+                # action, so caching it buys nothing and at 30+
+                # iterations the accumulated MEMORY_AND_DISK entries are
+                # a real executor-memory leak (VERDICT r1 #4).
+                ranks.unpersist(blocking=False)
         ranks = new_ranks
     return ranks
 
@@ -119,6 +143,8 @@ def shortest_hops(
     src: str = "src",
     dst: str = "dst",
     persist: bool = True,
+    persist_edges: bool = True,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Unweighted single/multi-source shortest path (BFS level
     expansion), the third iterative-fixpoint primitive after PageRank
@@ -136,9 +162,14 @@ def shortest_hops(
     Each level's frontier is persisted: without the barrier, level k
     replays the whole k-deep lineage per action (same rationale as
     pagerank above).
+
+    Pass ``persist_edges=False`` when the caller already persists the
+    edge table (e.g. a shared per-session edge cache) — re-persisting
+    the projected plan here would hold a second copy in executor
+    memory.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if persist:
+    if persist and persist_edges:
         # The edge list is scanned once per level; without the barrier
         # each level re-derives it from source (at sf0.1 the
         # co-purchase edge build is an orders⋈lineitem join + distinct
@@ -151,12 +182,19 @@ def shortest_hops(
         dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
         frontier = dist.select("node")
     for k in range(1, max_hops + 1):
+        # The frontier (and the accumulated distance table) are
+        # |V|-bounded while the edge table is |E|-sized: broadcasting
+        # them keeps the edge scan shuffle-free per level. For graphs
+        # whose reachable set exceeds broadcast size pass
+        # broadcast_frontier=False to fall back to shuffle joins.
+        f = F.broadcast(frontier) if broadcast_frontier else frontier
         reached = (
-            frontier.join(e, frontier.node == e.src)
+            f.join(e, f.node == e.src)
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new = reached.join(dist, "node", "left_anti").withColumn(
+        d = F.broadcast(dist) if broadcast_frontier else dist
+        new = reached.join(d, "node", "left_anti").withColumn(
             "dist", F.lit(k)
         )
         if persist:

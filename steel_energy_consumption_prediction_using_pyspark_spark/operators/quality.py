@@ -70,13 +70,22 @@ def skew_profile(df, keys, top: int = 5):
 
     per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
     key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    # skew_factor derives from the UNROUNDED average (dividing by an
+    # already-4dp value compounds rounding error), and both ratios use
+    # the floor(x*10^n + 0.5) recipe — round() halfway behavior is the
+    # classic cross-engine parity trap (NOTES.md rule 5 / ADVICE r1).
+    flr = lambda c, n: F.floor(c * F.lit(10.0**n) + F.lit(0.5)) / F.lit(10.0**n)  # noqa: E731
     summary = per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
-        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
-    ).withColumn(
-        "skew_factor", F.round(F.col("max_cnt") / F.col("avg_cnt"), 4)
+        F.avg("cnt").alias("_avg_raw"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        flr(F.col("_avg_raw"), 4).alias("avg_cnt"),
+        flr(F.col("max_cnt") / F.col("_avg_raw"), 4).alias("skew_factor"),
     )
     # Hot keys via TakeOrderedAndProject (per-partition k-heap, driver
     # merge) THEN the array pack — the packed aggregation only ever

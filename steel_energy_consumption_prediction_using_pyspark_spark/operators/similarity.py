@@ -43,14 +43,23 @@ def brute_force_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Exact cosine top-k per query. Plan: broadcast nested-loop of the
-    (small) query set against the partitioned corpus → window top-k on
-    (query, sim desc, id). Deterministic tiebreak on neighbor id.
+    (small) query set against the partitioned corpus → PER-PARTITION
+    local top-k pre-reduce (Arrow-batched mapInPandas, no shuffle) →
+    global window top-k on (query, sim desc, id). Deterministic
+    tiebreak on neighbor id.
 
-    Scale note: the window shuffles |corpus|×|queries| score rows; for
-    big query sets, pre-reduce per partition (mapInPandas local top-k)
-    before the global window — the LSH tier below is the designed path
-    once the corpus no longer fits a full scan per query batch.
+    The pre-reduce is what makes the exact tier survive large query
+    batches: without it the window shuffles |corpus|×|queries| score
+    rows; with it each scan task emits at most k rows per query, so the
+    shuffle moves ≤ k·|queries|·num_partitions rows regardless of
+    corpus size. Keeping the top k per (query, partition) with the same
+    (sim desc, id asc) order is lossless for the global top-k — every
+    global winner is a partition-local winner. The LSH/IVF tiers below
+    remain the designed path once a full corpus scan per batch is
+    itself too expensive.
     """
+    import pandas as pd
+
     q = queries.select(
         F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
     )
@@ -62,6 +71,26 @@ def brute_force_topk(
         "neighbor_id",
         cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
     )
+
+    def _local_topk(batches):
+        # One partition = a stream of Arrow batches; the per-partition
+        # top-k must span ALL of them, so concatenate first (bounded:
+        # scores only, three narrow columns).
+        pdfs = [b for b in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        yield (
+            pdf.sort_values(
+                [query_id_col, "cos_sim", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby(query_id_col, sort=False)
+            .head(k)
+        )
+
+    scored = scored.mapInPandas(_local_topk, scored.schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -389,9 +418,24 @@ def mmr_rerank(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+        DoubleType,
+    )
 
-    out_schema = (
-        f"{query_id_col} long, {id_col} long, mmr_rank int, mmr_score double"
+    # Id column types are whatever the caller's candidate frame uses
+    # (long for the fixture, but string/int ids must survive too) —
+    # copy them from the input schema instead of hardcoding.
+    in_fields = {f.name: f for f in candidates.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(query_id_col, in_fields[query_id_col].dataType),
+            StructField(id_col, in_fields[id_col].dataType),
+            StructField("mmr_rank", IntegerType()),
+            StructField("mmr_score", DoubleType()),
+        ]
     )
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:

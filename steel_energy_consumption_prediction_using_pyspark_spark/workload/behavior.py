@@ -429,6 +429,10 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = singles.select(F.col("event_type").alias("ta"), F.col("cnt").alias("ca"))
     sb = singles.select(F.col("event_type").alias("tb"), F.col("cnt").alias("cb"))
     n = F.col("n")
+    # floor(x*10^6 + 0.5) recipe, not round(): integer-count quotients
+    # can land exactly on a halfway digit, where HALF_UP vs banker's
+    # rounding diverges across engines (NOTES.md rule 5 / ADVICE r1).
+    flr6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     return (
         pairs.join(F.broadcast(sa), "ta")
         .join(F.broadcast(sb), "tb")
@@ -437,12 +441,11 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ta",
             "tb",
             "n_both",
-            F.round(F.col("n_both") / n, 6).alias("support"),
-            F.round(F.col("n_both") / F.col("ca").cast("double"), 6).alias("confidence"),
-            F.round(
+            flr6(F.col("n_both") / n).alias("support"),
+            flr6(F.col("n_both") / F.col("ca").cast("double")).alias("confidence"),
+            flr6(
                 (F.col("n_both") * n)
-                / (F.col("ca").cast("double") * F.col("cb").cast("double")),
-                6,
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
             ).alias("lift"),
         )
         .orderBy("ta", "tb")
@@ -557,7 +560,7 @@ ORACLES = {
     """,
     "session_stats": """
         WITH flags AS (
-            SELECT user_id, epoch_us(ts) AS us,
+            SELECT user_id, event_id, epoch_us(ts) AS us,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_sess
@@ -565,8 +568,13 @@ ORACLES = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
+            -- ORDER BY (us, event_id) mirrors the Spark side's
+            -- (ts, event_id) ordering: with `us` alone, two events on
+            -- the same microsecond would make session assignment
+            -- nondeterministic across engines (ADVICE r1).
             SELECT user_id, us,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                   sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
             FROM flags
         ),
@@ -597,9 +605,10 @@ ORACLES = {
             GROUP BY ta, tb
         )
         SELECT ta, tb, n_both,
-               round(n_both / n.n, 6) AS support,
-               round(n_both / CAST(sa.cnt AS DOUBLE), 6) AS confidence,
-               round((n_both * n.n) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)), 6) AS lift
+               floor(n_both / n.n * 1000000 + 0.5e0) / 1000000 AS support,
+               floor(n_both / CAST(sa.cnt AS DOUBLE) * 1000000 + 0.5e0) / 1000000 AS confidence,
+               floor((n_both * n.n) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE))
+                     * 1000000 + 0.5e0) / 1000000 AS lift
         FROM pairs
         JOIN singles sa ON sa.event_type = ta
         JOIN singles sb ON sb.event_type = tb

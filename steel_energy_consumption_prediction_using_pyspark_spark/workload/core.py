@@ -43,6 +43,73 @@ def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S1: CSV ingest (the reference's literal entry path) --------------------
+
+# One CSV materialization per (session, sf_dir) — the query under test
+# is the READ path (inferSchema + header + name normalization), not the
+# write; caching the export keeps repeated driver/bench invocations
+# from re-paying it (same amortization pattern as the graph edge cache).
+_CSV_EXPORT_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _orders_csv(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    key = (id(spark), sf_dir)
+    path = _CSV_EXPORT_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        repo_root, ".scratch", "csv_orders_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    # Reference-style unsafe headers (dots + parens, SteelPred.py:139-146)
+    # so the normalization path is genuinely exercised by the read-back.
+    (
+        T(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("Order_Key"),
+            F.col("o_orderpriority").alias("Order.Priority"),
+            F.col("o_totalprice").alias("Total(Price)"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    _CSV_EXPORT_CACHE[key] = path
+    return path
+
+
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal entry path S1 (SteelPred.py:27):
+    ``spark.read.csv(header=True, inferSchema=True)`` over a CSV with
+    reference-style dirty headers, normalized on ingest
+    (`sources/readers.py::normalize_columns` — the systematic version
+    of the reference's hand renames at SteelPred.py:139-146), then the
+    signature EDA agg. The CSV is a materialization of the orders
+    fixture, so the DuckDB oracle checks the SAME numbers straight
+    from the parquet view — proving the parquet→csv→inferSchema round
+    trip is lossless (Java Double.toString round-trips exactly; the
+    inferred schema must come back bigint/string/double)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.sources.readers import (
+        read_csv,
+    )
+
+    df = read_csv(spark, _orders_csv(spark, sf_dir))  # inferSchema path
+    flr4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)  # noqa: E731
+    return (
+        df.groupBy("Order_Priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("Order_Key").alias("n_orders"),
+            flr4(F.avg("Total_Price")).alias("avg_price"),
+        )
+        .orderBy("Order_Priority")
+    )
+
+
 # --- A1: group-by count -----------------------------------------------------
 
 def q_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1049,6 +1116,40 @@ def q_cte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genuine `F.width_bucket` builtin through the DataFrame API
+    (reference A9/F6, SteelPred.ipynb:131375 — the Databricks
+    histogram SQL's WIDTH_BUCKET): bucket order totals into 10
+    equi-width bins against broadcast min/max, clamp the top edge
+    with LEAST exactly as the generated SQL does. Complements
+    `cte_histogram` (same function via the SQL parser) and
+    `histogram` (the floor-arithmetic equivalent): a user porting the
+    reference's notebook hits all three spellings. DuckDB has no
+    width_bucket, so the oracle spells the identical double
+    arithmetic floor((x-mn)/((mx-mn)/10))+1 — the hash match proves
+    Spark's WidthBucket evaluates the same expression."""
+    o = T(spark, sf_dir, "orders")
+    stats = o.select(
+        F.min("o_totalprice").alias("_mn"), F.max("o_totalprice").alias("_mx")
+    )
+    b = F.least(
+        F.width_bucket(
+            F.col("o_totalprice"), F.col("_mn"), F.col("_mx"), F.lit(10)
+        ),
+        F.lit(10),
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .select(b.cast("int").alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count("o_totalprice").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bin")
+    )
+
+
 def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: build a map column from row expressions
     (create_map), explode it to (key, value) rows — generate-based,
@@ -1266,6 +1367,8 @@ QUERIES = {
     "posexplode": q_posexplode,
     "interval_math": q_interval_math,
     "cte_histogram": q_cte_histogram,
+    "width_bucket": q_width_bucket,
+    "csv_ingest": q_csv_ingest,
     "map_explode": q_map_explode,
     "rolling_range": q_rolling_range,
     "multi_distinct": q_multi_distinct,
@@ -1379,6 +1482,28 @@ ORACLES = {
                CAST(count(o_totalprice) AS BIGINT) AS cnt,
                round(sum(o_totalprice), 2) AS total
         FROM binned GROUP BY bin ORDER BY bin
+    """,
+    "width_bucket": """
+        WITH stats AS (
+            SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+        ),
+        binned AS (
+            SELECT least(CAST(floor((o_totalprice - mn)
+                              / ((mx - mn) / 10e0)) AS INT) + 1, 10) AS bin,
+                   o_totalprice
+            FROM orders, stats
+        )
+        SELECT bin,
+               CAST(count(o_totalprice) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
+    "csv_ingest": """
+        SELECT o_orderpriority AS Order_Priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+               floor(avg(o_totalprice) * 10000 + 0.5e0) / 10000 AS avg_price
+        FROM orders GROUP BY o_orderpriority ORDER BY Order_Priority
     """,
     "unpivot": """
         WITH long AS (

@@ -381,10 +381,14 @@ def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 1% / within 10% / worse / no lines). The fixture generates
     headers and lines independently, so mismatches are EXPECTED — the
     point is measuring them identically in both engines."""
+    # floor(x*100 + 0.5) on both engine sides, not round(): a float
+    # sum can land on a halfway digit where rounding modes diverge
+    # (NOTES.md rule 5 / ADVICE r1).
+    flr2 = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     li = T(spark, sf_dir, "lineitem").groupBy(
         F.col("l_orderkey").alias("o_orderkey")
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("line_total"))
+    ).agg(flr2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("line_total"))
     j = o.join(li, "o_orderkey", "left")
     rel = F.abs(F.col("line_total") - F.col("o_totalprice")) / F.col("o_totalprice")
     bucket = (
@@ -398,7 +402,7 @@ def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("header_total"),
+            flr2(F.sum("o_totalprice")).alias("header_total"),
         )
         .orderBy("bucket")
     )
@@ -499,7 +503,7 @@ ORACLES = {
     "reconcile": """
         WITH li AS (
             SELECT l_orderkey AS o_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS line_total
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5e0) / 100 AS line_total
             FROM lineitem GROUP BY l_orderkey
         ),
         j AS (
@@ -513,7 +517,7 @@ ORACLES = {
                     WHEN rel <= 0.10 THEN 'within_10pct'
                     ELSE 'worse' END AS bucket,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round(sum(o_totalprice), 2) AS header_total
+               floor(sum(o_totalprice) * 100 + 0.5e0) / 100 AS header_total
         FROM j GROUP BY bucket ORDER BY bucket
     """,
     "skyline": """
@@ -658,15 +662,17 @@ ORACLES = {
             SELECT CAST(count(*) AS BIGINT) AS n_keys,
                    CAST(sum(cnt) AS BIGINT) AS n_rows,
                    max(cnt) AS max_cnt,
-                   round(avg(cnt), 4) AS avg_cnt
+                   avg(cnt) AS avg_raw
             FROM per_key
         ),
         h AS (
             SELECT string_agg(key_s || ':' || cnt, ',' ORDER BY cnt DESC, key_s) AS hot
             FROM (SELECT * FROM per_key ORDER BY cnt DESC, key_s LIMIT 5)
         )
-        SELECT n_keys, n_rows, max_cnt, avg_cnt,
-               round(max_cnt / avg_cnt, 4) AS skew_factor, hot
+        SELECT n_keys, n_rows, max_cnt,
+               floor(avg_raw * 10000 + 0.5e0) / 10000 AS avg_cnt,
+               floor(max_cnt / avg_raw * 10000 + 0.5e0) / 10000 AS skew_factor,
+               hot
         FROM s, h
     """,
     "incremental_rollup": """

@@ -254,3 +254,21 @@ def test_salted_join_is_hash_equi_join(spark, sf_dir):
     )
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert "_salt" in plan
+
+
+def test_pagerank_unpersists_superseded_vectors(spark):
+    """Non-eager pagerank must not leak one cached rank vector per
+    iteration (VERDICT r1 #4): after the run, at most the final vector
+    plus the persisted nodes/contrib inputs remain cached."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")], "src string, dst string"
+    )
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    ranks = G.pagerank(edges, iterations=8)
+    ranks.count()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # nodes + contrib + final ranks = 3 new cache entries, never 8+.
+    assert after - before <= 3
+    ranks.unpersist()

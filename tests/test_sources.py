@@ -181,3 +181,21 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     )
     assert back.count() == df.filter(F.col("NSM") > 43200).count()
     assert "PushedFilters" in plan and "NSM" in plan
+
+
+def test_csv_ingest_roundtrip_schema(spark, sf_dir):
+    """S1 driver query: the parquet->csv->inferSchema round trip must
+    come back with normalized names and the right inferred types."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.core import (
+        _orders_csv,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.sources.readers import (
+        read_csv,
+    )
+
+    df = read_csv(spark, _orders_csv(spark, sf_dir))
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    # Integer width depends on the observed key range (int at sf0.001,
+    # bigint at larger SFs) — both are lossless for the fixture keys.
+    assert types.pop("Order_Key") in ("int", "bigint")
+    assert types == {"Order_Priority": "string", "Total_Price": "double"}
