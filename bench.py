@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "scalar_subquery",
     "histogram",
     "cte_histogram",
+    "width_bucket",
+    "csv_ingest",
     "string_indexer",
     "rolling_range",
     "multi_distinct",
@@ -107,6 +109,7 @@ BENCH_QUERIES = [
     "posexplode",
     "interval_math",
     "sessionize",
+    "stream_dedup",
     "tumbling_window",
     "sliding_window",
     "session_window",
@@ -143,6 +146,7 @@ BENCH_QUERIES = [
     "dq_summary",
     "pagerank",
     "bfs_hops",
+    "ppr",
     "er_match",
     "er_quality",
     "salted_join",

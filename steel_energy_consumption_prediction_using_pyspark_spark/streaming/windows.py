@@ -163,3 +163,23 @@ def stream_dedup(
     keys = keys or ["event_id"]
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return src.dropDuplicates(keys)
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming dedup for redeliveries whose EVENT TIME differs
+    between attempts (retry with a fresh timestamp — the case plain
+    dropDuplicates misses, since its state key would admit the second
+    copy after the first evicts). dropDuplicatesWithinWatermark
+    (Spark 3.5+) keeps a key's state for the watermark delay measured
+    from the LAST sighting, deduping any copy arriving within it.
+    Batch mode falls back to plain dropDuplicates (watermarks don't
+    exist in batch; semantics coincide when duplicate copies carry
+    identical keys)."""
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

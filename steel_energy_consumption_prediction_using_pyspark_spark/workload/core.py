@@ -1242,6 +1242,31 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_pairs(e, within="30 minutes").orderBy("user_id")
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-dedup for at-least-once sources (streaming/windows.py::
+    stream_dedup): simulate redelivery by doubling the events feed,
+    dropDuplicates on event_id, then a stable per-type aggregate. On a
+    stream the same operator holds one state entry per key inside the
+    watermark horizon (bounded memory) — test_streaming.py proves
+    stream≡batch; here the batch mode is oracle-checked: the dedup of
+    a doubled feed must equal the original feed exactly."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
+        stream_dedup,
+    )
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    doubled = e.unionAll(e)
+    d = stream_dedup(doubled, keys=["event_id"])
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ingestion through Spark 4's VariantType:
     parse_json once into the shredded binary encoding, then typed
@@ -1311,6 +1336,7 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_join": q_stream_join,
+    "stream_dedup": q_stream_dedup,
     "variant": q_variant,
     "recursive_cte": q_recursive_cte,
     "lateral_topk": q_lateral_topk,
@@ -1415,6 +1441,17 @@ ORACLES = {
                CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_div3
         FROM x GROUP BY event_type ORDER BY event_type
+    """,
+    "stream_dedup": """
+        WITH doubled AS (
+            SELECT event_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, event_type, value FROM events
+        ),
+        d AS (SELECT DISTINCT event_id, event_type, value FROM doubled)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM d GROUP BY event_type ORDER BY event_type
     """,
     "stream_join": """
         SELECT a.user_id,

