@@ -33,9 +33,20 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload.util impor
 
 def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag second/third/fourth-moment statistics over
-    lineitem price — one hash-agg pass computes every column."""
+    lineitem price — one hash-agg pass computes every moment column.
+    The exact median rides the rank-based operator
+    (operators/relational.py::exact_percentiles_ranked) instead of
+    F.median: the median/percentile AGGREGATE buffers every group
+    value in one executor's agg buffer (per-group OOM at 100 TB — the
+    repo's own standard, see `percentiles`), while the rank-based form
+    is a spill-safe window sort. Results are identical; the join back
+    is a ≤|groups|-row broadcast."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        exact_percentiles_ranked,
+    )
+
     li = T(spark, sf_dir, "lineitem")
-    return (
+    moments = (
         li.groupBy("l_returnflag")
         .agg(
             F.round(F.covar_pop("l_extendedprice", "l_quantity"), 2).alias("cov_pop"),
@@ -43,14 +54,35 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_pop("l_extendedprice"), 2).alias("sd_pop"),
             F.round(F.skewness("l_extendedprice"), 4).alias("skew"),
             F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt"),
-            # floor-recipe, not round(): the exact median of cent-valued
-            # prices is x.xx5 whenever the two middle values differ by an
-            # odd cent count, and Spark/DuckDB round halfway cases
-            # differently (NOTES.md rule 5) — surfaced at sf0.001.
-            (F.floor(F.median("l_extendedprice") * 100 + F.lit(0.5)) / 100).alias("med_price"),
             F.bool_and(F.col("l_quantity") > 0).alias("all_pos_qty"),
             F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
             F.count(F.lit(1)).alias("n"),
+        )
+    )
+    med = exact_percentiles_ranked(
+        li, ["l_returnflag"], "l_extendedprice", {"_med_raw": 0.5}
+    )
+    # floor-recipe, not round(): the exact median of cent-valued
+    # prices is x.xx5 whenever the two middle values differ by an
+    # odd cent count, and Spark/DuckDB round halfway cases
+    # differently (NOTES.md rule 5) — surfaced at sf0.001.
+    med = med.select(
+        "l_returnflag",
+        (F.floor(F.col("_med_raw") * 100 + F.lit(0.5)) / 100).alias("med_price"),
+    )
+    return (
+        moments.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "cov_pop",
+            "cov_samp",
+            "sd_pop",
+            "skew",
+            "kurt",
+            "med_price",
+            "all_pos_qty",
+            "any_big_disc",
+            "n",
         )
         .orderBy("l_returnflag")
     )
