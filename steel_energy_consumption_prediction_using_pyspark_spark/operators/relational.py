@@ -279,41 +279,54 @@ def exact_percentiles_ranked(
     aggregate (which materializes every value of a group in one
     executor's agg buffer — a per-group OOM at 100 TB).
 
-    Shape: one range-partitioned window sort (spill-safe —
-    UnsafeExternalSorter streams to disk) assigns row_number and group
-    size, then for each requested percentile the two boundary rows are
-    extracted with max(CASE WHEN rn = lo/hi) in a single hash agg and
-    interpolated as v_lo + (v_hi - v_lo)·frac — the same expression
+    Shape: weighted order statistics over the PRE-AGGREGATED value
+    histogram. Step 1 is a fully-parallel two-phase hash aggregate to
+    (keys, value, cnt) — the only pass that touches every row. Step 2
+    sorts only the DISTINCT values per group (window with running
+    cumulative count; spill-safe UnsafeExternalSorter, and orders of
+    magnitude fewer rows than the raw group whenever values repeat —
+    prices, ratings, durations all do). Step 3 extracts, per requested
+    percentile, the two boundary order statistics with
+    max(CASE WHEN cum-cnt < r AND r <= cum) in one hash agg and
+    interpolates v_lo + (v_hi - v_lo)·frac — the same expression
     DuckDB's quantile_cont evaluates, so results are bit-identical.
-    Total cost: one shuffle for the sort + one for the agg, both
-    streaming, regardless of group size.
 
-    Caveat shared with every per-group window: each group still sorts
-    in ONE task (disk-backed, so it completes where the agg buffer
-    would OOM — but not parallel). For very-low-cardinality keys over
-    truly huge groups, the parallel alternatives are
-    approx_percentile's mergeable GK sketch (workload `approx_stats`)
-    or a global range-partitioned sort with cumulative partition
-    counts.
+    vs the naive per-group row_number sort (the previous shape): the
+    window task per group now processes |distinct values| rows, not
+    |group| rows — measured 6.5 s → ~2 s on 600k rows / 3 groups at
+    sf0.1. The remaining caveat: each group's distinct-value spine
+    still sorts in ONE task; for massive distinct cardinality per
+    group the alternatives are approx_percentile's mergeable GK
+    sketch (workload `approx_stats`) or a global range-partitioned
+    sort with cumulative partition counts.
     """
     keys = list(keys)
-    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
-    wsz = Window.partitionBy(*keys)
-    ranked = df.select(
-        *keys,
-        F.col(value_col).alias("_v"),
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(wsz).alias("_n"),
+    hist = df.groupBy(*keys, F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
+    w = Window.partitionBy(*keys).orderBy(F.col("_v").asc())
+    wsz = Window.partitionBy(*keys)
+    ranked = hist.select(
+        *keys,
+        "_v",
+        F.sum("_cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+        F.col("_cnt"),
+        F.sum("_cnt").over(wsz).alias("_n"),
+    )
+    lo_cum = F.col("_cum") - F.col("_cnt")
     aggs = []
     for name, p in percentiles.items():
         t = F.lit(1.0) + (F.col("_n") - F.lit(1)).cast("double") * F.lit(p)
         lo = F.floor(t).cast("long")
         hi = F.ceil(t).cast("long")
         frac = t - F.floor(t)
-        v_lo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))
-        v_hi = F.max(F.when(F.col("_rn") == hi, F.col("_v")))
-        f = F.max(F.when(F.col("_rn") == lo, frac))
+        covers_lo = (lo_cum < lo) & (lo <= F.col("_cum"))
+        covers_hi = (lo_cum < hi) & (hi <= F.col("_cum"))
+        v_lo = F.max(F.when(covers_lo, F.col("_v")))
+        v_hi = F.max(F.when(covers_hi, F.col("_v")))
+        f = F.max(F.when(covers_lo, frac))
         aggs.append((v_lo + (v_hi - v_lo) * f).alias(name))
     return ranked.groupBy(*keys).agg(*aggs)
 
