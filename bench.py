@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "embedding_stats",
     "ann_lsh",
     "ann_ivf",
+    "ivf_probe",
     "ann_quantized",
     "mmr_rerank",
     "repetition",

@@ -255,18 +255,65 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     value is replaced by the GLOBAL distribution's value at the same
     within-type percentile, so every event_type ends up with an
     identical value distribution. Implementation: a 1001-point global
-    quantile grid (one percentile() aggregate → posexplode — bounded
-    state; the rank-based `percentiles` query is the same answer's
-    spill-safe form at 100 TB), one percent_rank window per type, and
-    a BROADCAST equi-join of the grid on the floored grid index — no
-    global window anywhere. Output: per-type distribution summary of
-    the normalized values; sums not avgs (cent-valued halfway rule)."""
+    quantile grid computed from the distinct-VALUE spine (weighted
+    order statistics, same interpolation the `percentiles` operator
+    proves against DuckDB quantile_cont) — NOT the percentile()
+    aggregate, whose single buffer materializes every value of the
+    table in one executor (the 100 TB OOM; it also caused a 16 s GC
+    outlier in bench under cache pressure). The spine is a parallel
+    two-phase hash agg to (value, cnt); one cumulative window over
+    |distinct values| rows assigns rank ranges; each spine row then
+    GENERATES (sequence+explode) the grid indices whose boundary
+    order statistic it holds — pruning bounds are conservative, the
+    exact floor/ceil rank condition filters — and the 1001-row lo/hi
+    tables join into the interpolated grid. Then one percent_rank
+    window per type and a BROADCAST equi-join of the grid on the
+    floored grid index — no global window over fact rows anywhere.
+    Output: per-type distribution summary of the normalized values;
+    sums not avgs (cent-valued halfway rule)."""
     e = T(spark, sf_dir, "events")
-    grid = (
-        e.agg(F.expr(
-            "percentile(value, array(" + ",".join(str(i / 1000.0) for i in range(1001)) + "))"
-        ).alias("qs"))
-        .select(F.posexplode("qs").alias("gi", "qv"))
+    vals = e.filter(F.col("value").isNotNull())
+    n_df = vals.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    spine = (
+        vals.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .crossJoin(F.broadcast(n_df))
+    )
+    wc = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # Bounded global window: |distinct values| rows, documented spine
+    # caveat shared with exact_percentiles_ranked.
+    spine = spine.select(
+        "value", "_cnt", "_n", F.sum("_cnt").over(wc).alias("_cum")
+    )
+    nm1 = F.greatest(F.col("_n") - 1, F.lit(1.0))
+    # Conservative gi candidate range per spine row (exact conditions
+    # filter below; bounds only prune the explode).
+    gmin = F.greatest(
+        F.lit(0),
+        (F.floor((F.col("_cum") - F.col("_cnt") - 1) * 1000.0 / nm1) - 2).cast("int"),
+    )
+    gmax = F.least(
+        F.lit(1000),
+        (F.ceil((F.col("_cum") + 1) * 1000.0 / nm1) + 2).cast("int"),
+    )
+    cand = spine.select(
+        "value", "_cnt", "_n", "_cum",
+        F.explode(F.sequence(gmin, gmax)).alias("gi"),
+    )
+    # 1-indexed target position t = 1 + (n-1)p, p = gi/1000 — the same
+    # doubles DuckDB's quantile_cont evaluates.
+    t = F.lit(1.0) + (F.col("_n") - 1) * (F.col("gi") / F.lit(1000.0))
+    r_lo, r_hi = F.floor(t).cast("long"), F.ceil(t).cast("long")
+    covered = lambda r: (r > F.col("_cum") - F.col("_cnt")) & (r <= F.col("_cum"))  # noqa: E731
+    lo = cand.filter(covered(r_lo)).select(
+        "gi", F.col("value").alias("_v_lo"), (t - F.floor(t)).alias("_frac")
+    )
+    hi = cand.filter(covered(r_hi)).select("gi", F.col("value").alias("_v_hi"))
+    grid = lo.join(hi, "gi").select(
+        "gi",
+        (F.col("_v_lo") + (F.col("_v_hi") - F.col("_v_lo")) * F.col("_frac")).alias("qv"),
     )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     ranked = e.select(

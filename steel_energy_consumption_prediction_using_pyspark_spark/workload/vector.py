@@ -83,15 +83,49 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means inverted lists + n_probe nearest lists per
-    query (no SQL oracle: MLlib k-means training; recall vs brute
-    force pinned in pytest)."""
+    """IVF ANN, COLD path: k-means quantizer training + corpus assign
+    + probe, end to end (no SQL oracle: MLlib k-means training; recall
+    vs brute force pinned in pytest). The built index is stored in the
+    session cache so `ivf_probe` measures the steady-state probe —
+    build+probe here ≡ ivf_topk one-shot (equality pinned in
+    tests/test_similarity.py::test_ivf_build_probe_amortizes)."""
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = e.filter(F.col("vec_id") >= N_QUERY)
-    return S.ivf_topk(corpus, queries, k=TOP_K, n_centroids=16, n_probe=4)
+    index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
+    _IVF_CACHE[(id(spark), sf_dir)] = index
+    return S.ivf_probe(index, queries, k=TOP_K, n_probe=4)
+
+
+# One trained IVF index per (session, sf_dir): quantizer training is
+# the dominant cold cost and amortizes across query batches — the
+# operational mode of IVF (operators/similarity.py::IvfIndex docstring;
+# same caching pattern as workload/graph.py::_EDGE_CACHE). At 100 TB
+# the assigned table is parquet partitioned by list id and every probe
+# is a partition-pruned scan.
+_IVF_CACHE: dict[tuple[int, str], "S.IvfIndex"] = {}
+
+
+def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized IVF path: build (k-means + assign, cached per
+    session/sf) once, probe per query batch. Bench-wise this is the
+    steady-state ANN latency — `ann_ivf` is the same answer's cold
+    build+probe. Rows-only like ann_ivf (MLlib k-means training has
+    no SQL oracle); probe≡build-probe equality and recall are pinned
+    in tests/test_similarity.py."""
+    e = T(spark, sf_dir, "embeddings")
+    key = (id(spark), sf_dir)
+    index = _IVF_CACHE.get(key)
+    if index is None:
+        corpus = e.filter(F.col("vec_id") >= N_QUERY)
+        index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
+        _IVF_CACHE[key] = index
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_probe(index, queries, k=TOP_K, n_probe=4)
 
 
 def q_ann_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,6 +198,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ivf_probe": q_ivf_probe,
     "ann_mllib_brp": q_ann_mllib_brp,
 }
 
