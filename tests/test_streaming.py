@@ -210,3 +210,39 @@ def test_stream_dedup_within_watermark(spark, sf_dir, batch_events):
     assert spark.table("dedup_wm_out").count() == want
     doubled = batch_events.unionByName(batch_events)
     assert stream_dedup_within_watermark(doubled).count() == want
+
+
+def test_checkpoint_resume_picks_up_only_new_files(spark, batch_events, tmp_path):
+    """Checkpoint-resume semantics of the file source: a restarted
+    query with the same checkpoint processes ONLY files added since
+    the last run — the incremental-ingest contract a production
+    pipeline relies on (no reprocessing of the backlog, no gaps)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    src = str(tmp_path / "resume_src")
+    out = str(tmp_path / "resume_out")
+    ckpt = str(tmp_path / "resume_ckpt")
+    first = batch_events.filter(F.col("event_id") % 2 == 0)
+    second = batch_events.filter(F.col("event_id") % 2 == 1)
+    first.write.parquet(src)
+
+    schema = batch_events.schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = idempotent_parquet_sink(stream, out, ckpt)
+        q.awaitTermination()
+
+    run_once()
+    n_first = first.count()
+    assert spark.read.parquet(out).count() == n_first
+
+    second.write.mode("append").parquet(src)
+    run_once()
+    got = spark.read.parquet(out)
+    # every row exactly once across both runs: no double-processing of
+    # the first batch's files, no gap in the second's
+    assert got.count() == batch_events.count()
+    assert got.select("event_id").distinct().count() == batch_events.count()
