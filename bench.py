@@ -197,8 +197,27 @@ def main() -> None:
     spark = get_session("bench")
     qs = all_queries()
 
-    # JVM/codegen warm-up on a trivial plan so q1 doesn't pay session cost.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # JVM/codegen warm-up so the first queries don't pay one-time JIT /
+    # expression-compile cost that has nothing to do with their plans.
+    # Tiny in-memory inputs only (never the fixtures): each statement
+    # warms a common codegen path — hash agg, window, broadcast join,
+    # JSON/variant parsing, higher-order array functions. Observed: the
+    # first query using parse_json pays ~2-3 s of one-time compile that
+    # vanishes on repeat runs; warming it here makes per-query numbers
+    # measure the PLAN, not session aging.
+    warm = spark.range(10000).selectExpr("id", "cast(id % 7 as string) k")
+    warm.groupBy("k").count().collect()
+    warm.selectExpr(
+        "id", "row_number() over (partition by k order by id) rn"
+    ).collect()
+    dim = spark.range(7).selectExpr("cast(id as string) k")
+    warm.join(dim.hint("broadcast"), "k").count()
+    spark.range(100).selectExpr(
+        "variant_get(parse_json('{\"k\": 1}'), '$.k', 'int') v"
+    ).agg({"v": "sum"}).collect()
+    spark.range(100).selectExpr(
+        "aggregate(sequence(1, 10), 0L, (a, x) -> a + x) s"
+    ).agg({"s": "sum"}).collect()
 
     timings: dict[str, float] = {}
     total = 0.0
