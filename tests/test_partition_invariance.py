@@ -26,6 +26,10 @@ REPRESENTATIVE = [
     "er_match",            # blocked linkage + window best-match
     "bm25",                # integer-count float scoring + top-k
     "rolling_median",      # framed collect + interpolation
+    "percentiles",         # weighted order statistics over the value spine
+    "quantile_normalize",  # spine-derived global grid + percent_rank
+    "customer_deciles",    # distributed_ntile partition-offset ranks
+    "stream_dedup",        # dropDuplicates keep-arbitrary on unique keys
 ]
 
 

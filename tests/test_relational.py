@@ -321,3 +321,38 @@ def test_weighted_hash_sample_bounds_and_nesting(spark):
     small = {r.k for r in weighted_hash_sample(df, "k", F.lit(0.4), 0.5).collect()}
     big = {r.k for r in weighted_hash_sample(df, "k", F.lit(0.8), 0.5).collect()}
     assert small and small < big
+
+
+def test_exact_percentiles_match_builtin_on_ties(spark):
+    """Weighted-order-statistics rewrite ≡ Spark's own percentile()
+    aggregate on data dense with ties (the histogram-spine path must
+    cover boundary ranks falling inside AND between value runs),
+    including p=0/p=1 edges and a single-row group."""
+    import random
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        exact_percentiles_ranked,
+    )
+
+    rng = random.Random(7)
+    rows = [("g%d" % rng.randint(0, 2), float(rng.randint(0, 9)) / 4.0)
+            for _ in range(500)]
+    rows.append(("lonely", 3.25))
+    df = spark.createDataFrame(rows, "k string, v double")
+    ps = {"p0": 0.0, "p17": 0.17, "p50": 0.5, "p83": 0.83, "p100": 1.0}
+    got = {
+        r["k"]: tuple(r[name] for name in ps)
+        for r in exact_percentiles_ranked(df, ["k"], "v", ps).collect()
+    }
+    import pyspark.sql.functions as F
+
+    want = {
+        r["k"]: tuple(r[name] for name in ps)
+        for r in df.groupBy("k")
+        .agg(*[
+            F.expr(f"percentile(v, {p})").alias(name)
+            for name, p in ps.items()
+        ])
+        .collect()
+    }
+    assert got == want
