@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "prefix_jaccard",
     "multimodal_meta",
     "multimodal_features",
+    "frame_sample",
+    "image_resize",
     "centroids",
     "knn_bruteforce",
     "embedding_stats",

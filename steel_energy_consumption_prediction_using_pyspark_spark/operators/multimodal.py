@@ -144,6 +144,116 @@ def extract_features(
     return df.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_off", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 256,
+    stride: int = 2,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one payload row explodes into up
+    to ``max_frames`` frame rows (every ``stride``-th fixed-size
+    segment) — the 1→N batch-shape change real frame sampling has,
+    which is why it's mapInPandas (an output batch is NOT row-aligned
+    with its input batch) rather than a scalar pandas_udf.
+
+    The segmenting arithmetic (frame count ⌈n/frame_bytes⌉, sampled
+    indices, offsets, lengths) is deterministic and SQL-expressible —
+    the driver query oracle-checks it — while the per-frame payload
+    slice marks where a real ffmpeg/pyav decode would run (the slice
+    IS the fake decode; swapping it for codec output changes nothing
+    Spark-side). Emitting the sliced bytes, not the whole payload,
+    bounds the explosion's output size to max_frames·frame_bytes per
+    document regardless of payload size."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, segs = [], [], [], [], []
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                n_frames = max(1, -(-n // frame_bytes))
+                for i in list(range(0, n_frames, stride))[:max_frames]:
+                    off = i * frame_bytes
+                    # real decoder hook: ffmpeg frame extract would
+                    # replace this slice
+                    seg = bytes(payload[off : off + frame_bytes])
+                    ids.append(int(doc))
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(len(seg))
+                    segs.append(seg)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_off": pd.Series(offs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_payload": segs,
+                }
+            )
+
+    return df.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+    ]
+)
+
+
+def resize_image_meta(
+    df: DataFrame,
+    max_side: int = 256,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Aspect-preserving resize-to-fit planning over decoded image
+    dims: the target box computation every image pipeline runs before
+    the pixel op. INTEGER arithmetic only (w·max_side div max(w,h)) so
+    the plan is bit-identical in any engine — the pixel resample
+    itself is the codec-gated step (decode_image_pixels). Runs as an
+    Arrow-batched kernel to mirror the production shape (dims arrive
+    WITH the decoded pixels in one batch; here metadata-only)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf[width_col].astype("int64")
+            h = pdf[height_col].astype("int64")
+            mx = w.where(w >= h, h)
+            scale_needed = mx > max_side
+            nw = w.where(~scale_needed, (w * max_side) // mx).clip(lower=1)
+            nh = h.where(~scale_needed, (h * max_side) // mx).clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "new_width": nw.astype("int32"),
+                    "new_height": nh.astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
 def decode_image_pixels(*_args, **_kwargs):
     """Real pixel decode requires an image codec (PIL/libjpeg), which is
     not available in this environment. The metadata path above defines
@@ -155,7 +265,12 @@ def decode_image_pixels(*_args, **_kwargs):
 
 
 def frame_sample_stub(*_args, **_kwargs):
-    """Video frame sampling stub — same story as decode_image_pixels."""
+    """Codec-gated REAL frame decode — same story as
+    decode_image_pixels. The Spark-side plumbing (segmenting, 1→N
+    explosion, offsets/lengths, Arrow batching) is fully implemented
+    and oracle-checked in :func:`sample_frames`; this stub marks only
+    the ffmpeg/pyav call that would replace its byte-slice line."""
     raise NotImplementedError(
-        "video frame sampling needs ffmpeg; not available in this container"
+        "video frame decoding needs ffmpeg; not available in this "
+        "container — sample_frames covers the Spark-side contract"
     )

@@ -15,6 +15,8 @@ from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimoda
     decode_image_meta,
     extract_features,
     pack_blob,
+    resize_image_meta,
+    sample_frames,
 )
 from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
     session_window_agg,
@@ -66,13 +68,112 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over fake 'videos' (operators/multimodal.py::
+    sample_frames): every 2nd 256-byte segment, max 4 per document —
+    a 1→N mapInPandas explosion whose sampling arithmetic (frame
+    count, indices, offsets, clipped lengths) the oracle re-derives in
+    SQL; the md5 of the emitted frame BYTES is cross-checked too, so
+    the kernel's payload slicing (the ffmpeg hook) is verified, not
+    just its bookkeeping. Reduced per frame_idx to stay compact."""
+    d = T(spark, sf_dir, "documents")
+    frames = sample_frames(pack_blob(d, "text", "doc_id"))
+    return (
+        frames.groupBy("frame_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("frame_len").alias("total_bytes"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count_distinct(F.md5("frame_payload")).alias("n_uniq_frames"),
+        )
+        .orderBy("frame_idx")
+    )
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-fit planning (operators/multimodal.py::
+    resize_image_meta) over the fake-decoded image dims: integer
+    aspect-preserving box math, bit-identical in SQL. Reduced to a
+    per-bucket histogram of output areas."""
+    d = T(spark, sf_dir, "documents")
+    dims = decode_image_meta(pack_blob(d, "text", "doc_id"))
+    rs = resize_image_meta(dims, max_side=256)
+    area_bucket = ((F.col("new_width") * F.col("new_height")) / 8192).cast("int")
+    return (
+        rs.select(
+            area_bucket.alias("area_bucket"),
+            (F.col("new_width") <= 256).alias("w_ok"),
+            (F.col("new_height") <= 256).alias("h_ok"),
+        )
+        .groupBy("area_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bool_and("w_ok").alias("all_w_fit"),
+            F.bool_and("h_ok").alias("all_h_fit"),
+        )
+        .orderBy("area_bucket")
+    )
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "frame_sample": q_frame_sample,
+    "image_resize": q_image_resize,
     "session_window": q_session_window,
 }
 
 ORACLES = {
+    # Both frame oracles slice the document text with VARCHAR substring
+    # (character offsets). The engine slices the utf-8 BYTES. These
+    # agree because the documents fixture is pure ASCII — asserted by
+    # tests/test_multimodal.py::test_documents_fixture_is_ascii, which
+    # names this assumption if a future fixture breaks it.
+    "frame_sample": """
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n
+            FROM documents
+        ),
+        fr AS (
+            SELECT doc_id, text, n, CAST(fi AS INTEGER) AS frame_idx
+            FROM d, unnest(list_slice(
+                     range(0, greatest(1, (n + 255) // 256), 2), 1, 4)) AS t(fi)
+        ),
+        f2 AS (
+            SELECT doc_id, frame_idx,
+                   least(256, n - frame_idx * 256) AS frame_len,
+                   md5(substring(text, frame_idx * 256 + 1, 256)) AS fhash
+            FROM fr
+        )
+        SELECT frame_idx,
+               CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(frame_len) AS BIGINT) AS total_bytes,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT fhash) AS BIGINT) AS n_uniq_frames
+        FROM f2 GROUP BY frame_idx ORDER BY frame_idx
+    """,
+    "image_resize": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST((octet_length(encode(text)) * 7919) % 1024 + 16 AS BIGINT) AS w,
+                   CAST((octet_length(encode(text)) * 104729) % 1024 + 16 AS BIGINT) AS h
+            FROM documents
+        ),
+        rs AS (
+            SELECT doc_id, w, h, greatest(w, h) AS mx,
+                   CASE WHEN greatest(w, h) <= 256 THEN w
+                        ELSE greatest(1, (w * 256) // greatest(w, h)) END AS nw,
+                   CASE WHEN greatest(w, h) <= 256 THEN h
+                        ELSE greatest(1, (h * 256) // greatest(w, h)) END AS nh
+            FROM dims
+        )
+        SELECT CAST((nw * nh) // 8192 AS INTEGER) AS area_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               bool_and(nw <= 256) AS all_w_fit,
+               bool_and(nh <= 256) AS all_h_fit
+        FROM rs GROUP BY area_bucket ORDER BY area_bucket
+    """,
     "multimodal_meta": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

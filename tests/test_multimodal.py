@@ -67,3 +67,59 @@ def test_codec_stubs_marked(spark):
         decode_image_pixels()
     with pytest.raises(NotImplementedError):
         frame_sample_stub()
+
+
+def test_sample_frames_segments_and_bytes(spark):
+    """1→N explosion arithmetic AND payload slicing: a 600-byte doc at
+    (256-byte frames, stride 2, max 4) yields frames 0 and 2 with the
+    right offsets, lengths, and exact byte content."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimodal import (
+        pack_blob,
+        sample_frames,
+    )
+
+    text = "".join(chr(65 + (i % 26)) for i in range(600))
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    out = {
+        (r.doc_id, r.frame_idx): r
+        for r in sample_frames(pack_blob(df, "text", "doc_id")).collect()
+    }
+    assert set(out) == {(1, 0), (1, 2), (2, 0)}
+    f0, f2 = out[(1, 0)], out[(1, 2)]
+    assert (f0.frame_off, f0.frame_len) == (0, 256)
+    assert (f2.frame_off, f2.frame_len) == (512, 88)
+    assert bytes(f0.frame_payload) == text.encode()[0:256]
+    assert bytes(f2.frame_payload) == text.encode()[512:600]
+    assert out[(2, 0)].frame_len == 0  # empty payload → one empty frame
+
+
+def test_resize_fits_and_preserves_aspect(spark):
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimodal import (
+        resize_image_meta,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1024, 512), (2, 100, 50), (3, 300, 900), (4, 1, 5000)],
+        "doc_id long, width int, height int",
+    )
+    got = {r.doc_id: (r.new_width, r.new_height) for r in resize_image_meta(df).collect()}
+    assert got[1] == (256, 128)        # downscale, aspect kept exactly
+    assert got[2] == (100, 50)         # already fits: untouched
+    assert got[3] == (85, 256)         # floor division on the short side
+    assert got[4] == (1, 256)          # degenerate aspect clamps to >= 1
+    for w, h in got.values():
+        assert w <= 256 and h <= 256
+
+
+def test_documents_fixture_is_ascii(spark, sf_dir):
+    """The frame_sample/image_resize oracles slice text with VARCHAR
+    substring (character offsets) while the engine slices utf-8 bytes;
+    they agree only while the documents fixture is pure ASCII. This
+    test names that assumption if a future fixture regeneration adds
+    multibyte characters (then: switch the oracles to byte-safe
+    slicing or the kernel to character segmentation)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_multibyte = d.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert n_multibyte == 0
