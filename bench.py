@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "mmr_rerank",
     "repetition",
     "decontaminate",
+    "temperature_mix",
     "pack_windows",
     "dq_summary",
     "pagerank",

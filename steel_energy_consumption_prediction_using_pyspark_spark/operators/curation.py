@@ -184,3 +184,49 @@ def pack_greedy(
     return df.withColumn(
         out_col, F.floor((cum - F.col(token_col)) / F.lit(float(window)))
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    budget: int = 2000,
+) -> DataFrame:
+    """Temperature-based corpus mixture sampling (the multilingual /
+    multi-source rebalancing step of LLM pretraining, exponent α=½):
+    a source's share of the `budget` is ∝ n^α — flattening the head,
+    boosting the tail relative to raw proportions — and membership is
+    the deterministic multiplicative-hash sample at the derived
+    per-source rate (nested-sample property: raising the budget only
+    ADDS rows).
+
+    Engineered for cross-engine bit-exactness: √n is correctly
+    rounded by IEEE 754 (α=½ chosen over the also-common 0.7 exactly
+    because pow() is NOT correctly rounded and engines disagree by
+    ulps), the weight is floored to integer MICRO-units, and every
+    downstream step (total, budget share, hash threshold) is integer
+    arithmetic — floor division end to end, no float summation
+    anywhere. One count aggregate + one broadcast join + one scan
+    filter: two passes, no shuffle of the fact side beyond the count.
+
+    Returns `df` columns + (n, w_micro, tw, target, keep) — callers
+    filter on `keep` or aggregate the plan columns.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    plan = counts.withColumn(
+        "w_micro",
+        F.floor(F.sqrt(F.col("n").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    )
+    tot = plan.agg(F.sum("w_micro").alias("tw"))
+    plan = (
+        plan.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.least(F.col("n"), F.expr(f"({budget} * w_micro) div tw")),
+        )
+        .withColumn("_thr", F.expr("(target * 4294967296) div n"))
+    )
+    h = ((F.col(key_col) % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
+    return df.join(F.broadcast(plan), source_col).withColumn(
+        "keep", h < F.col("_thr")
+    )

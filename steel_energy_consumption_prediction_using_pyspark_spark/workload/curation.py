@@ -210,7 +210,35 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """√n temperature mixture sampling (operators/curation.py::
+    temperature_mixture): per-source budget share ∝ √n at budget 2000
+    over documents, membership by deterministic hash. The whole plan
+    is integer arithmetic (micro-unit weights, floor division, integer
+    hash threshold), so the oracle is bit-exact — including the share
+    column, a single double division of identical integer operands."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.curation import (
+        temperature_mixture,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    out = temperature_mixture(d, "source", "doc_id", budget=2000)
+    flr6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        out.groupBy("source")
+        .agg(
+            F.first("n").alias("n_docs"),
+            flr6(F.first("w_micro") / F.first("tw").cast("double")).alias("share"),
+            F.first("target").alias("target"),
+            F.sum(F.col("keep").cast("long")).alias("n_sampled"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).cast("bigint").alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "temperature_mix": q_temperature_mix,
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
     "pack_windows": q_pack_windows,
@@ -232,6 +260,37 @@ _G3 = (
 )
 
 ORACLES = {
+    "temperature_mix": """
+        WITH counts AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        ),
+        plan AS (
+            SELECT source, n,
+                   CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5e0) AS BIGINT) AS w_micro
+            FROM counts
+        ),
+        tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM plan),
+        p2 AS (
+            SELECT source, n, w_micro, tw,
+                   least(n, (2000 * w_micro) // tw) AS target
+            FROM plan, tot
+        ),
+        p3 AS (SELECT *, (target * 4294967296) // n AS thr FROM p2),
+        s AS (
+            SELECT d.source, d.n_chars, p3.n, p3.w_micro, p3.tw, p3.target,
+                   ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < p3.thr AS keep
+            FROM documents d JOIN p3 USING (source)
+        )
+        SELECT source,
+               CAST(max(n) AS BIGINT) AS n_docs,
+               floor(max(w_micro) / CAST(max(tw) AS DOUBLE) * 1000000 + 0.5e0)
+                   / 1000000 AS share,
+               CAST(max(target) AS BIGINT) AS target,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+        FROM s GROUP BY source ORDER BY source
+    """,
     "repetition": f"""
         WITH w AS (
             SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents

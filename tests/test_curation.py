@@ -123,3 +123,37 @@ def test_pii_redaction_hand_cases(spark):
     assert out[3] == ("clean text, nothing to see", 0, 0)
     assert out[4] == ("dual: <EMAIL> and <PHONE>", 1, 1)
     assert out[5][1] == 1 and out[5][2] == 0  # email eaten first
+
+
+def test_temperature_mixture_flattens_and_nests(spark):
+    """sqrt-temperature mixing: (a) budget shares are flatter than raw
+    proportions (head source's share drops, tail's rises); (b) nested-
+    sample property — every doc kept at budget B is kept at B' > B."""
+    from pyspark.sql import functions as F
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.curation import (
+        temperature_mixture,
+    )
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plan = (
+        temperature_mixture(df, "source", "doc_id", budget=200)
+        .select("source", "n", "w_micro", "tw", "target")
+        .distinct()
+        .collect()
+    )
+    by_src = {r.source: r for r in plan}
+    raw_head = by_src["head"].n / 1000.0                      # 0.9
+    mixed_head = by_src["head"].w_micro / by_src["head"].tw   # sqrt-flattened
+    assert mixed_head < raw_head
+    assert (by_src["tail"].w_micro / by_src["tail"].tw) > 0.1
+
+    kept = lambda b: {  # noqa: E731
+        r.doc_id
+        for r in temperature_mixture(df, "source", "doc_id", budget=b)
+        .filter(F.col("keep"))
+        .collect()
+    }
+    small, big = kept(200), kept(600)
+    assert small <= big and len(small) < len(big)
