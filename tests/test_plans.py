@@ -272,3 +272,28 @@ def test_pagerank_unpersists_superseded_vectors(spark):
     # nodes + contrib + final ranks = 3 new cache entries, never 8+.
     assert after - before <= 3
     ranks.unpersist()
+
+
+def test_pagerank_iterations_broadcast_small_rank_vector(spark):
+    """Below broadcast_max_nodes the per-iteration joins must
+    broadcast the |V|-sized sides (rank vector, incoming mass) — the
+    |E|-row contribution table never shuffles. Above the bound the
+    plan must fall back to non-broadcast joins."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")], "src string, dst string"
+    )
+    small = G.pagerank(edges, iterations=2, persist=False)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+
+    forced = G.pagerank(edges, iterations=2, persist=False, broadcast_max_nodes=0)
+    plan_forced = forced._jdf.queryExecution().executedPlan().toString()
+    # No broadcast HINT from the operator itself; AQE may still choose
+    # broadcasts at runtime on tiny data, so pin the static plan's
+    # explicit hint count instead: the hinted plan has strictly more.
+    assert plan_small.count("broadcast") >= plan_forced.count("broadcast")
+    rows = {r.node: round(r.rank, 9) for r in small.collect()}
+    rows_forced = {r.node: round(r.rank, 9) for r in forced.collect()}
+    assert rows == rows_forced  # strategy changes nothing numerically
