@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "temperature_mix",
     "pack_windows",
+    "pack_slices",
     "dq_summary",
     "pagerank",
     "bfs_hops",

@@ -230,3 +230,60 @@ def temperature_mixture(
     return df.join(F.broadcast(plan), source_col).withColumn(
         "keep", h < F.col("_thr")
     )
+
+
+def slice_packs(
+    df: DataFrame,
+    token_col: str,
+    window: int,
+    order_col: str = "doc_id",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Loader-ready span table for concat-then-slice sequence packing:
+    one row per (document, pack) overlap — including documents that
+    STRADDLE pack boundaries, which :func:`pack_greedy` (start-pack
+    routing only) does not enumerate. For each doc the global stream
+    offset is the running token sum; the doc occupies packs
+    ⌊start/W⌋..⌊(end-1)/W⌋ and each overlap row carries the in-doc
+    segment offset and length the tokenizer needs to cut. All integer
+    arithmetic.
+
+    Plan shape: the prefix sum is one window over ``order_col`` (pass
+    ``part_col`` — e.g. the source shard — to keep it parallel, same
+    contract as pack_greedy), then a GENERATE (sequence+explode over
+    the per-doc pack range) with no join and no extra shuffle; output
+    rows = n_docs + n_straddles.
+    """
+    w = (
+        Window.partitionBy(part_col).orderBy(order_col)
+        if part_col is not None
+        else Window.orderBy(order_col)
+    )
+    t = F.col(token_col).cast("long")
+    start = (F.sum(token_col).over(w) - t).alias("_start")
+    sliced = df.select(
+        *([part_col] if part_col else []),
+        F.col(order_col),
+        t.alias("_tok"),
+        start,
+    ).filter(F.col("_tok") > 0)
+    p0 = F.expr("_start div " + str(int(window)))
+    p1 = F.expr(f"(_start + _tok - 1) div {int(window)}")
+    out = sliced.select(
+        *([part_col] if part_col else []),
+        order_col,
+        "_tok",
+        "_start",
+        F.explode(F.sequence(p0, p1)).alias("pack_id"),
+    )
+    seg_start_g = F.greatest(F.col("_start"), F.col("pack_id") * window)
+    seg_end_g = F.least(
+        F.col("_start") + F.col("_tok"), (F.col("pack_id") + 1) * window
+    )
+    return out.select(
+        *([part_col] if part_col else []),
+        order_col,
+        "pack_id",
+        (seg_start_g - F.col("_start")).alias("seg_off"),
+        (seg_end_g - seg_start_g).alias("seg_len"),
+    )

@@ -237,8 +237,39 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-slice span table (operators/curation.py::
+    slice_packs): per-source token streams cut into 2048-token packs,
+    one row per (doc, pack) overlap with in-doc segment offsets —
+    what a pretraining loader actually consumes. n_chars stands in
+    for the token count (same integer contract). Reduced per source:
+    pack count, overlap rows, straddling docs, and exact conservation
+    (sum of segment lengths == sum of tokens — the slicing loses
+    nothing)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.curation import (
+        slice_packs,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    spans = slice_packs(d, "n_chars", 2048, order_col="doc_id", part_col="source")
+    per_doc = spans.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"), F.sum("seg_len").alias("doc_len")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_segs").cast("bigint").alias("n_segments"),
+            F.sum((F.col("n_segs") > 1).cast("long")).alias("n_straddling"),
+            F.sum("doc_len").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "temperature_mix": q_temperature_mix,
+    "pack_slices": q_pack_slices,
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
     "pack_windows": q_pack_windows,
@@ -290,6 +321,33 @@ ORACLES = {
                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
                CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
         FROM s GROUP BY source ORDER BY source
+    """,
+    "pack_slices": """
+        WITH s AS (
+            SELECT source, doc_id, CAST(n_chars AS BIGINT) AS tok,
+                   CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_chars AS BIGINT) AS st
+            FROM documents WHERE n_chars > 0
+        ),
+        spans AS (
+            SELECT source, doc_id, tok, st, CAST(p AS BIGINT) AS pack_id,
+                   greatest(st, CAST(p AS BIGINT) * 2048) AS g0,
+                   least(st + tok, (CAST(p AS BIGINT) + 1) * 2048) AS g1
+            FROM s, unnest(range(st // 2048, (st + tok - 1) // 2048 + 1)) AS t(p)
+        ),
+        per_doc AS (
+            SELECT source, doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segs,
+                   CAST(sum(g1 - g0) AS BIGINT) AS doc_len
+            FROM spans GROUP BY source, doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_segs) AS BIGINT) AS n_segments,
+               CAST(sum(CASE WHEN n_segs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+               CAST(sum(doc_len) AS BIGINT) AS total_tokens
+        FROM per_doc GROUP BY source ORDER BY source
     """,
     "repetition": f"""
         WITH w AS (

@@ -157,3 +157,30 @@ def test_temperature_mixture_flattens_and_nests(spark):
     }
     small, big = kept(200), kept(600)
     assert small <= big and len(small) < len(big)
+
+
+def test_slice_packs_conservation_and_straddle(spark):
+    """Hand-computed: window 10, docs of 4/8/10/3 tokens in one shard.
+    Stream offsets 0/4/12/22 → doc2 straddles packs 0-1, doc4 straddles
+    packs 2(?) — verify spans exactly and that every token lands in
+    exactly one span."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.curation import (
+        slice_packs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 4), (2, 8), (3, 10), (4, 3)], "doc_id long, tok int"
+    )
+    got = {
+        (r.doc_id, r.pack_id): (r.seg_off, r.seg_len)
+        for r in slice_packs(df, "tok", 10).collect()
+    }
+    assert got == {
+        (1, 0): (0, 4),        # tokens 0-3
+        (2, 0): (0, 6),        # tokens 4-9
+        (2, 1): (6, 2),        # tokens 10-11 → straddle into pack 1
+        (3, 1): (0, 8),        # tokens 12-19
+        (3, 2): (8, 2),        # tokens 20-21
+        (4, 2): (0, 3),        # tokens 22-24
+    }
+    assert sum(l for _, l in got.values()) == 25  # conservation
