@@ -49,13 +49,13 @@ def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the READ path (inferSchema + header + name normalization), not the
 # write; caching the export keeps repeated driver/bench invocations
 # from re-paying it (same amortization pattern as the graph edge cache).
-_CSV_EXPORT_CACHE: dict[tuple[int, str], str] = {}
+_CSV_EXPORT_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _orders_csv(spark: SparkSession, sf_dir: str) -> str:
     import os
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     path = _CSV_EXPORT_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path

@@ -67,11 +67,11 @@ BFS_MAX_HOPS = 4
 # as ivf_build/ivf_probe: build once per (session, sf_dir), persist,
 # reuse — at 100 TB this table would be written to parquet bucketed by
 # src and shared by every downstream walk.
-_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached

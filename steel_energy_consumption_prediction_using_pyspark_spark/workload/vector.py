@@ -95,7 +95,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.filter(F.col("vec_id") >= N_QUERY)
     index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
-    _IVF_CACHE[(id(spark), sf_dir)] = index
+    _IVF_CACHE[(spark.sparkContext.applicationId, sf_dir)] = index
     return S.ivf_probe(index, queries, k=TOP_K, n_probe=4)
 
 
@@ -105,7 +105,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same caching pattern as workload/graph.py::_EDGE_CACHE). At 100 TB
 # the assigned table is parquet partitioned by list id and every probe
 # is a partition-pruned scan.
-_IVF_CACHE: dict[tuple[int, str], "S.IvfIndex"] = {}
+_IVF_CACHE: dict[tuple[str, str], "S.IvfIndex"] = {}
 
 
 def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,7 +116,7 @@ def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     no SQL oracle); probe≡build-probe equality and recall are pinned
     in tests/test_similarity.py."""
     e = T(spark, sf_dir, "embeddings")
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     index = _IVF_CACHE.get(key)
     if index is None:
         corpus = e.filter(F.col("vec_id") >= N_QUERY)
