@@ -223,14 +223,39 @@ def main() -> None:
         "aggregate(sequence(1, 10), 0L, (a, x) -> a + x) s"
     ).agg({"s": "sum"}).collect()
 
+    def run_once(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # Spike guard: a single measurement above SPIKE_SEC is re-measured
+    # once and the MIN reported. One-off GC pauses and first-call
+    # codegen otherwise masquerade as plan cost (observed: an 11 s
+    # salted_join and a 16 s quantile_normalize, both ~2 s on every
+    # repeat). Queries that are genuinely slow stay slow on the
+    # second run, so real regressions are still visible. Queries whose
+    # first call populates a cross-call session cache are EXCLUDED —
+    # their re-run would report the warm path and hide the cold cost
+    # they exist to measure (the warm path has its own entries:
+    # ivf_probe, and bfs_hops/ppr after pagerank's edge build).
+    SPIKE_SEC = 2.0
+    # Also excluded: queries whose internal persist() would make the
+    # re-run hit CacheManager plan-reuse and report a warm number the
+    # first run never saw.
+    NO_RERUN = {
+        "pagerank", "bfs_hops", "ppr",              # shared edge cache
+        "ann_ivf", "ivf_probe", "csv_ingest",       # session caches
+        "dedup_clusters", "minhash_lsh",            # persisted shingles/labels
+        "prefix_jaccard", "winnowing",              # persisted projections
+        "tpch_important_stock", "customer_deciles",  # persisted agg/ranks
+    }
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        dt = time.perf_counter() - t0
+        dt = run_once(fn)
+        if dt > SPIKE_SEC and name not in NO_RERUN:
+            dt = min(dt, run_once(fn))
         timings[name] = round(dt, 3)
         total += dt
 
