@@ -33,6 +33,7 @@ def pagerank(
     eager: bool = False,
     reset: DataFrame | None = None,
     broadcast_max_nodes: int = 1_000_000,
+    every_node_emits: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (one row per
     edge; parallel edges should be pre-deduped by the caller).
@@ -67,14 +68,24 @@ def pagerank(
     Rank vectors scale with |V| ≪ |E|, so this holds far longer than
     intuition suggests (1M nodes ≈ tens of MB); above the bound —
     billions of nodes at web scale — every join falls back to the
-    shuffle path automatically. Set 0 to force shuffle joins."""
+    shuffle path automatically. Set 0 to force shuffle joins.
+
+    `every_node_emits`: promise that every node appears as a SOURCE
+    (true for any symmetrized/undirected edge list, where it saves
+    the separate src∪dst distinct pass — the node set is exactly the
+    outdegree table's keys, already computed). Leave False for
+    general directed graphs, where dst-only (dangling) nodes must
+    still receive rank rows."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if every_node_emits:
+        nodes = outdeg.select(F.col("src").alias("node"))
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
     # contribution weight folded into the edge table once, reused by
     # every iteration (the join below is then edges ⋈ ranks only).
     contrib = e.join(outdeg, "src").select(

@@ -46,6 +46,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copurchase_edges(spark, sf_dir),
         iterations=PR_ITERATIONS,
         damping=PR_DAMPING,
+        every_node_emits=True,  # symmetrized edges: src set == node set
     )
     return (
         ranks.select(
@@ -135,6 +136,7 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=PR_ITERATIONS,
         damping=PR_DAMPING,
         reset=seeds,
+        every_node_emits=True,  # symmetrized edges: src set == node set
     )
     return (
         ranks.select(
