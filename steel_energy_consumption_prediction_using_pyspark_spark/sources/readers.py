@@ -59,8 +59,19 @@ def normalize_columns(df: DataFrame) -> DataFrame:
     return df.withColumnsRenamed({o: n for o, n in renames.items() if o != n})
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Parquet scan. ``merge_schema=True`` unions the schemas of every
+    footer in the directory (columns added over a table's lifetime
+    surface as nulls in older files) — the schema-evolution read path
+    a long-lived 100 TB table needs. It costs a footer read per file
+    at planning time, so it stays opt-in; steady-state readers should
+    pass an explicit contract schema instead."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", True)
+    return reader.parquet(path)
 
 
 def read_csv(

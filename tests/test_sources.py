@@ -199,3 +199,26 @@ def test_csv_ingest_roundtrip_schema(spark, sf_dir):
     # bigint at larger SFs) — both are lossless for the fixture keys.
     assert types.pop("Order_Key") in ("int", "bigint")
     assert types == {"Order_Priority": "string", "Total_Price": "double"}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A column added mid-lifetime must surface across the whole
+    directory under merge_schema=True (nulls for older files), and the
+    evolved column must still be filterable with pushdown."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.sources.readers import (
+        read_parquet,
+    )
+
+    path = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+
+    df = read_parquet(spark, path, merge_schema=True)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
+    assert read_parquet(spark, path, merge_schema=True).filter(
+        "score > 5"
+    ).count() == 1
