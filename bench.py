@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "basket_lift",
     "session_stats",
     "markov_transitions",
+    "trajectory_similarity",
     "twap",
     "ohlc_bars",
     "rolling_median",

@@ -491,6 +491,54 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k behaviorally-similar users by EDIT DISTANCE over their
+    full event-type trajectories (the sequence-similarity shape of
+    REPOSE/trajectory top-k search, collapsed to 1-D event symbols):
+    each user's history becomes a symbol string (first letter of the
+    event type — distinct across the fixture's five types, and any
+    collision would only merge symbols identically in both engines),
+    query users broadcast against the corpus, JVM-side levenshtein,
+    window top-5 with (distance, user) tiebreak.
+
+    Scale shape: the per-user sequence is a bounded collect_list (same
+    contract as ewma_value — cap the window upstream for power users);
+    the pair generation broadcasts the QUERY side only, so the corpus
+    never shuffles; at web scale the pre-filter is shingle-LSH over
+    the same strings (operators/dedup.py machinery)."""
+    e = T(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: F.substring(s["event_type"], 1, 1),
+            ),
+            "",
+        ).alias("seq")
+    )
+    q = seqs.filter(F.col("user_id") < 5).select(
+        F.col("user_id").alias("query_user"), F.col("seq").alias("qseq")
+    )
+    c = seqs.filter(F.col("user_id") >= 5).select(
+        F.col("user_id").alias("neighbor_user"), F.col("seq").alias("cseq")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_user",
+        "neighbor_user",
+        F.levenshtein("qseq", "cseq").alias("dist"),
+    )
+    w = Window.partitionBy("query_user").orderBy(
+        F.asc("dist"), F.asc("neighbor_user")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_user", "neighbor_user", "dist", "rank")
+    )
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     sequence: P(next = b | current = a) from lead() pairs — the
@@ -525,6 +573,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "markov_transitions": q_markov_transitions,
+    "trajectory_similarity": q_trajectory_similarity,
     "session_stats": q_session_stats,
     "basket_lift": q_basket_lift,
     "streaks": q_streaks,
@@ -542,6 +591,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "trajectory_similarity": """
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substring(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        ),
+        scored AS (
+            SELECT q.user_id AS query_user, c.user_id AS neighbor_user,
+                   CAST(levenshtein(q.seq, c.seq) AS INTEGER) AS dist
+            FROM seqs q JOIN seqs c
+              ON q.user_id < 5 AND c.user_id >= 5
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_user
+                       ORDER BY dist, neighbor_user) AS rank
+            FROM scored
+        )
+        SELECT query_user, neighbor_user, dist, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
     "markov_transitions": """
         WITH pairs AS (
             SELECT event_type AS cur,
