@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "sliding_distinct",
     "zscore_anomaly",
     "customer_deciles",
+    "rfm_segments",
     "scd2_history",
     "funnel_strict",
     "incremental_rollup",

@@ -491,6 +491,51 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary), the classic
+    customer-value grid: per customer, days since last order (vs the
+    dataset's max date), order count, and total spend — each cut into
+    quartiles by `distributed_ntile` (three range-repartition rank
+    passes over the per-customer aggregate, never a single-partition
+    window), then reduced to the segment grid. Quartile edges are
+    total-ordered with custkey tiebreaks, so the 64-cell grid is
+    bit-identical to DuckDB's ntile(4) oracle."""
+    o = T(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("_maxd"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("_maxd", "last_order").alias("recency"),
+            "freq",
+            "monetary",
+        )
+    )
+    r = distributed_ntile(
+        per, 4, [F.col("recency").asc(), F.col("o_custkey")], tile_col="r_q"
+    )
+    f = distributed_ntile(
+        r, 4, [F.col("freq").desc(), F.col("o_custkey")], tile_col="f_q"
+    )
+    m = distributed_ntile(
+        f, 4, [F.col("monetary").desc(), F.col("o_custkey")], tile_col="m_q"
+    )
+    return (
+        m.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_value"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
 def q_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k behaviorally-similar users by EDIT DISTANCE over their
     full event-type trajectories (the sequence-similarity shape of
@@ -574,6 +619,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "markov_transitions": q_markov_transitions,
     "trajectory_similarity": q_trajectory_similarity,
+    "rfm_segments": q_rfm_segments,
     "session_stats": q_session_stats,
     "basket_lift": q_basket_lift,
     "streaks": q_streaks,
@@ -591,6 +637,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rfm_segments": """
+        WITH maxd AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders),
+        per AS (
+            SELECT o_custkey,
+                   datediff('day', max(CAST(o_orderdate AS DATE)),
+                            (SELECT md FROM maxd)) AS recency,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   sum(o_totalprice) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT o_custkey, monetary,
+                   ntile(4) OVER (ORDER BY recency ASC, o_custkey) AS r_q,
+                   ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+                   ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+            FROM per
+        )
+        SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+               CAST(m_q AS BIGINT) AS m_q,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(monetary), 2) AS segment_value
+        FROM tiled GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q
+    """,
     "trajectory_similarity": """
         WITH seqs AS (
             SELECT user_id,
