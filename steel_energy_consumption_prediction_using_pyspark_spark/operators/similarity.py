@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
     cosine,
     dot,
+    generate_planes,
 )
 
 
@@ -110,12 +111,7 @@ def hyperplane_bucket(
     executors) and embedded as literal arrays, so per row only the
     dot products remain; deriving coefficients with per-row hash
     expressions would cost dim×planes hash evaluations per vector."""
-    import random
-
-    rng = random.Random(seed)
-    planes = [
-        [rng.uniform(-0.5, 0.5) for _ in range(dim)] for _ in range(num_planes)
-    ]
+    planes = generate_planes(dim, num_planes, seed)
     v = _as_double(vec)
     bucket = F.lit(0).cast("long")
     for p, coeffs in enumerate(planes):

@@ -55,3 +55,20 @@ def dot(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def generate_planes(
+    dim: int, num_planes: int, seed: int = 42
+) -> list[list[float]]:
+    """Seeded hyperplane coefficients shared by the LSH operator
+    (operators/similarity.py::hyperplane_bucket) and the ann_lsh
+    oracle builder (workload/vector.py) — lives here, dependency-free,
+    so both can import it without a cycle. repr() of each double
+    round-trips, so a foreign engine parsing the literals gets the
+    exact same values."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.uniform(-0.5, 0.5) for _ in range(dim)] for _ in range(num_planes)
+    ]

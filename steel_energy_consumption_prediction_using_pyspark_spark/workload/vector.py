@@ -70,16 +70,27 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+LSH_PLANES = 4
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-bucketed ANN top-k (no SQL oracle: seeded xxhash64
-    hyperplanes are Spark-internal; recall vs brute force pinned in
-    pytest)."""
+    """Hyperplane-bucketed ANN top-k WITH a full SQL oracle: the
+    seeded hyperplanes are driver-generated literal doubles
+    (operators/similarity.py::generate_planes), so the oracle embeds
+    the IDENTICAL coefficients and recomputes bucket assignment
+    (sign-pattern of four dot products), the multi-probe expansion
+    (b0 plus each single-bit flip), the bucket equi-join, and the
+    cosine top-k — proving the entire ANN tier end to end, not just
+    its row count. Recall vs brute force additionally pinned in
+    pytest."""
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = e.filter(F.col("vec_id") >= N_QUERY)
-    return S.lsh_bucket_topk(corpus, queries, k=TOP_K, dim=64, num_planes=4)
+    return S.lsh_bucket_topk(
+        corpus, queries, k=TOP_K, dim=64, num_planes=LSH_PLANES
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,3 +263,61 @@ ORACLES = {
         WHERE {_COS} >= 0.32e0
     """,
 }
+
+def _lsh_bucket_sql(vec_expr: str) -> str:
+    """DuckDB expression recomputing hyperplane_bucket's sign-pattern
+    bucket with the IDENTICAL literal coefficients (repr round-trips
+    doubles exactly)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+        generate_planes,
+    )
+
+    terms = []
+    for pl, coeffs in enumerate(generate_planes(64, LSH_PLANES, 42)):
+        lits = ", ".join(repr(c) for c in coeffs)
+        terms.append(
+            f"CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 "
+            f"THEN {1 << pl} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_PROBE_UNION = "\n".join(
+    f"UNION ALL SELECT query_id, v, xor(b0, {1 << pl}) AS bkt FROM q0"
+    for pl in range(LSH_PLANES)
+)
+
+ORACLES["ann_lsh"] = f"""
+    WITH c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v,
+               {{bucket_c}} AS bkt
+        FROM embeddings WHERE vec_id >= {N_QUERY}
+    ),
+    q0 AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v,
+               {{bucket_q}} AS b0
+        FROM embeddings WHERE vec_id < {N_QUERY}
+    ),
+    probes AS (
+        SELECT query_id, v, b0 AS bkt FROM q0
+        {_LSH_PROBE_UNION}
+    ),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               list_dot_product(p.v, c.v)
+               / (sqrt(list_dot_product(p.v, p.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cs
+        FROM c JOIN probes p ON c.bkt = p.bkt
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+""".format(
+    bucket_c=_lsh_bucket_sql("CAST(embedding AS DOUBLE[])"),
+    bucket_q=_lsh_bucket_sql("CAST(embedding AS DOUBLE[])"),
+)
