@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "bm25",
     "pmi_collocations",
     "skipgram_counts",
+    "keyword_pagerank",
     "inverted_index",
     "stratified_sample",
     "group_sample",

@@ -525,9 +525,69 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank-style keyword extraction (Mihalcea & Tarau 2004):
+    PageRank over the word co-occurrence graph — the corpus-level
+    keyword/topic surfacing step of curation pipelines, and a direct
+    REUSE of operators/graph.py::pagerank on a text-derived graph.
+    Content words (alphabetic, length ≥ 5) co-occurring within a
+    ±2-token window become undirected edges (canonicalized
+    least/greatest, distinct, then symmetrized — word pairs can recur
+    in both orders, unlike the bipartite co-purchase graph); 5
+    damped iterations; top-20 words by 6-decimal rank with word
+    tiebreak. Pair generation is per-row zip_with over sliced token
+    arrays (no position self-join); the oracle unrolls the recurrence
+    into chained CTEs exactly like the graph workload."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        graph as G,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        X.tokens(X.normalize_text("text")).alias("tk")
+    )
+    wcol = F.filter(
+        F.transform(F.col("tk"), lambda t: F.regexp_replace(t, "[^a-z]", "")),
+        lambda t: F.length(t) >= 5,
+    )
+    docs = d.select(wcol.alias("w")).filter(F.size("w") >= 3)
+    n = F.size("w")
+
+    def off_pairs(k: int):
+        return F.zip_with(
+            F.slice(F.col("w"), 1, n - k),
+            F.slice(F.col("w"), k + 1, n - k),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("src"), F.greatest(a, b).alias("dst")
+            ),
+        )
+
+    pairs = (
+        docs.select(F.explode(F.concat(off_pairs(1), off_pairs(2))).alias("p"))
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = G.pagerank(
+        edges, iterations=5, damping=0.85, every_node_emits=True
+    )
+    return (
+        ranks.select(
+            F.col("node").alias("word"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "inverted_index": q_inverted_index,
     "skipgram_counts": q_skipgram_counts,
+    "keyword_pagerank": q_keyword_pagerank,
     "bm25": q_bm25,
     "pmi_collocations": q_pmi_collocations,
     "prefix_jaccard": q_prefix_jaccard,
@@ -937,3 +997,41 @@ ORACLES = {
         FROM sizes GROUP BY size ORDER BY size
     """,
 }
+
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.graph import (  # noqa: E402
+    _pr_step,
+)
+
+ORACLES["keyword_pagerank"] = (
+    r"""
+    WITH doks AS (
+        SELECT list_filter(
+                   list_transform(
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                       t -> regexp_replace(t, '[^a-z]', '', 'g')),
+                   t -> length(t) >= 5) AS w
+        FROM documents
+    ),
+    d2 AS (SELECT w, len(w) AS n FROM doks WHERE len(w) >= 3),
+    dp AS (
+        SELECT least(w[CAST(i AS INT)], w[CAST(i + o AS INT)]) AS src,
+               greatest(w[CAST(i AS INT)], w[CAST(i + o AS INT)]) AS dst
+        FROM d2, UNNEST(range(1, n + 1)) AS r(i), UNNEST([1, 2]) AS t(o)
+        WHERE i + o <= n
+    ),
+    p AS (SELECT DISTINCT src, dst FROM dp WHERE src <> dst),
+    edges AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    contrib AS (
+        SELECT src, dst,
+               1e0 / CAST(count(*) OVER (PARTITION BY src) AS DOUBLE) AS w
+        FROM edges
+    ),
+    it0 AS (SELECT node, (SELECT 1e0 / n FROM nn) AS r FROM nodes),"""
+    + ",".join(_pr_step(k) for k in range(1, 6))
+    + """
+    SELECT node AS word, round(r, 6) AS rank FROM it5
+    ORDER BY rank DESC, word ASC LIMIT 20
+"""
+)
