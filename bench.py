@@ -251,6 +251,7 @@ def main() -> None:
         "dedup_clusters", "minhash_lsh",            # persisted shingles/labels
         "prefix_jaccard", "winnowing",              # persisted projections
         "tpch_important_stock", "customer_deciles",  # persisted agg/ranks
+        "keyword_pagerank",                          # persisted walk internals
     }
     timings: dict[str, float] = {}
     total = 0.0
