@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "rolling_median",
     "sliding_distinct",
     "zscore_anomaly",
+    "mad_anomaly",
     "customer_deciles",
     "rfm_segments",
     "scd2_history",

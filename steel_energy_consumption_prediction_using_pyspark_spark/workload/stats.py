@@ -335,6 +335,45 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flags via Median Absolute Deviation: days where
+    an event type's daily total deviates > 2 robust-σ (MAD·1.4826)
+    from that type's MEDIAN — the outlier-resistant twin of
+    `zscore_anomaly` (mean/σ are themselves dragged by the outliers
+    they're meant to flag; median/MAD are 50%-breakdown robust). Both
+    medians ride exact_percentiles_ranked (the weighted-order-
+    statistics spine — parallel two-phase agg + distinct-value
+    window), so the whole query is exact and oracle-checked against
+    quantile_cont. Modified z uses the floor recipe on both sides."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        exact_percentiles_ranked,
+    )
+
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("v")
+    )
+    med = exact_percentiles_ranked(daily, ["event_type"], "v", {"med": 0.5})
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = exact_percentiles_ranked(dev, ["event_type"], "adev", {"mad": 0.5})
+    flr3 = lambda c: F.floor(c * F.lit(1e3) + F.lit(0.5)) / F.lit(1e3)  # noqa: E731
+    rz = (F.col("v") - F.col("med")) / (F.col("mad") * F.lit(1.4826))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("robust_z", rz)
+        .filter(F.abs(F.col("robust_z")) > 2)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("v", 2).alias("day_value"),
+            flr3(F.col("robust_z")).alias("robust_z"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift statistic between the
     click and purchase value distributions: D = max |F₁(x) − F₂(x)|
@@ -390,6 +429,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ks_drift": q_ks_drift,
+    "mad_anomaly": q_mad_anomaly,
     "quantile_normalize": q_quantile_normalize,
     "approx_topk": q_approx_topk,
     "stats_moments": q_stats_moments,
@@ -402,6 +442,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mad_anomaly": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        med AS (
+            SELECT event_type, quantile_cont(v, 0.5) AS med
+            FROM daily GROUP BY event_type
+        ),
+        dev AS (
+            SELECT d.event_type, d.day, d.v, m.med, abs(d.v - m.med) AS adev
+            FROM daily d JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               strftime(d.day, '%Y-%m-%d') AS day,
+               round(d.v, 2) AS day_value,
+               floor((d.v - d.med) / (m.mad * 1.4826) * 1000 + 0.5e0) / 1000
+                   AS robust_z
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE abs((d.v - d.med) / (m.mad * 1.4826)) > 2
+        ORDER BY d.event_type, d.day
+    """,
     "ks_drift": """
         WITH per_val AS (
             SELECT value,
