@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "sliding_distinct",
     "zscore_anomaly",
     "mad_anomaly",
+    "attribution",
     "customer_deciles",
     "rfm_segments",
     "scd2_history",

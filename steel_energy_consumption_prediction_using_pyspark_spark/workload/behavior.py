@@ -584,6 +584,44 @@ def q_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution with time decay: every
+    view/click in the 7 days BEFORE a purchase shares that purchase's
+    credit, weighted 2^-age_days and normalized per purchase — the
+    marketing staple between last-touch (asof_join) and algorithmic
+    attribution. Weights are exact binary fractions (powers of two
+    with small exponents), so the per-purchase weight total and each
+    share are bit-identical across engines; only the final per-type
+    credit sum is rounded. Join is per-user purchases×touches —
+    bounded by the per-user event count; the range-join operator is
+    the scale path when touch windows explode."""
+    e = T(spark, sf_dir, "events")
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    tou = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("tts"), F.col("event_type").alias("touch_type")
+    )
+    j = tou.join(pur, "user_id").filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.datediff(F.to_date("pts"), F.to_date("tts")) <= 7)
+    )
+    w = F.pow(F.lit(2.0), -F.datediff(F.to_date("pts"), F.to_date("tts")))
+    wsum = Window.partitionBy("pid")
+    shared = j.select(
+        "touch_type", "pid", (w / F.sum(w).over(wsum)).alias("share")
+    )
+    flr4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)  # noqa: E731
+    return (
+        shared.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            flr4(F.sum("share")).alias("credited_conversions"),
+        )
+        .orderBy("touch_type")
+    )
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     sequence: P(next = b | current = a) from lead() pairs — the
@@ -620,6 +658,7 @@ QUERIES = {
     "markov_transitions": q_markov_transitions,
     "trajectory_similarity": q_trajectory_similarity,
     "rfm_segments": q_rfm_segments,
+    "attribution": q_attribution,
     "session_stats": q_session_stats,
     "basket_lift": q_basket_lift,
     "streaks": q_streaks,
@@ -637,6 +676,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "attribution": """
+        WITH pur AS (
+            SELECT user_id, ts AS pts, event_id AS pid
+            FROM events WHERE event_type = 'purchase'
+        ),
+        tou AS (
+            SELECT user_id, ts AS tts, event_type AS touch_type
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        j AS (
+            SELECT t.touch_type, p.pid,
+                   pow(2.0, -datediff('day', CAST(t.tts AS DATE),
+                                      CAST(p.pts AS DATE))) AS w
+            FROM tou t JOIN pur p USING (user_id)
+            WHERE t.tts < p.pts
+              AND datediff('day', CAST(t.tts AS DATE), CAST(p.pts AS DATE)) <= 7
+        ),
+        shared AS (
+            SELECT touch_type, pid,
+                   w / sum(w) OVER (PARTITION BY pid) AS share
+            FROM j
+        )
+        SELECT touch_type,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               floor(sum(share) * 10000 + 0.5e0) / 10000 AS credited_conversions
+        FROM shared GROUP BY touch_type ORDER BY touch_type
+    """,
     "rfm_segments": """
         WITH maxd AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders),
         per AS (
