@@ -34,6 +34,8 @@ def pagerank(
     reset: DataFrame | None = None,
     broadcast_max_nodes: int = 1_000_000,
     every_node_emits: bool = False,
+    tol: float | None = None,
+    checkpoint_every: int = 10,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (one row per
     edge; parallel edges should be pre-deduped by the caller).
@@ -75,7 +77,18 @@ def pagerank(
     the separate src∪dst distinct pass — the node set is exactly the
     outdegree table's keys, already computed). Leave False for
     general directed graphs, where dst-only (dangling) nodes must
-    still receive rank rows."""
+    still receive rank rows.
+
+    `tol`: convergence-based early exit — stop once the L1 delta
+    Σ|r_{t+1}−r_t| drops below `tol`, with `iterations` as the hard
+    cap. Costs one scalar aggregation action per iteration (which
+    also serves as the eager lineage barrier), so leave it None for
+    short oracle-checked fixed-iteration walks and set it for
+    convergence runs (tol≈1e-6/N for rank-stable top-k). Long walks
+    additionally `localCheckpoint` the rank vector every
+    `checkpoint_every` iterations: without truncation a 50-iteration
+    lineage accumulates 50 join subtrees, bloating planning time and
+    the cost of any executor retry."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     if every_node_emits:
@@ -110,7 +123,7 @@ def pagerank(
         base_df = nodes.withColumn("_base", F.lit((1.0 - damping) / n_nodes))
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     small = 0 < n_nodes <= broadcast_max_nodes
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         r = F.broadcast(ranks) if small else ranks
         incoming = (
             contrib.join(r, contrib.src == r.node)
@@ -131,6 +144,28 @@ def pagerank(
         )
         if persist:
             new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        if tol is not None:
+            # L1 convergence check — a |V|⋈|V| equi-join reduced to one
+            # scalar; the action doubles as the eager lineage barrier.
+            prev = ranks.select("node", F.col("rank").alias("_prev"))
+            if small:
+                prev = F.broadcast(prev)
+            delta = (
+                new_ranks.join(prev, "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("_prev"))))
+                .first()[0]
+            )
+            if persist:
+                ranks.unpersist(blocking=False)
+            if it % checkpoint_every == 0:
+                # Truncate the accumulated iteration lineage; the
+                # checkpointed RDD replaces the persist entry.
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+            continue
+        if persist:
             if eager:
                 new_ranks.count()  # cut lineage, then drop the old vector
                 ranks.unpersist()

@@ -73,15 +73,8 @@ def brute_force_topk(
         cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
     )
 
-    def _local_topk(batches):
-        # One partition = a stream of Arrow batches; the per-partition
-        # top-k must span ALL of them, so concatenate first (bounded:
-        # scores only, three narrow columns).
-        pdfs = [b for b in batches]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        yield (
+    def _reduce_topk(pdf):
+        return (
             pdf.sort_values(
                 [query_id_col, "cos_sim", "neighbor_id"],
                 ascending=[True, False, True],
@@ -90,6 +83,24 @@ def brute_force_topk(
             .groupby(query_id_col, sort=False)
             .head(k)
         )
+
+    def _local_topk(batches):
+        # One partition = a stream of Arrow batches; the per-partition
+        # top-k must span ALL of them. Fold incrementally — reduce each
+        # batch to its per-query top-k, merge into a running buffer
+        # re-reduced every step — so worker memory is bounded at
+        # ~2·k·|queries| rows regardless of partition size (never the
+        # whole partition's |rows|×|queries| score matrix at once).
+        buf = None
+        for b in batches:
+            winners = _reduce_topk(b)
+            buf = (
+                winners
+                if buf is None
+                else _reduce_topk(pd.concat([buf, winners], ignore_index=True))
+            )
+        if buf is not None:
+            yield buf
 
     scored = scored.mapInPandas(_local_topk, scored.schema)
     w = Window.partitionBy(query_id_col).orderBy(

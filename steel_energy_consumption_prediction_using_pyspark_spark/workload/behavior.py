@@ -526,11 +526,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = distributed_ntile(
         f, 4, [F.col("monetary").desc(), F.col("o_custkey")], tile_col="m_q"
     )
+    # floor(x*100+0.5) halfway-rounding recipe on both sides (NOTES
+    # rule 5): round() halfway semantics differ between engines.
+    flr = lambda c, n: F.floor(c * F.lit(10.0**n) + F.lit(0.5)) / F.lit(10.0**n)  # noqa: E731
     return (
         m.groupBy("r_q", "f_q", "m_q")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("monetary"), 2).alias("segment_value"),
+            flr(F.sum("monetary"), 2).alias("segment_value"),
         )
         .orderBy("r_q", "f_q", "m_q")
     )
@@ -723,7 +726,7 @@ ORACLES = {
         SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
                CAST(m_q AS BIGINT) AS m_q,
                CAST(count(*) AS BIGINT) AS n_customers,
-               round(sum(monetary), 2) AS segment_value
+               floor(sum(monetary) * 100 + 0.5e0) / 100 AS segment_value
         FROM tiled GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q
     """,
     "trajectory_similarity": """

@@ -463,23 +463,53 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (HLL++ count-distinct, GK quantiles) — the
-    100 TB answer to COUNT(DISTINCT)/percentile. No SQL oracle: sketch
-    algorithms differ across engines; accuracy vs exact is pinned in
+    100 TB answer to COUNT(DISTINCT)/percentile — made driver-
+    certifiable. Sketch internals differ across engines, so the HASHED
+    output columns are the exact distinct count and exact interpolated
+    percentiles (which DuckDB can twin), while the sketches run in the
+    same plan and are asserted within tolerance Spark-side via the
+    `*_ok` flags (1 expected): a sketch that drifts out of its error
+    bound flips the flag and fails the hash gate. Tolerances: HLL++ at
+    rsd=2% is asserted within 10% (5σ — observed per-flag error at
+    default rsd=5% reached 8.6%, so the bound is generous but would
+    still catch a broken sketch by an order of magnitude);
+    percentile_approx(accuracy=10000) has rank error ≤ n/10000,
+    bounded here at 1% of the exact value (the fixtures' price
+    distribution is dense enough that rank error translates to well
+    under that). Accuracy is additionally pinned in
     tests/test_relational.py::test_approx_within_tolerance."""
-    li = T(spark, sf_dir, "lineitem")
-    # Scalar columns only: array-typed outputs break downstream
-    # canonicalizers (pandas sort over ndarray cells is unhashable).
-    agg = li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("q"),
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        exact_percentiles_ranked,
     )
-    return agg.select(
-        "approx_orders",
-        "approx_parts",
-        F.element_at("q", 1).alias("price_p50"),
-        F.element_at("q", 2).alias("price_p95"),
-        F.element_at("q", 3).alias("price_p99"),
+
+    li = T(spark, sf_dir, "lineitem")
+    # Per-returnflag grouping keeps the exact-percentile window spine
+    # parallel (one partition per flag, distinct-value-sized — the same
+    # bounded shape q_percentiles uses) instead of a global single-
+    # partition sort.
+    approx = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_hll"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("_aq"),
+    )
+    exact_q = exact_percentiles_ranked(
+        li, ["l_returnflag"], "l_extendedprice", {"_p50": 0.5, "_p95": 0.95}
+    )
+    ok = lambda a, e, tol: F.when(  # noqa: E731
+        F.abs(a - e) <= F.abs(e) * tol, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        approx.join(exact_q, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            F.round("_p50", 4).alias("price_p50"),
+            F.round("_p95", 4).alias("price_p95"),
+            ok(F.col("_hll").cast("double"), F.col("exact_orders").cast("double"), 0.10).alias("hll_ok"),
+            ok(F.element_at("_aq", 1), F.col("_p50"), 0.01).alias("p50_ok"),
+            ok(F.element_at("_aq", 2), F.col("_p95"), 0.01).alias("p95_ok"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -2052,6 +2082,19 @@ ORACLES = {
                round(sum(value), 2) AS total_value
         FROM events, unnest([0, 1, 2, 3]) AS t(i)
         GROUP BY 1 ORDER BY 1
+    """,
+    "approx_stats": """
+        -- exact twins of the Spark side's hashed columns; the *_ok
+        -- sketch-tolerance flags are asserted Spark-side and pinned
+        -- to 1 here
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95,
+               CAST(1 AS INTEGER) AS hll_ok,
+               CAST(1 AS INTEGER) AS p50_ok,
+               CAST(1 AS INTEGER) AS p95_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "percentiles": """
         SELECT l_returnflag,

@@ -76,6 +76,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached
+    # Evict this session's entries for OTHER sf_dirs before building:
+    # a session that walks multiple scale factors (the local gate does)
+    # would otherwise accumulate one persisted edge table per sf_dir.
+    for stale_key in [k for k in _EDGE_CACHE if k[0] == key[0] and k != key]:
+        _EDGE_CACHE.pop(stale_key).unpersist()
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # Node ids are packed longs — 2·custkey for customers, 2·suppkey+1

@@ -344,7 +344,12 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     medians ride exact_percentiles_ranked (the weighted-order-
     statistics spine — parallel two-phase agg + distinct-value
     window), so the whole query is exact and oracle-checked against
-    quantile_cont. Modified z uses the floor recipe on both sides."""
+    quantile_cont. Modified z uses the floor recipe on both sides.
+
+    MAD=0 guard (a type with ≥50% of days exactly at the median):
+    robust_z is undefined there, so any day with adev > 0 is flagged
+    directly with a NULL robust_z — without the guard, genuinely
+    anomalous days in a constant-valued group would silently pass."""
     from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
         exact_percentiles_ranked,
     )
@@ -359,11 +364,17 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = exact_percentiles_ranked(dev, ["event_type"], "adev", {"mad": 0.5})
     flr3 = lambda c: F.floor(c * F.lit(1e3) + F.lit(0.5)) / F.lit(1e3)  # noqa: E731
-    rz = (F.col("v") - F.col("med")) / (F.col("mad") * F.lit(1.4826))
+    rz = F.when(
+        F.col("mad") > 0,
+        (F.col("v") - F.col("med")) / (F.col("mad") * F.lit(1.4826)),
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .withColumn("robust_z", rz)
-        .filter(F.abs(F.col("robust_z")) > 2)
+        .filter(
+            (F.abs(F.col("robust_z")) > 2)
+            | ((F.col("mad") == 0) & (F.col("adev") > 0))
+        )
         .select(
             "event_type",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -462,10 +473,13 @@ ORACLES = {
         SELECT d.event_type,
                strftime(d.day, '%Y-%m-%d') AS day,
                round(d.v, 2) AS day_value,
-               floor((d.v - d.med) / (m.mad * 1.4826) * 1000 + 0.5e0) / 1000
-                   AS robust_z
+               CASE WHEN m.mad > 0 THEN
+                   floor((d.v - d.med) / (m.mad * 1.4826) * 1000 + 0.5e0)
+                       / 1000
+               END AS robust_z
         FROM dev d JOIN mad m USING (event_type)
-        WHERE abs((d.v - d.med) / (m.mad * 1.4826)) > 2
+        WHERE (m.mad > 0 AND abs((d.v - d.med) / (m.mad * 1.4826)) > 2)
+           OR (m.mad = 0 AND d.adev > 0)
         ORDER BY d.event_type, d.day
     """,
     "ks_drift": """

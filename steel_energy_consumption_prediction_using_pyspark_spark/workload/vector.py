@@ -105,8 +105,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = e.filter(F.col("vec_id") >= N_QUERY)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    # Cold-build semantics: always rebuild — but unpersist the
+    # superseded index first so repeated ann_ivf (or ivf_probe-then-
+    # ann_ivf) calls in one session don't leak executor cache.
+    old = _IVF_CACHE.pop(key, None)
+    if old is not None:
+        old.unpersist()
     index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
-    _IVF_CACHE[(spark.sparkContext.applicationId, sf_dir)] = index
+    _IVF_CACHE[key] = index
     return S.ivf_probe(index, queries, k=TOP_K, n_probe=4)
 
 

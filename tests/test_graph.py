@@ -145,3 +145,36 @@ def test_ppr_concentrates_near_seed(spark):
     assert got["a"] == max(got.values())
     assert got["d"] == min(got.values())
     assert got["a"] > 2 * got["d"]
+
+
+def test_convergence_early_exit_matches_fixpoint(spark):
+    """tol-based early exit ≡ running far past convergence: on a
+    23-node ring-with-chords graph, pagerank(tol=1e-9, cap 100) must
+    match pagerank(iterations=60, no tol) to 8 decimals — and must
+    exit well before the cap (checked indirectly: identical ranks
+    despite different iteration budgets prove the exit fired at the
+    fixpoint, not at the cap)."""
+    pairs = [(f"n{i}", f"n{(i * 7 + 1) % 23}") for i in range(23 * 4)]
+    converged = pagerank(
+        _edges(spark, pairs), iterations=100, tol=1e-9, checkpoint_every=10
+    )
+    fixed = pagerank(_edges(spark, pairs), iterations=60)
+    ra = {r.node: round(r.rank, 8) for r in converged.collect()}
+    rb = {r.node: round(r.rank, 8) for r in fixed.collect()}
+    assert ra == rb
+
+
+def test_convergence_checkpoint_truncates_lineage(spark):
+    """After a localCheckpoint the rank plan must not grow with the
+    iteration count: a 25-iteration tol run with checkpoint_every=5
+    yields a plan whose string is far smaller than the un-truncated
+    25-join tree would be (sanity bound, not an exact size pin)."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")]
+    ranks = pagerank(
+        _edges(spark, pairs), iterations=25, tol=0.0, checkpoint_every=5
+    )
+    # tol=0.0 never triggers (delta ≥ 0 but < 0.0 is false) → runs all
+    # 25 iterations; the final plan should reference a checkpointed
+    # scan, not 25 nested joins.
+    plan = ranks._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
