@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "prefix_jaccard",
     "multimodal_meta",
     "multimodal_features",
+    "image_decode",
     "frame_sample",
     "image_resize",
     "centroids",

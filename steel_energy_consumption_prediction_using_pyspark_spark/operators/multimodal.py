@@ -7,11 +7,13 @@ relational (routing, filtering, joins, stats) happens on the typed
 metadata columns so Catalyst can prune/push down without touching
 bytes.
 
-The actual codecs (PIL/torchaudio/ffmpeg) are NOT in this container,
-so the decode kernels are deterministic fakes / explicit
-NotImplementedError stubs — but the Spark-side contract (schemas,
-batch iteration, partitioning) is real and tested. Swap `_fake_*`
-with real decoders when the libs exist; nothing else changes.
+Decode tiers: PPM (P6) and 24-bit BMP decode for REAL in pure numpy
+(encode_ppm/encode_bmp/decode_pixels/decode_image_pixels below) —
+true pixel values flow through the Arrow-batched kernels end to end.
+Formats needing external codecs (JPEG/PNG via PIL, video via ffmpeg —
+not in this container) are covered by the same plumbing with
+deterministic fakes (`_fake_decode_image`, `sample_frames`' byte
+slices); swapping a fake for a codec call changes nothing Spark-side.
 """
 
 from __future__ import annotations
@@ -254,23 +256,197 @@ def resize_image_meta(
     return df.mapInPandas(kernel, RESIZE_SCHEMA)
 
 
-def decode_image_pixels(*_args, **_kwargs):
-    """Real pixel decode requires an image codec (PIL/libjpeg), which is
-    not available in this environment. The metadata path above defines
-    the contract; this stub marks the unimplemented kernel explicitly."""
-    raise NotImplementedError(
-        "pixel decode needs an image codec (PIL); not available in this "
-        "container — decode_image_meta covers the Spark-side contract"
-    )
+# --- real pixel codecs (pure numpy — no PIL/ffmpeg needed) ------------------
+#
+# Two genuinely-decodable container formats make the multimodal tier
+# end-to-end real instead of metadata-only (round-3 mandate):
+#   PPM P6  — "P6\n<w> <h>\n255\n" header + raw RGB raster
+#   BMP     — BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bit BI_RGB,
+#             bottom-up rows, BGR, each row padded to 4 bytes
+# Both encode/decode in pure numpy; decode_pixels dispatches on magic.
+# JPEG/PNG would slot into the same kernels when a codec lib exists.
 
 
-def frame_sample_stub(*_args, **_kwargs):
-    """Codec-gated REAL frame decode — same story as
-    decode_image_pixels. The Spark-side plumbing (segmenting, 1→N
-    explosion, offsets/lengths, Arrow batching) is fully implemented
-    and oracle-checked in :func:`sample_frames`; this stub marks only
-    the ffmpeg/pyav call that would replace its byte-slice line."""
-    raise NotImplementedError(
-        "video frame decoding needs ffmpeg; not available in this "
-        "container — sample_frames covers the Spark-side contract"
+def encode_ppm(pixels) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM (P6)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("PPM P6 requires 3 channels")
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_bmp(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB array → 24-bit uncompressed BMP (BI_RGB,
+    bottom-up, BGR, 4-byte-padded rows)."""
+    import struct
+
+    import numpy as np
+
+    a = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("24-bit BMP requires 3 channels")
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # RGB → BGR, top-down → bottom-up, pad rows
+    bgr = a[::-1, :, ::-1]
+    rows = bytearray()
+    zeros = b"\x00" * pad
+    for r in range(h):
+        rows += bgr[r].tobytes() + zeros
+    img_size = len(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + info + bytes(rows)
+
+
+def decode_pixels(payload: bytes):
+    """Decode PPM-P6 or 24-bit-BMP bytes → (h, w, 3) uint8 RGB array.
+    Dispatches on the container magic; raises ValueError on anything
+    else (the place a PIL/libjpeg call would slot in)."""
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # header: magic, whitespace-separated width/height/maxval
+        # (comments '#…' allowed per spec), single whitespace, raster
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # exactly one whitespace before the raster
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError("only 8-bit PPM supported")
+        raster = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
+        return raster.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        import struct
+
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+        if bpp != 24 or compression != 0:
+            raise ValueError("only 24-bit uncompressed BMP supported")
+        flip = h > 0
+        h = abs(h)
+        row_bytes = w * 3
+        stride = row_bytes + ((-row_bytes) % 4)
+        rows = np.frombuffer(
+            payload, np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, :row_bytes]
+        bgr = rows.reshape(h, w, 3)
+        rgb = bgr[:, :, ::-1]
+        return (rgb[::-1] if flip else rgb).copy()
+    raise ValueError("unsupported image container (expected PPM P6 or BMP)")
+
+
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def decode_image_pixels(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL pixel decode over mapInPandas: container bytes (PPM/BMP) →
+    raw row-major RGB raster + dims. Replaces the former
+    NotImplementedError stub — the decode is an actual format parse,
+    so downstream kernels (feature extraction, resize, stats) consume
+    true pixel values, and md5(pixels) is oracle-checkable whenever
+    the raster's construction is known (workload `image_decode`)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, rasters = [], [], [], [], []
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_pixels(bytes(payload))
+                h, w, c = arr.shape
+                ids.append(int(doc))
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                rasters.append(arr.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(cs, dtype="int32"),
+                    "pixels": rasters,
+                }
+            )
+
+    return df.mapInPandas(kernel, PIXEL_SCHEMA)
+
+
+SYNTH_WIDTH = 16  # synthetic raster width: 16 px × 3 ch = 48 bytes/row
+
+
+def synthesize_images(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = SYNTH_WIDTH,
+) -> DataFrame:
+    """Deterministic image synthesis for codec-path testing: each
+    document's utf-8 bytes become the RGB raster of a width×h image
+    (h = ⌈n/3w⌉, space-padded to fill the last row), encoded PPM for
+    even doc_ids and BMP for odd — both containers then take the REAL
+    decode path. The raster is `text || ' '×pad` by construction, so
+    an engine-independent oracle can recompute md5(raster) from the
+    text alone (fixture is pure ASCII; see test_documents_fixture_is_
+    ascii)."""
+    import numpy as np
+
+    row = width * 3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, fmts = [], [], []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                h = max(1, -(-len(raw) // row))
+                raw = raw + b" " * (h * row - len(raw))
+                px = np.frombuffer(raw, np.uint8).reshape(h, width, 3)
+                if int(doc) % 2 == 0:
+                    payloads.append(encode_ppm(px))
+                    fmts.append("ppm")
+                else:
+                    payloads.append(encode_bmp(px))
+                    fmts.append("bmp")
+                ids.append(int(doc))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "fmt": fmts,
+                }
+            )
+
+    return df.mapInPandas(
+        kernel,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+                StructField("fmt", StringType()),
+            ]
+        ),
     )

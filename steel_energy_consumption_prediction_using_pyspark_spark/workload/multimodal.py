@@ -13,10 +13,12 @@ from pyspark.sql import functions as F
 
 from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimodal import (
     decode_image_meta,
+    decode_image_pixels,
     extract_features,
     pack_blob,
     resize_image_meta,
     sample_frames,
+    synthesize_images,
 )
 from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
     session_window_agg,
@@ -41,13 +43,16 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """payload → Arrow-batched feature extraction (byte-histogram fake
-    embedding) → per-source aggregate. Rows-only: the kernel's numpy
-    float32 arithmetic has no faithful SQL twin; shape/determinism
-    pinned in tests/test_multimodal.py."""
+    """Synthesized PPM/BMP containers → REAL pixel decode (pure-numpy
+    format parse, operators/multimodal.py::decode_image_pixels) →
+    Arrow-batched feature extraction over the DECODED raster →
+    per-source aggregate. Rows-only: the kernel's numpy float32
+    arithmetic has no faithful SQL twin; the decode itself is
+    oracle-checked by `image_decode` and byte-pinned in
+    tests/test_multimodal.py."""
     d = T(spark, sf_dir, "documents")
-    blobs = pack_blob(d, "text", "doc_id")
-    feats = extract_features(blobs)
+    px = decode_image_pixels(synthesize_images(d))
+    feats = extract_features(px, payload_col="pixels")
     joined = feats.join(d.select("doc_id", "source"), "doc_id")
     v = F.col("feature").cast("array<double>")
     return (
@@ -115,15 +120,65 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image decode: each document's text becomes the
+    raster of a 16-px-wide image (space-padded), encoded into an
+    actual container — PPM P6 for even doc_ids, 24-bit BMP for odd —
+    then parsed back by the pure-numpy decoder. The per-source digest
+    hashes the DECODED raster bytes, so the oracle (which recomputes
+    md5(text || padding) straight from the text) verifies the whole
+    encode→decode path byte-exactly through both container formats —
+    the multimodal tier's answer to 'is the decode real?'."""
+    d = T(spark, sf_dir, "documents")
+    px = decode_image_pixels(synthesize_images(d))
+    joined = px.join(d.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("height").alias("sum_h"),
+            F.sum(F.octet_length("pixels")).alias("raster_bytes"),
+            F.count_distinct(F.md5("pixels")).alias("n_uniq_rasters"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,
     "image_resize": q_image_resize,
     "session_window": q_session_window,
 }
 
 ORACLES = {
+    # raster = text || ' '×pad by construction (synthesize_images), so
+    # md5 over the VARCHAR recomputes the engine's md5 over the decoded
+    # binary raster — pure-ASCII fixture assumption as frame_sample.
+    "image_decode": """
+        WITH d AS (
+            SELECT doc_id, source, text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
+            FROM documents
+        ),
+        dims AS (
+            SELECT *, greatest(1, (nb + 47) // 48) AS h FROM d
+        ),
+        ras AS (
+            SELECT source, h,
+                   text || repeat(' ', CAST(h * 48 - nb AS INTEGER))
+                       AS raster
+            FROM dims
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(h) AS BIGINT) AS sum_h,
+               CAST(sum(h) * 48 AS BIGINT) AS raster_bytes,
+               CAST(count(DISTINCT md5(raster)) AS BIGINT) AS n_uniq_rasters
+        FROM ras GROUP BY source ORDER BY source
+    """,
     # Both frame oracles slice the document text with VARCHAR substring
     # (character offsets). The engine slices the utf-8 BYTES. These
     # agree because the documents fixture is pure ASCII — asserted by

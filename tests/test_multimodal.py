@@ -11,9 +11,12 @@ from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimoda
     FEATURE_DIM,
     decode_image_meta,
     decode_image_pixels,
+    decode_pixels,
+    encode_bmp,
+    encode_ppm,
     extract_features,
-    frame_sample_stub,
     pack_blob,
+    synthesize_images,
 )
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
 
@@ -62,11 +65,64 @@ def test_features_feed_similarity_search(spark, blobs):
     assert got == {0: 0, 1: 1, 2: 2}  # self is the nearest neighbor
 
 
-def test_codec_stubs_marked(spark):
-    with pytest.raises(NotImplementedError):
-        decode_image_pixels()
-    with pytest.raises(NotImplementedError):
-        frame_sample_stub()
+def test_ppm_roundtrip_byte_pin():
+    """encode_ppm → decode_pixels is the identity, and the encoded
+    container is byte-pinned (2×2 RGB test card)."""
+    import numpy as np
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [7, 8, 9]]], dtype=np.uint8
+    )
+    payload = encode_ppm(px)
+    assert payload == b"P6\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9]
+    )
+    assert (decode_pixels(payload) == px).all()
+
+
+def test_ppm_decode_handles_comments():
+    import numpy as np
+
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    payload = b"P6\n# a comment\n2 2\n# another\n255\n" + px.tobytes()
+    assert (decode_pixels(payload) == px).all()
+
+
+def test_bmp_roundtrip_byte_pin():
+    """encode_bmp → decode_pixels is the identity across a non-multiple
+    -of-4 row width (3 px → 9 bytes → 3 pad bytes), and the header is
+    byte-pinned (bottom-up, BGR, BI_RGB)."""
+    import numpy as np
+
+    px = (np.arange(2 * 3 * 3, dtype=np.uint8) * 7 % 256).reshape(2, 3, 3)
+    payload = encode_bmp(px)
+    assert payload[:2] == b"BM"
+    assert payload[10] == 54  # pixel data offset
+    assert int.from_bytes(payload[28:30], "little") == 24  # bpp
+    assert len(payload) == 54 + 2 * 12  # 2 rows × (9 data + 3 pad)
+    assert (decode_pixels(payload) == px).all()
+
+
+def test_decode_image_pixels_spark_kernel(spark):
+    """The real decode over mapInPandas: synthesized PPM (even id) and
+    BMP (odd id) payloads decode back to the exact space-padded text
+    raster — byte-pinned per row."""
+    docs = spark.createDataFrame(
+        [(0, "A" * 50), (1, "xyz"), (2, "")], "doc_id long, text string"
+    )
+    blobs = synthesize_images(docs)
+    fmts = {r.doc_id: r.fmt for r in blobs.collect()}
+    assert fmts == {0: "ppm", 1: "bmp", 2: "ppm"}
+    out = {r.doc_id: r for r in decode_image_pixels(blobs).collect()}
+    assert (out[0].width, out[0].height, out[0].channels) == (16, 2, 3)
+    assert bytes(out[0].pixels) == b"A" * 50 + b" " * 46
+    assert bytes(out[1].pixels) == b"xyz" + b" " * 45
+    assert bytes(out[2].pixels) == b" " * 48  # empty doc → 1 blank row
+
+
+def test_decode_rejects_unknown_container():
+    with pytest.raises(ValueError):
+        decode_pixels(b"GIF89a....")
 
 
 def test_sample_frames_segments_and_bytes(spark):
