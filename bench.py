@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "cte_histogram",
     "width_bucket",
     "csv_ingest",
+    "orc_ingest",
+    "jsonl_ingest",
     "string_indexer",
     "rolling_range",
     "multi_distinct",
@@ -123,6 +125,8 @@ BENCH_QUERIES = [
     "token_histogram",
     "tfidf",
     "bm25",
+    "dup_passages",
+    "unigram_logprob",
     "pmi_collocations",
     "skipgram_counts",
     "keyword_pagerank",
@@ -148,6 +152,7 @@ BENCH_QUERIES = [
     "repetition",
     "decontaminate",
     "temperature_mix",
+    "weighted_reservoir",
     "pack_windows",
     "pack_slices",
     "dq_summary",
@@ -181,6 +186,7 @@ BENCH_QUERIES = [
     "forward_fill",
     "interpolate",
     "skew_profile",
+    "zorder_layout",
     "profile_table",
     "benford",
     "weighted_sample",
@@ -249,6 +255,7 @@ def main() -> None:
     NO_RERUN = {
         "pagerank", "bfs_hops", "ppr",              # shared edge cache
         "ann_ivf", "ivf_probe", "csv_ingest",       # session caches
+        "orc_ingest", "jsonl_ingest",               # export caches
         "dedup_clusters", "minhash_lsh",            # persisted shingles/labels
         "prefix_jaccard", "winnowing",              # persisted projections
         "tpch_important_stock", "customer_deciles",  # persisted agg/ranks

@@ -268,6 +268,35 @@ def seeded_split(
     return df.randomSplit(list(weights), seed=seed)
 
 
+def zorder_value(a, b, bits: int = 8):
+    """Morton/Z-order bit interleave of two non-negative ints already
+    scaled to `bits` bits: z = Σᵢ a_bit(i)·4ⁱ + b_bit(i)·2·4ⁱ. The
+    multi-dimensional clustering key behind OPTIMIZE ZORDER in
+    lakehouse table formats: range-partitioning (or sorting files) by
+    z keeps BOTH dimensions' min/max tight per file, so scans filtered
+    on EITHER column prune files — a single-column sort only prunes
+    its own column. Pure integer codegen expression (2·bits shift/mask
+    terms, no UDF); callers quantize each dimension to `bits` bits
+    first (e.g. floor(x·2ᵇⁱᵗˢ/(max+1)))."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(abit, 2 * i) + F.shiftleft(bbit, 2 * i + 1)
+    return z
+
+
+def zorder_sql(a_expr: str, b_expr: str, bits: int = 8) -> str:
+    """DuckDB twin of :func:`zorder_value`: identical interleave spelled
+    as integer floor-div/mod arithmetic (programmatically generated,
+    same pattern as the LSH-hyperplane oracle)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a_expr}) // {1 << i} % 2) * {1 << (2 * i)}")
+        terms.append(f"(({b_expr}) // {1 << i} % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def exact_percentiles_ranked(
     df: DataFrame,
     keys: Sequence[str],

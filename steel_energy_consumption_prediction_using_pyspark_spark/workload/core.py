@@ -110,6 +110,80 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FMT_EXPORT_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _orders_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize the orders fixture in `fmt` (orc | json) under
+    .scratch/ once per (session, sf, format) — the non-CSV ingest
+    twins of _orders_csv. Plain column names here: the dirty-header
+    normalization path is csv_ingest's job."""
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir, fmt)
+    path = _FMT_EXPORT_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        repo_root,
+        ".scratch",
+        f"{fmt}_orders_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+    _FMT_EXPORT_CACHE[key] = path
+    return path
+
+
+def q_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round trip: the second columnar format Spark
+    ships natively (vectorized reader, predicate pushdown, column
+    pruning — the same scan contract as parquet). The oracle reads the
+    SAME numbers from the parquet view, proving the
+    parquet→orc→vectorized-read path is lossless for
+    int64/string/double."""
+    df = spark.read.orc(_orders_export(spark, sf_dir, "orc"))
+    flr4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)  # noqa: E731
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            flr4(F.avg("o_totalprice")).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest with schema inference — the raw-crawl /
+    API-dump entry format of every data pipeline. Inference must come
+    back bigint/string/double for the oracle's numbers to survive the
+    text round trip (Java Double.toString round-trips exactly).
+    Schema-inference costs one extra pass over the data; production
+    paths at 100 TB pin an explicit schema instead — exercised by the
+    sources tests."""
+    df = spark.read.json(_orders_export(spark, sf_dir, "json"))
+    flr4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)  # noqa: E731
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            flr4(F.avg("o_totalprice")).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # --- A1: group-by count -----------------------------------------------------
 
 def q_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1425,6 +1499,8 @@ QUERIES = {
     "cte_histogram": q_cte_histogram,
     "width_bucket": q_width_bucket,
     "csv_ingest": q_csv_ingest,
+    "orc_ingest": q_orc_ingest,
+    "jsonl_ingest": q_jsonl_ingest,
     "map_explode": q_map_explode,
     "rolling_range": q_rolling_range,
     "multi_distinct": q_multi_distinct,
@@ -1571,6 +1647,20 @@ ORACLES = {
                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
                floor(avg(o_totalprice) * 10000 + 0.5e0) / 10000 AS avg_price
         FROM orders GROUP BY o_orderpriority ORDER BY Order_Priority
+    """,
+    "orc_ingest": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+               floor(avg(o_totalprice) * 10000 + 0.5e0) / 10000 AS avg_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "jsonl_ingest": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+               floor(avg(o_totalprice) * 10000 + 0.5e0) / 10000 AS avg_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "unpivot": """
         WITH long AS (

@@ -267,7 +267,46 @@ def q_pack_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESERVOIR_K = 200
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE weighted sampling without replacement
+    (Efraimidis & Spirakis 2006) — the complement of
+    `weighted_sample`'s per-row Bernoulli (fixed RATE): every document
+    draws a deterministic pseudo-uniform u from a Knuth multiplicative
+    hash of its id and competes with key ln(u)/w (order-equivalent to
+    the classic u^{1/w}); the global top-K by key IS an exact weighted
+    reservoir. Weight = n_chars/1000, so long documents win
+    proportionally more slots. The sample is a pure function of the
+    data — reproducible across engines, partitionings and reruns —
+    which is what makes corpus ablations comparable.
+
+    Scale shape: the keying is one codegen'd projection, and top-K is
+    TakeOrderedAndProject (per-partition heaps + a K-row merge), never
+    a global sort. Output: per-lang slot counts + char mass of the
+    K=200 sample."""
+    d = T(spark, sf_dir, "documents")
+    m = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    u = (m.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.col("n_chars").cast("double") / F.lit(1000.0)
+    sample = (
+        d.select("doc_id", "lang", "n_chars", (F.log(u) / w).alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(RESERVOIR_K)
+    )
+    return (
+        sample.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("char_mass"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
+    "weighted_reservoir": q_weighted_reservoir,
     "temperature_mix": q_temperature_mix,
     "pack_slices": q_pack_slices,
     "repetition": q_repetition,
@@ -291,6 +330,21 @@ _G3 = (
 )
 
 ORACLES = {
+    "weighted_reservoir": """
+        WITH keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   ln((((doc_id * 2654435761) % 4294967296) + 0.5e0)
+                      / 4294967296e0)
+                   / (n_chars / 1000e0) AS k
+            FROM documents
+        ),
+        sample AS (
+            SELECT * FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 200
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(n_chars) AS BIGINT) AS char_mass
+        FROM sample GROUP BY lang ORDER BY lang
+    """,
     "temperature_mix": """
         WITH counts AS (
             SELECT source, CAST(count(*) AS BIGINT) AS n

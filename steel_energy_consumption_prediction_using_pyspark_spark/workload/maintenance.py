@@ -460,7 +460,51 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data layout via Morton/Z-order clustering
+    (operators/relational.py::zorder_value) — the OPTIMIZE ZORDER
+    story of lakehouse formats, expressed as pure Spark: quantize
+    (custkey, order-day) to 8 bits each, interleave to a z-value, and
+    treat each 4096-wide z-range as a file. The per-"file" min/max
+    ranges of BOTH dimensions stay ≤ ¼ of the domain (a 4×4 grid), so
+    a scan filtered on EITHER column prunes ~¾ of the files — a
+    single-column sort gives tight ranges on one dimension and useless
+    ones on the other (pinned in tests/test_relational.py). The
+    physical write step at scale is repartitionByRange(z) +
+    sortWithinPartitions(z) before the parquet sink; the query emits
+    the deterministic stats the pruning argument rests on."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        zorder_value,
+    )
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))
+        ).alias("day"),
+    )
+    mx = o.agg(F.max("o_custkey").alias("mc"), F.max("day").alias("md"))
+    q = o.crossJoin(F.broadcast(mx)).selectExpr(
+        "(o_custkey * 256) DIV (mc + 1) AS a8",
+        "(day * 256) DIV (md + 1) AS b8",
+    )
+    z = zorder_value(F.col("a8"), F.col("b8"), 8)
+    return (
+        q.select("a8", "b8", F.shiftright(z, 12).alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("a8").alias("min_cust"),
+            F.max("a8").alias("max_cust"),
+            F.min("b8").alias("min_day"),
+            F.max("b8").alias("max_day"),
+        )
+        .orderBy("zbucket")
+    )
+
+
 QUERIES = {
+    "zorder_layout": q_zorder_layout,
     "benford": q_benford,
     "reconcile": q_reconcile,
     "skyline": q_skyline,
@@ -499,7 +543,31 @@ _BENFORD_CASE = "CASE d " + " ".join(
     f"WHEN {d} THEN {v}e0" for d, v in _BENFORD.items()
 ) + " END"
 
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (  # noqa: E402
+    zorder_sql as _zorder_sql,
+)
+
 ORACLES = {
+    "zorder_layout": f"""
+        WITH mx AS (
+            SELECT max(o_custkey) AS mc,
+                   max(datediff('day', DATE '1992-01-01',
+                                CAST(o_orderdate AS DATE))) AS md
+            FROM orders
+        ),
+        q AS (
+            SELECT (o_custkey * 256) // (mc + 1) AS a8,
+                   (datediff('day', DATE '1992-01-01',
+                             CAST(o_orderdate AS DATE)) * 256) // (md + 1)
+                       AS b8
+            FROM orders, mx
+        )
+        SELECT {_zorder_sql("a8", "b8", 8)} // 4096 AS zbucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(a8) AS min_cust, max(a8) AS max_cust,
+               min(b8) AS min_day, max(b8) AS max_day
+        FROM q GROUP BY zbucket ORDER BY zbucket
+    """,
     "reconcile": """
         WITH li AS (
             SELECT l_orderkey AS o_orderkey,

@@ -584,7 +584,77 @@ def q_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage mining (the Lee et al. 2022
+    'Deduplicating Training Data' shape at word granularity): word
+    5-gram shingles per document via staged-token HOFs (no re-split
+    per gram, no positional self-join), DISTINCT within each doc, then
+    ONE shuffle keyed on the gram counts how many documents share each
+    passage. Top-20 most-shared passages with a gram tiebreak.
+
+    100 TB shape: the per-doc shingle array never leaves its row until
+    the explode, and the only shuffle carries (gram, doc) pairs — at
+    web scale the gram would be xxhash64-packed before the shuffle and
+    the winning strings re-derived for the top-k only; the fixture's
+    grams are small enough to group directly, which keeps the DuckDB
+    twin byte-identical."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", X.tokens(X.normalize_text(F.col("text"))).alias("_tk")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(X.shingles_from("_tk", 5))).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring with a corpus-derived unigram
+    LM (the KenLM-free tier of quality filtering): token probabilities
+    from one corpus-wide count pass, then each document scored by its
+    mean token log-probability — gibberish and boilerplate-free text
+    separate cleanly on this axis. Per-lang envelope of the scores.
+
+    Scale shape: the vocabulary is bounded (Heaps' law) so the
+    token→probability lookup is a BROADCAST join against the exploded
+    token stream — the same pattern as tfidf/bm25; no shuffle touches
+    the corpus-sized side except the per-doc aggregation itself."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    total = vocab.agg(F.sum("cw").cast("double").alias("t"))
+    per_doc = (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(F.log(F.col("cw") / F.col("t"))).alias("lp"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+            F.round(F.min("lp"), 4).alias("min_logprob"),
+            F.round(F.max("lp"), 4).alias("max_logprob"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
+    "dup_passages": q_dup_passages,
+    "unigram_logprob": q_unigram_logprob,
     "inverted_index": q_inverted_index,
     "skipgram_counts": q_skipgram_counts,
     "keyword_pagerank": q_keyword_pagerank,
@@ -618,6 +688,46 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "dup_passages": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(
+                       list_slice(tk, CAST(i AS INT), CAST(i + 4 AS INT)), ' '
+                   ) AS gram
+            FROM d, UNNEST(range(1, len(tk) - 3)) AS r(i)
+            WHERE len(tk) >= 5
+        )
+        SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+        FROM grams GROUP BY gram HAVING count(*) >= 2
+        ORDER BY n_docs DESC, gram ASC LIMIT 20
+    """,
+    "unigram_logprob": r"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, lang, unnest(tk) AS w FROM d),
+        vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM tok GROUP BY w),
+        tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS t FROM vocab),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   avg(ln(CAST(cw AS DOUBLE) / tot.t)) AS lp
+            FROM tok JOIN vocab USING (w) CROSS JOIN tot
+            GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(lp), 4) AS avg_logprob,
+               round(min(lp), 4) AS min_logprob,
+               round(max(lp), 4) AS max_logprob
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """,
     "inverted_index": r"""
         WITH d AS (
             SELECT doc_id,

@@ -356,3 +356,83 @@ def test_exact_percentiles_match_builtin_on_ties(spark):
         .collect()
     }
     assert got == want
+
+
+def test_zorder_interleave_hand_computed(spark):
+    """zorder_value(a, b) interleaves a into even and b into odd bit
+    positions: hand-pinned values."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        zorder_value,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 0), (0, 3), (255, 255)], "a long, b long"
+    )
+    got = [
+        r.z
+        for r in df.select(
+            zorder_value(F.col("a"), F.col("b"), 8).alias("z")
+        ).collect()
+    ]
+    #           a=1→1, b=1→2, a=3→0b0101=5, b=3→0b1010=10, both 255→65535
+    assert got == [0, 1, 2, 5, 10, 65535]
+
+
+def test_zorder_sql_matches_spark(spark):
+    """The DuckDB-side arithmetic twin produces the identical z for
+    every (a, b) in the 8-bit domain sample."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        zorder_sql,
+        zorder_value,
+    )
+
+    pairs = [(a, b) for a in range(0, 256, 17) for b in range(0, 256, 23)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    spark_z = [
+        r.z
+        for r in df.select(zorder_value(F.col("a"), F.col("b"), 8).alias("z"))
+        .orderBy("a", "b")
+        .collect()
+    ]
+    duck_z = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT " + zorder_sql("a", "b", 8) + " AS z FROM ("
+            "SELECT unnest($a) AS a, unnest($b) AS b) ORDER BY a, b",
+            params={"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]},
+        ).fetchall()
+    ]
+    assert spark_z == duck_z
+
+
+def test_zorder_buckets_bound_both_dims(spark):
+    """The pruning guarantee the layout rests on: with top-4-bit
+    z-buckets, every bucket's span in EACH quantized dimension is at
+    most 64 (¼ of the 256 domain) — a single-column sort bounds only
+    its own column."""
+    import pyspark.sql.functions as F
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        zorder_value,
+    )
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 256).alias("a"), ((F.col("id") * 37) % 256).alias("b")
+    )
+    z = zorder_value(F.col("a"), F.col("b"), 8)
+    stats = (
+        df.select("a", "b", F.shiftright(z, 12).alias("zb"))
+        .groupBy("zb")
+        .agg(
+            (F.max("a") - F.min("a")).alias("spana"),
+            (F.max("b") - F.min("b")).alias("spanb"),
+        )
+        .collect()
+    )
+    assert len(stats) == 16
+    for r in stats:
+        assert r.spana <= 64 - 1 and r.spanb <= 64 - 1
