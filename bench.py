@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "window_distribution",
     "string_distance",
     "stream_join",
+    "stream_enrich",
     "variant",
     "lateral_topk",
     # recursive_cte excluded: its cost is per-iteration scheduling

@@ -55,6 +55,40 @@ def time_bounded_pair_join(
     return a.join(b, cond, "inner")
 
 
+def static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming lookup:
+    each (micro-)batch of the stream side joins the STATIC dimension
+    snapshot. No watermark and no join state: stream-static inner
+    joins are stateless in Structured Streaming (the static side is
+    re-planned per batch, so a dim refresh is picked up on the next
+    trigger). The dim is broadcast — at 1000 executors this is the
+    map-side hash join every enrichment pipeline wants; if the dim
+    outgrows broadcast, pre-bucket both sides on the key instead.
+    Works identically on batch inputs (same code path, SQL-expressible
+    → oracle-checked by `stream_enrich`; stream≡batch parity pinned in
+    tests/test_streaming.py)."""
+    d = dim.select(F.col(dim_key).alias(on), "c_mktsegment")
+    return events.join(F.broadcast(d), on, "inner")
+
+
+def enriched_segment_totals(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """static_enrich → per-segment event counts and value mass (the
+    aggregate that makes the enrichment observable and comparable)."""
+    return (
+        static_enrich(events, dim)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 def funnel_pairs(events: DataFrame, within: str = "30 minutes") -> DataFrame:
     """click→purchase conversion pairs within the attribution window,
     aggregated per user: pair count and attributed revenue."""

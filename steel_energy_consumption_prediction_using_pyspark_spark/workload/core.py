@@ -1346,6 +1346,23 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_pairs(e, within="30 minutes").orderBy("user_id")
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/joins.py::static_enrich):
+    events looked up against the broadcast customer dimension,
+    aggregated per market segment. Batch mode here (oracle-checkable);
+    test_streaming.py proves the identical code on a file stream with
+    a memory sink emits the same totals — stream-static inner joins
+    are stateless, so this is the one streaming join with no
+    watermark/state caveats."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.joins import (
+        enriched_segment_totals,
+    )
+
+    e = T(spark, sf_dir, "events")
+    c = T(spark, sf_dir, "customer")
+    return enriched_segment_totals(e, c).orderBy("c_mktsegment")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-dedup for at-least-once sources (streaming/windows.py::
     stream_dedup): simulate redelivery by doubling the events feed,
@@ -1440,6 +1457,7 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_join": q_stream_join,
+    "stream_enrich": q_stream_enrich,
     "stream_dedup": q_stream_dedup,
     "variant": q_variant,
     "recursive_cte": q_recursive_cte,
@@ -1547,6 +1565,13 @@ ORACLES = {
                CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_div3
         FROM x GROUP BY event_type ORDER BY event_type
+    """,
+    "stream_enrich": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "stream_dedup": """
         WITH doubled AS (

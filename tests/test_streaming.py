@@ -246,3 +246,21 @@ def test_checkpoint_resume_picks_up_only_new_files(spark, batch_events, tmp_path
     # the first batch's files, no gap in the second's
     assert got.count() == batch_events.count()
     assert got.select("event_id").distinct().count() == batch_events.count()
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir, batch_events):
+    """Stream-static enrichment: the same static_enrich code over a
+    file stream (complete-mode agg to memory sink) must emit the exact
+    per-segment totals the batch path computes — and needs no
+    watermark, because stream-static inner joins are stateless."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.joins import (
+        enriched_segment_totals,
+    )
+
+    dim = T(spark, sf_dir, "customer")
+    stream = read_events_stream(spark, sf_dir)
+    agg = enriched_segment_totals(stream, dim)
+    run_to_memory_sink(agg, "enrich_out", output_mode="complete")
+    got = _collect_sorted(spark.table("enrich_out"), "c_mktsegment")
+    want = _collect_sorted(enriched_segment_totals(batch_events, dim), "c_mktsegment")
+    assert got == want and len(got) > 0

@@ -54,6 +54,11 @@ def summarize(rows, cols):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # CHECK_JSON_OUT=<path>: additionally write the per-query result
+    # sheet (driver-style rows) so full runs leave a committed artifact
+    # instead of only scrollback (ADVICE r2 #3).
+    json_out = os.environ.get("CHECK_JSON_OUT")
+    sheet: dict[str, dict] = {}
 
     import duckdb
 
@@ -82,12 +87,15 @@ def main() -> int:
             scols = sdf.columns
         except Exception as ex:
             failures.append(name)
+            sheet[name] = {"status": "fail", "err": f"spark: {ex}"}
             print(f"FAIL  {name}: spark error: {ex}")
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            sheet[name] = {"status": "rows_only", "spark_rows": len(srows)}
             if len(srows) == 0:
                 failures.append(name)
+                sheet[name] = {"status": "fail", "err": "zero rows"}
                 print(f"FAIL  {name}: zero rows")
             continue
         try:
@@ -96,6 +104,7 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as ex:
             failures.append(name)
+            sheet[name] = {"status": "fail", "err": f"duckdb: {ex}"}
             print(f"FAIL  {name}: duckdb error: {ex}")
             continue
         problems = []
@@ -109,6 +118,7 @@ def main() -> int:
                 problems.append(f"hash {hs} vs {hd}")
         if problems:
             failures.append(name)
+            sheet[name] = {"status": "fail", "err": "; ".join(problems)}
             print(f"FAIL  {name}: {'; '.join(problems)}")
             if sorted(scols) == sorted(dcols) and srows and drows:
                 order = sorted(range(len(scols)), key=lambda i: scols[i])
@@ -120,8 +130,34 @@ def main() -> int:
                 for k in list(dset - sset)[:3]:
                     print(f"        duck-only:  {k}")
         else:
+            sheet[name] = {
+                "status": "ok",
+                "rows": len(srows),
+                "hash": summarize(srows, scols),
+            }
             print(f"OK    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(sheet),
+                    "n_ok": sum(
+                        1 for v in sheet.values() if v["status"] == "ok"
+                    ),
+                    "n_rows_only": sum(
+                        1 for v in sheet.values() if v["status"] == "rows_only"
+                    ),
+                    "n_fail": len(failures),
+                    "queries": sheet,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     return 1 if failures else 0
 
 
