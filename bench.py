@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "skipgram_counts",
     "keyword_pagerank",
+    "word_triangles",
     "inverted_index",
     "stratified_sample",
     "group_sample",

@@ -527,23 +527,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextRank-style keyword extraction (Mihalcea & Tarau 2004):
-    PageRank over the word co-occurrence graph — the corpus-level
-    keyword/topic surfacing step of curation pipelines, and a direct
-    REUSE of operators/graph.py::pagerank on a text-derived graph.
-    Content words (alphabetic, length ≥ 5) co-occurring within a
-    ±2-token window become undirected edges (canonicalized
-    least/greatest, distinct, then symmetrized — word pairs can recur
-    in both orders, unlike the bipartite co-purchase graph); 5
-    damped iterations; top-20 words by 6-decimal rank with word
-    tiebreak. Pair generation is per-row zip_with over sliced token
-    arrays (no position self-join); the oracle unrolls the recurrence
-    into chained CTEs exactly like the graph workload."""
-    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
-        graph as G,
-    )
-
+def _content_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (src < dst) distinct co-occurrence pairs of content
+    words (alphabetic, length ≥ 5) within a ±2-token window — the
+    word-graph edge builder shared by keyword_pagerank and
+    word_triangles. Pair generation is per-row zip_with over sliced
+    token arrays (no positional self-join)."""
     d = T(spark, sf_dir, "documents").select(
         X.tokens(X.normalize_text("text")).alias("tk")
     )
@@ -563,12 +552,72 @@ def q_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    pairs = (
+    return (
         docs.select(F.explode(F.concat(off_pairs(1), off_pairs(2))).alias("p"))
         .select("p.src", "p.dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+
+
+def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the word co-occurrence graph — the
+    clustering-structure primitive (community density, topical
+    cohesion) alongside PageRank's centrality. Canonical-orientation
+    wedge join: with every edge stored once as (a < b), a triangle
+    {a<b<c} is counted exactly once by p1(a,b) ⋈ p2(b,c) ⋈ p3(a,c) —
+    two self-equi-joins, no distinct needed. Per-word participation
+    counts, top-20.
+
+    Scale shape: the joins shuffle on single word keys; the wedge
+    count Σ_b deg²(b) is the cost driver, and the production fix for
+    hub-heavy graphs is degree orientation (point each edge from its
+    lower-degree endpoint) which provably bounds wedges by O(E^1.5) —
+    the lexicographic orientation here keeps the DuckDB twin trivial
+    at fixture scale."""
+    p = _content_word_pairs(spark, sf_dir)
+    p1 = p.alias("p1")
+    p2 = p.alias("p2")
+    p3 = p.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p1.dst") == F.col("p2.src"))
+        .join(
+            p3,
+            (F.col("p3.src") == F.col("p1.src"))
+            & (F.col("p3.dst") == F.col("p2.dst")),
+        )
+        .select(
+            F.col("p1.src").alias("a"),
+            F.col("p1.dst").alias("b"),
+            F.col("p2.dst").alias("c"),
+        )
+    )
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return pernode.orderBy(F.desc("n_triangles"), F.asc("word")).limit(20)
+
+
+def q_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank-style keyword extraction (Mihalcea & Tarau 2004):
+    PageRank over the word co-occurrence graph — the corpus-level
+    keyword/topic surfacing step of curation pipelines, and a direct
+    REUSE of operators/graph.py::pagerank on a text-derived graph.
+    Content words (alphabetic, length ≥ 5) co-occurring within a
+    ±2-token window become undirected edges (canonicalized
+    least/greatest, distinct, then symmetrized — word pairs can recur
+    in both orders, unlike the bipartite co-purchase graph); 5
+    damped iterations; top-20 words by 6-decimal rank with word
+    tiebreak. Pair generation is per-row zip_with over sliced token
+    arrays (no position self-join); the oracle unrolls the recurrence
+    into chained CTEs exactly like the graph workload."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        graph as G,
+    )
+
+    pairs = _content_word_pairs(spark, sf_dir)
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -653,6 +702,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "word_triangles": q_word_triangles,
     "dup_passages": q_dup_passages,
     "unigram_logprob": q_unigram_logprob,
     "inverted_index": q_inverted_index,
@@ -1110,6 +1160,46 @@ ORACLES = {
 
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.graph import (  # noqa: E402
     _pr_step,
+)
+
+_WORD_PAIRS_SQL = r"""
+    WITH doks AS (
+        SELECT list_filter(
+                   list_transform(
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                       t -> regexp_replace(t, '[^a-z]', '', 'g')),
+                   t -> length(t) >= 5) AS w
+        FROM documents
+    ),
+    d2 AS (SELECT w, len(w) AS n FROM doks WHERE len(w) >= 3),
+    dp AS (
+        SELECT least(w[CAST(i AS INT)], w[CAST(i + o AS INT)]) AS src,
+               greatest(w[CAST(i AS INT)], w[CAST(i + o AS INT)]) AS dst
+        FROM d2, UNNEST(range(1, n + 1)) AS r(i), UNNEST([1, 2]) AS t(o)
+        WHERE i + o <= n
+    ),
+    p AS (SELECT DISTINCT src, dst FROM dp WHERE src <> dst)"""
+
+ORACLES["word_triangles"] = (
+    _WORD_PAIRS_SQL
+    + """,
+    tri AS (
+        SELECT p1.src AS a, p1.dst AS b, p2.dst AS c
+        FROM p p1
+        JOIN p p2 ON p1.dst = p2.src
+        JOIN p p3 ON p3.src = p1.src AND p3.dst = p2.dst
+    ),
+    pernode AS (
+        SELECT word, count(*) AS n_triangles
+        FROM (
+            SELECT a AS word FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY word
+    )
+    SELECT word, CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM pernode ORDER BY n_triangles DESC, word ASC LIMIT 20
+"""
 )
 
 ORACLES["keyword_pagerank"] = (
