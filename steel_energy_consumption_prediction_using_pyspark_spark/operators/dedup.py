@@ -327,6 +327,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """DIRECTED shingle-set containment C(A→B) = |A∩B| / |A| — the
+    asymmetric complement of Jaccard: a short quote or excerpt is
+    near-fully contained in its source while their Jaccard stays tiny,
+    so subset/quotation/boilerplate-inclusion detection needs this
+    measure, not symmetric similarity (Broder 1997 distinguishes
+    resemblance vs containment for exactly this reason). Emits ordered
+    pairs (id_a contained-in id_b), both directions when both clear
+    the threshold. Same blocked self-join shape as
+    :func:`ngram_jaccard_pairs`; the sketch-scale analogue hashes
+    only A's shingles (minhash of A against B's shingle filter)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        normalize_text,
+        shingles_from,
+        tokens as _tokens,
+    )
+
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+            _tokens(normalize_text(text_col)).alias("_tk"),
+        )
+        .select(
+            "_id",
+            *( ["_blk"] if block_col else [] ),
+            F.array_distinct(shingles_from("_tk", shingle_n)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+    )
+    cond = F.col("x._id") != F.col("y._id")
+    if block_col:
+        cond = cond & (F.col("x._blk") == F.col("y._blk"))
+    inter = F.size(F.array_intersect(F.col("x._sh"), F.col("y._sh")))
+    return (
+        sh.alias("x")
+        .join(sh.alias("y"), cond)
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            (inter / F.size(F.col("x._sh")).cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 
 def embedding_neardup_pairs(

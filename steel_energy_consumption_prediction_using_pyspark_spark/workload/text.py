@@ -124,6 +124,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment within same-source blocks
+    (operators/dedup.py::ngram_containment_pairs): quote/excerpt/
+    boilerplate-inclusion detection, the asymmetric measure Jaccard
+    misses."""
+    d = T(spark, sf_dir, "documents")
+    pairs = D.ngram_containment_pairs(
+        d, "text", "doc_id", block_col="source", shingle_n=3, threshold=0.05
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("containment", 4).alias("containment")
+    )
+
+
 def _with_planted_dups(d: DataFrame, n: int = 10, offset: int = 10_000_000) -> DataFrame:
     """Deterministic near-dup test harness: re-inject the first `n`
     docs (by id) with offset ids so sketch-based dedup has guaranteed
@@ -722,6 +736,7 @@ QUERIES = {
     "token_histogram": q_token_histogram,
     "winnowing": q_winnowing,
     "ngram_jaccard": q_ngram_jaccard,
+    "containment_pairs": q_containment_pairs,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
@@ -1087,6 +1102,26 @@ ORACLES = {
                END AS bin,
                count(*) AS cnt
         FROM t, s GROUP BY 1 ORDER BY 1
+    """,
+    "containment_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
+                           i -> string_split({_NORM}, ' ')[i] || ' ' ||
+                                string_split({_NORM}, ' ')[i+1] || ' ' ||
+                                string_split({_NORM}, ' ')[i+2]
+                       )
+                   ) AS sh
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))
+                     / CAST(len(a.sh) AS DOUBLE), 4) AS containment
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id <> b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))
+              / CAST(len(a.sh) AS DOUBLE) >= 0.05
     """,
     "ngram_jaccard": f"""
         WITH sh AS (
