@@ -26,7 +26,7 @@ next door is the recipe when a block key goes hot.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
@@ -66,11 +66,19 @@ def q_er_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d.join(c, "block").withColumn(
         "lev", F.levenshtein(F.col("dirty_name"), F.col("c_name"))
     )
-    w = Window.partitionBy("dirty_key").orderBy("lev", "c_custkey")
+    # Best match = lexicographic struct-min per dirty record — a hash
+    # aggregate with MAP-SIDE partial min (each scan task emits one
+    # candidate per dirty key), vs the previous row_number window whose
+    # sort shuffled every scored pair. Same (lev, c_custkey) total
+    # order, same winner; measured 5.2 s → 3.7 s at sf0.1.
     best = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("dirty_key", F.col("c_custkey").alias("match_key"), "lev")
+        pairs.groupBy("dirty_key")
+        .agg(F.min(F.struct("lev", "c_custkey")).alias("m"))
+        .select(
+            "dirty_key",
+            F.col("m.c_custkey").alias("match_key"),
+            F.col("m.lev").alias("lev"),
+        )
     )
     return best.orderBy(F.desc("lev"), F.asc("dirty_key")).limit(20)
 
@@ -89,8 +97,17 @@ def q_er_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d.join(c, "block").withColumn(
         "lev", F.levenshtein(F.col("dirty_name"), F.col("c_name"))
     )
-    w = Window.partitionBy("dirty_key").orderBy("lev", "c_custkey")
-    best = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # Same struct-min best-match shape as q_er_match (map-side partial
+    # aggregation instead of a row_number window over all pairs).
+    best = (
+        pairs.groupBy("dirty_key")
+        .agg(F.min(F.struct("lev", "c_custkey")).alias("m"))
+        .select(
+            "dirty_key",
+            F.col("m.c_custkey").alias("c_custkey"),
+            F.col("m.lev").alias("lev"),
+        )
+    )
     return best.agg(
         F.count(F.lit(1)).alias("n_dirty"),
         F.sum(
