@@ -415,6 +415,11 @@ def synthesize_images(
     ascii)."""
     import numpy as np
 
+    # mapInPandas is a pruning barrier — Catalyst cannot push column
+    # pruning through the Python kernel, so an unprojected input would
+    # drag the full table width into Arrow. Project here.
+    df = df.select(id_col, text_col)
+
     row = width * 3
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -297,3 +297,50 @@ def test_pagerank_iterations_broadcast_small_rank_vector(spark):
     rows = {r.node: round(r.rank, 9) for r in small.collect()}
     rows_forced = {r.node: round(r.rank, 9) for r in forced.collect()}
     assert rows == rows_forced  # strategy changes nothing numerically
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """The vocabulary lookup must be a broadcast hash join (two
+    broadcasts: vocab + the scalar total) — a shuffled vocab join
+    would move the whole exploded token stream twice."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import text
+
+    df = text.q_unigram_logprob(spark, sf_dir)
+    assert_broadcast_join(df, count=2)
+
+
+def test_stream_enrich_broadcasts_dim(spark, sf_dir):
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import core as c
+
+    df = c.q_stream_enrich(spark, sf_dir)
+    assert_broadcast_join(df, count=1)
+
+
+def test_dup_passages_single_gram_shuffle(spark, sf_dir):
+    """Shingling is per-row HOF work: the plan must contain exactly
+    the aggregation exchanges (gram groupBy), no join/cartesian —
+    the passage mining never pairs documents."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import text
+
+    plan = physical_plan(text.q_dup_passages(spark, sf_dir))
+    assert "Join" not in plan and "Cartesian" not in plan
+
+
+def test_weighted_reservoir_take_ordered(spark, sf_dir):
+    """Top-K by key must be TakeOrderedAndProject (per-partition
+    heaps), never a global Sort."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import curation
+
+    plan = physical_plan(curation.q_weighted_reservoir(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_image_decode_prunes_documents_scan(spark, sf_dir):
+    """The decode pipeline reads only (doc_id, text[, source]) — the
+    binary plumbing must not force a full-width documents scan."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
+        multimodal as mm,
+    )
+
+    df = mm.q_image_decode(spark, sf_dir)
+    assert_read_schema_pruned(df, {"doc_id", "text", "source"})
