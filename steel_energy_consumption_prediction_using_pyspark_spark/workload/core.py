@@ -561,11 +561,22 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallel (one partition per flag, distinct-value-sized — the same
     # bounded shape q_percentiles uses) instead of a global single-
     # partition sort.
-    approx = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    #
+    # countDistinct is a SEPARATE aggregation joined back on the
+    # 3-row key: mixing a DISTINCT aggregate with percentile_approx in
+    # one agg makes Catalyst rewrite through Expand and drops the
+    # sketch buffer to the sort-based fallback — measured 20 s vs ~3 s
+    # for the split plan at sf0.1 (the buffers merge fine with
+    # approx_count_distinct alone; it is the distinct+object-buffer
+    # combination that degenerates).
+    exact_cd = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("_hll"),
         F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("_aq"),
     )
+    approx = exact_cd.join(sketches, "l_returnflag")
     exact_q = exact_percentiles_ranked(
         li, ["l_returnflag"], "l_extendedprice", {"_p50": 0.5, "_p95": 0.95}
     )
