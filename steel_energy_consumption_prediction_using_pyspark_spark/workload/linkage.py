@@ -17,8 +17,8 @@ blocking recall and scoring precision are pinned by values, not by
 trust.
 
 Scale notes (100 TB): candidate-pair count is the whole game. The
-block key below (nationkey omitted, last-2 digits of the numeric id)
-yields ~|C|/100 candidates per dirty record — a bounded fan-out
+block key below (nationkey omitted, last-3 digits of the numeric id)
+yields ~|C|/1000 candidates per dirty record (round 3: widened from last-2 — 10× fewer Levenshtein evaluations, recall still 100% because the corruption never touches digits; block-key granularity IS the ER scaling lever) — a bounded fan-out
 equi-join, no cross product anywhere in the plan. Skewed blocks (a
 too-coarse key) are the known failure mode; the salted_join query
 next door is the recipe when a block key goes hot.
@@ -52,7 +52,7 @@ def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_er_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked entity resolution: dirty customer names → best clean
-    match. Block on the last two digits of the digits-only name (the
+    match. Block on the last three digits of the digits-only name (the
     corruption never touches digits), score candidates by Levenshtein
     distance, keep the minimum per dirty record (clean-key tiebreak).
     Output is the 20 worst (highest-distance) resolved matches plus
@@ -61,8 +61,8 @@ def q_er_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty = _dirty_customers(spark, sf_dir)
     clean = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
     digits = lambda col: F.regexp_replace(col, "[^0-9]", "")  # noqa: E731
-    d = dirty.withColumn("block", F.substring(digits(F.col("dirty_name")), -2, 2))
-    c = clean.withColumn("block", F.substring(digits(F.col("c_name")), -2, 2))
+    d = dirty.withColumn("block", F.substring(digits(F.col("dirty_name")), -3, 3))
+    c = clean.withColumn("block", F.substring(digits(F.col("c_name")), -3, 3))
     pairs = d.join(c, "block").withColumn(
         "lev", F.levenshtein(F.col("dirty_name"), F.col("c_name"))
     )
@@ -92,8 +92,8 @@ def q_er_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty = _dirty_customers(spark, sf_dir)
     clean = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
     digits = lambda col: F.regexp_replace(col, "[^0-9]", "")  # noqa: E731
-    d = dirty.withColumn("block", F.substring(digits(F.col("dirty_name")), -2, 2))
-    c = clean.withColumn("block", F.substring(digits(F.col("c_name")), -2, 2))
+    d = dirty.withColumn("block", F.substring(digits(F.col("dirty_name")), -3, 3))
+    c = clean.withColumn("block", F.substring(digits(F.col("c_name")), -3, 3))
     pairs = d.join(c, "block").withColumn(
         "lev", F.levenshtein(F.col("dirty_name"), F.col("c_name"))
     )
@@ -159,7 +159,7 @@ QUERIES = {
 }
 
 # DuckDB notes: regexp_replace needs the 'g' flag (Spark replaces all
-# occurrences by default); right(x, 2) ≡ Spark substring(x, -2, 2);
+# occurrences by default); right(x, 3) ≡ Spark substring(x, -3, 3);
 # levenshtein is the same unit-cost edit distance in both engines.
 _ER_BEST = """
     WITH dirty AS (
@@ -169,9 +169,9 @@ _ER_BEST = """
                END AS dirty_name
         FROM customer WHERE c_custkey % 3 = 1
     ),
-    d AS (SELECT *, right(regexp_replace(dirty_name, '[^0-9]', '', 'g'), 2) AS block FROM dirty),
+    d AS (SELECT *, right(regexp_replace(dirty_name, '[^0-9]', '', 'g'), 3) AS block FROM dirty),
     c AS (SELECT c_custkey, c_name,
-                 right(regexp_replace(c_name, '[^0-9]', '', 'g'), 2) AS block
+                 right(regexp_replace(c_name, '[^0-9]', '', 'g'), 3) AS block
           FROM customer),
     pairs AS (
         SELECT d.dirty_key, d.dirty_name, c.c_custkey, c.c_name,
