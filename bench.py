@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "having_in",
     "setops",
     "distinct",
+    "union_evolution",
     "window_latest",
     "window_running",
     "rollup",
@@ -91,6 +92,9 @@ BENCH_QUERIES = [
     "stats_moments",
     "quantile_normalize",
     "ks_drift",
+    "seasonal_decompose",
+    "winsorize",
+    "chi_square",
     "regr_agg",
     "window_distribution",
     "string_distance",

@@ -184,6 +184,31 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: a v1 feed (no priority column) unioned
+    with a v2 feed via unionByName(allowMissingColumns=True) — the
+    position-independent, null-filled union every long-lived ingest
+    pipeline needs when producers add columns (positional UNION would
+    silently misalign). Split is deterministic (orderkey parity);
+    legacy rows surface as the NULL priority group."""
+    o = T(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(F.asc_nulls_first("o_orderpriority"))
+    )
+
+
 # --- A1: group-by count -----------------------------------------------------
 
 def q_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1530,6 +1555,7 @@ QUERIES = {
     "csv_ingest": q_csv_ingest,
     "orc_ingest": q_orc_ingest,
     "jsonl_ingest": q_jsonl_ingest,
+    "union_evolution": q_union_evolution,
     "map_explode": q_map_explode,
     "rolling_range": q_rolling_range,
     "multi_distinct": q_multi_distinct,
@@ -1690,6 +1716,20 @@ ORACLES = {
                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
                floor(avg(o_totalprice) * 10000 + 0.5e0) / 10000 AS avg_price
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "union_evolution": """
+        WITH u AS (
+            SELECT o_orderkey, NULL AS o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM u GROUP BY o_orderpriority
+        ORDER BY o_orderpriority NULLS FIRST
     """,
     "jsonl_ingest": """
         SELECT o_orderpriority,

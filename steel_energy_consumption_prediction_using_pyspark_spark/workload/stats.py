@@ -438,7 +438,121 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (moving-average STL
+    shape) of the daily event-value series: trend = centered 7-day
+    moving average, seasonal = mean detrended value per weekday,
+    residual = the rest. Output: per-weekday seasonal index + residual
+    envelope — the drift/seasonality split every metrics pipeline
+    needs before anomaly thresholds mean anything.
+
+    BOUNDED global window: input is one row per DAY (the daily grid,
+    already aggregated) — the same day-grid argument as gapfill; the
+    sliding frame avg is sequential within the frame, so float
+    summation order is identical in both engines."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    dt = daily.select(
+        "day",
+        "v",
+        (F.col("v") - F.avg("v").over(w)).alias("detrended"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seas = dt.groupBy("dow").agg(F.avg("detrended").alias("seasonal"))
+    resid = dt.join(F.broadcast(seas), "dow").select(
+        "dow", (F.col("detrended") - F.col("seasonal")).alias("r")
+    )
+    return (
+        resid.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(F.abs(F.col("r"))), 4).alias("avg_abs_resid"),
+        )
+        .join(
+            F.broadcast(seas.select("dow", F.round("seasonal", 4).alias("seasonal"))),
+            "dow",
+        )
+        .select("dow", "seasonal", "n_days", "avg_abs_resid")
+        .orderBy("dow")
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each event's value into its type's exact
+    [p05, p95] band — the robust-preprocessing step before
+    mean-based features (outliers capped, not dropped). Percentile
+    edges ride exact_percentiles_ranked (spill-safe spine); output
+    per type: raw vs winsorized mean and the clipped-row count."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        exact_percentiles_ranked,
+    )
+
+    e = T(spark, sf_dir, "events")
+    edges = exact_percentiles_ranked(
+        e, ["event_type"], "value", {"p05": 0.05, "p95": 0.95}
+    )
+    j = e.join(F.broadcast(edges), "event_type")
+    wv = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(wv), 4).alias("mean_winsorized"),
+            F.sum(
+                ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).cast("long")
+            ).alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence on the event_type × weekday
+    contingency table — 'does behavior depend on the day?', the
+    categorical-drift screen. All inputs are integer counts, expected
+    counts are exact ratios, so χ² is engine-identical to the last
+    ulp (rounded to 4). One count pass + broadcast marginals."""
+    e = T(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_t = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_t = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").cast("double").alias("n"))
+    expected = (
+        obs.join(F.broadcast(row_t), "event_type")
+        .join(F.broadcast(col_t), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("ex"),
+        )
+    )
+    cells = expected.agg(
+        F.sum(
+            (F.col("o") - F.col("ex")) * (F.col("o") - F.col("ex")) / F.col("ex")
+        ).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    return cells.select(
+        F.round("chi2", 4).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        "n_cells",
+    )
+
+
 QUERIES = {
+    "seasonal_decompose": q_seasonal_decompose,
+    "winsorize": q_winsorize,
+    "chi_square": q_chi_square,
     "ks_drift": q_ks_drift,
     "mad_anomaly": q_mad_anomaly,
     "quantile_normalize": q_quantile_normalize,
@@ -453,6 +567,60 @@ QUERIES = {
 }
 
 ORACLES = {
+    "seasonal_decompose": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, sum(value) AS v
+            FROM events GROUP BY 1
+        ),
+        dt AS (
+            SELECT day, v,
+                   v - avg(v) OVER (ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS detrended,
+                   CAST(isodow(day) % 7 + 1 AS INTEGER) AS dow
+            FROM daily
+        ),
+        seas AS (SELECT dow, avg(detrended) AS seasonal FROM dt GROUP BY dow)
+        SELECT d.dow, round(s.seasonal, 4) AS seasonal,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(avg(abs(d.detrended - s.seasonal)), 4) AS avg_abs_resid
+        FROM dt d JOIN seas s USING (dow)
+        GROUP BY d.dow, s.seasonal ORDER BY d.dow
+    """,
+    "winsorize": """
+        WITH edges AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS p05,
+                   quantile_cont(value, 0.95) AS p95
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 4) AS mean_raw,
+               round(avg(least(greatest(value, p05), p95)), 4)
+                   AS mean_winsorized,
+               CAST(sum(CASE WHEN value < p05 OR value > p95
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM events e JOIN edges USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    "chi_square": """
+        WITH obs AS (
+            SELECT event_type, CAST(isodow(ts) % 7 + 1 AS INTEGER) AS dow,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+               FROM obs GROUP BY 1),
+        ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs)
+        SELECT round(sum((o - rt * ct / n) * (o - rt * ct / n)
+                         / (rt * ct / n)), 4) AS chi2,
+               CAST((count(DISTINCT obs.event_type) - 1)
+                    * (count(DISTINCT obs.dow) - 1) AS BIGINT) AS dof,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM obs JOIN rt USING (event_type) JOIN ct USING (dow)
+        CROSS JOIN tot
+    """,
     "mad_anomaly": """
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
