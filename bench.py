@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "histogram",
     "cte_histogram",
     "width_bucket",
+    "equidepth_histogram",
+    "decimal_exact",
     "csv_ingest",
     "orc_ingest",
     "jsonl_ingest",

@@ -1256,6 +1256,68 @@ def q_cte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: 8 buckets holding (near-)equal row counts,
+    edges from exact octile percentiles — the complement of
+    `width_bucket`'s equi-width bins, and what optimizers/monitors
+    actually want for skewed columns (equal-width bins put 90% of a
+    skewed column in one bin). Edges ride exact_percentiles_ranked;
+    rows route via the same broadcast edge comparison in both engines,
+    so bucket populations are engine-identical. A value exactly on an
+    edge goes to the LOWER bucket (<= upper edge)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        exact_percentiles_ranked,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    names = {f"e{i}": i / 8.0 for i in range(1, 8)}
+    edges = exact_percentiles_ranked(
+        o.select(F.lit(1).alias("_g"), "o_totalprice"), ["_g"], "o_totalprice", names
+    ).drop("_g")
+    j = o.crossJoin(F.broadcast(edges))
+    bucket = F.lit(8)
+    for i in range(7, 0, -1):
+        bucket = F.when(
+            F.col("o_totalprice") <= F.col(f"e{i}"), F.lit(i)
+        ).otherwise(bucket)
+    return (
+        j.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money arithmetic: totals on DECIMAL(18,2) are
+    bit-exact sums (no float accumulation error in any summation
+    order), so the oracle compares the full 2-dp value as a STRING
+    with NO rounding recipe — the numeric-type surface a financial
+    pipeline requires, and the one aggregate family where
+    'deterministic across engines' needs no floor/round armor."""
+    o = T(spark, sf_dir, "orders")
+    dec = o.select(
+        "o_orderpriority", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+    return (
+        dec.groupBy("o_orderpriority")
+        .agg(
+            F.sum("p").alias("total_exact"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("total_exact").cast("string").alias("total_exact"),
+            "n",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The genuine `F.width_bucket` builtin through the DataFrame API
     (reference A9/F6, SteelPred.ipynb:131375 — the Databricks
@@ -1556,6 +1618,8 @@ QUERIES = {
     "orc_ingest": q_orc_ingest,
     "jsonl_ingest": q_jsonl_ingest,
     "union_evolution": q_union_evolution,
+    "equidepth_histogram": q_equidepth_histogram,
+    "decimal_exact": q_decimal_exact,
     "map_explode": q_map_explode,
     "rolling_range": q_rolling_range,
     "multi_distinct": q_multi_distinct,
@@ -1715,6 +1779,43 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
                floor(avg(o_totalprice) * 10000 + 0.5e0) / 10000 AS avg_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "equidepth_histogram": """
+        WITH edges AS (
+            SELECT quantile_cont(o_totalprice, 0.125) AS e1,
+                   quantile_cont(o_totalprice, 0.25)  AS e2,
+                   quantile_cont(o_totalprice, 0.375) AS e3,
+                   quantile_cont(o_totalprice, 0.5)   AS e4,
+                   quantile_cont(o_totalprice, 0.625) AS e5,
+                   quantile_cont(o_totalprice, 0.75)  AS e6,
+                   quantile_cont(o_totalprice, 0.875) AS e7
+            FROM orders
+        ),
+        b AS (
+            SELECT CASE
+                       WHEN o_totalprice <= e1 THEN 1
+                       WHEN o_totalprice <= e2 THEN 2
+                       WHEN o_totalprice <= e3 THEN 3
+                       WHEN o_totalprice <= e4 THEN 4
+                       WHEN o_totalprice <= e5 THEN 5
+                       WHEN o_totalprice <= e6 THEN 6
+                       WHEN o_totalprice <= e7 THEN 7
+                       ELSE 8 END AS bucket,
+                   o_totalprice
+            FROM orders, edges
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    "decimal_exact": """
+        SELECT o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                   AS total_exact,
+               CAST(count(*) AS BIGINT) AS n
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "union_evolution": """
