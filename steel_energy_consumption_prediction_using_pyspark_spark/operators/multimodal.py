@@ -146,6 +146,44 @@ def extract_features(
     return df.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def extract_features_arrow(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """The mapInArrow tier of :func:`extract_features`: identical
+    byte-histogram features computed straight on pyarrow RecordBatches
+    — no pandas materialization between Arrow and numpy, the
+    lowest-overhead Python kernel path Spark offers (pandas adds a
+    per-batch Series construction + copy on both sides; for kernels
+    that are pure numpy over binary payloads that copy is the whole
+    Python-side cost). Output ≡ extract_features row-for-row (pinned
+    in tests/test_multimodal.py); use whichever the surrounding code
+    prefers — the plumbing contract (batching, schema, partitioning)
+    is the same."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(id_col)
+            feats = []
+            for payload in batch.column(payload_col):
+                buf = payload.as_py()
+                arr = np.frombuffer(buf, dtype=np.uint8) if buf else np.array([], np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * FEATURE_DIM)
+                    continue
+                hist = np.bincount(
+                    arr // (256 // FEATURE_DIM), minlength=FEATURE_DIM
+                )
+                feats.append((hist / arr.size).astype("float32").tolist())
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(pa.int64()), pa.array(feats, pa.list_(pa.float32()))],
+                ["doc_id", "feature"],
+            )
+
+    return df.mapInArrow(kernel, FEATURE_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -39,3 +39,46 @@ def idempotent_parquet_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_merge_sink(
+    stream_changes: DataFrame,
+    base_dir: str,
+    key: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming CDC apply: each micro-batch of change rows (base
+    schema + op in {'U','D'} + change_ts) is MERGEd into the current
+    snapshot version with operators/cdc.py::merge_apply, producing the
+    next version directory — the streaming half of the lakehouse
+    MERGE INTO pattern on plain parquet.
+
+    Versioned snapshots are what make replay exactly-once WITHOUT
+    table-format transactions: batch k always reads `v{k}` (its
+    pre-state) and rewrites `v{k+1}` deterministically, so a crashed
+    and replayed batch regenerates the identical successor version
+    instead of compounding its changes; reading the snapshot you are
+    overwriting in the same job (the naive single-dir design) is both
+    unsafe in Spark and non-idempotent. The caller seeds `v0`.
+    availableNow trigger, same deployment notes as
+    idempotent_parquet_sink."""
+    import os
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.cdc import (
+        merge_apply,
+    )
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        base = spark.read.parquet(os.path.join(base_dir, f"v{batch_id}"))
+        merged = merge_apply(base, df, key)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"v{batch_id + 1}")
+        )
+
+    return (
+        stream_changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -179,3 +179,16 @@ def test_documents_fixture_is_ascii(spark, sf_dir):
         F.octet_length(F.col("text")) != F.length(F.col("text"))
     ).count()
     assert n_multibyte == 0
+
+
+def test_map_in_arrow_features_equal_pandas_tier(spark, blobs):
+    """extract_features_arrow (mapInArrow, no pandas materialization)
+    must equal extract_features (mapInPandas) row-for-row — same
+    kernel math, different Arrow plumbing tier."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimodal import (
+        extract_features_arrow,
+    )
+
+    a = {r.doc_id: r.feature for r in extract_features(blobs).collect()}
+    b = {r.doc_id: r.feature for r in extract_features_arrow(blobs).collect()}
+    assert a == b

@@ -264,3 +264,48 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir, batch_events):
     got = _collect_sorted(spark.table("enrich_out"), "c_mktsegment")
     want = _collect_sorted(enriched_segment_totals(batch_events, dim), "c_mktsegment")
     assert got == want and len(got) > 0
+
+
+def test_cdc_merge_sink_stream_equals_batch_and_replays_clean(
+    spark, sf_dir, tmp_path
+):
+    """Streaming MERGE INTO: a change feed applied per micro-batch
+    through cdc_merge_sink must land on the same final snapshot as one
+    batch merge_apply — and replaying from a FRESH checkpoint must
+    regenerate the identical successor version (versioned snapshots =
+    idempotent replay without table-format transactions)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.cdc import (
+        merge_apply,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.sinks import (
+        cdc_merge_sink,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U", 1), (3, None, "D", 1), (4, "d", "U", 2)],
+        "k long, v string, op string, change_ts long",
+    )
+    snap_dir, chg_dir = str(tmp_path / "snap"), str(tmp_path / "chg")
+    base.write.parquet(snap_dir + "/v0")
+    changes.coalesce(1).write.parquet(chg_dir)
+
+    stream = spark.readStream.schema(
+        "k long, v string, op string, change_ts long"
+    ).parquet(chg_dir)
+    q = cdc_merge_sink(stream, snap_dir, "k", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {(r.k, r.v) for r in spark.read.parquet(snap_dir + "/v1").collect()}
+    want = {
+        (r.k, r.v) for r in merge_apply(base, changes, "k").collect()
+    }
+    assert got == want == {(1, "a"), (2, "B"), (4, "d")}
+
+    # fresh checkpoint → batch 0 replays → v1 rewritten identically
+    q2 = cdc_merge_sink(stream, snap_dir, "k", str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    again = {(r.k, r.v) for r in spark.read.parquet(snap_dir + "/v1").collect()}
+    assert again == want
