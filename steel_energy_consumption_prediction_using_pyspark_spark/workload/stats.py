@@ -185,47 +185,130 @@ def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- mergeable sketches (rows-only: estimates have no SQL oracle) -----------
 
+def _tol_ok(est, exact, tol: float):
+    """1 when |est − exact| ≤ tol·|exact| — the Spark-side sketch
+    assertion column whose oracle twin is the literal 1 (the
+    approx_stats certification pattern: hash exact values, prove the
+    estimate in-band in the same plan)."""
+    return F.when(
+        F.abs(est.cast("double") - exact.cast("double"))
+        <= F.abs(exact.cast("double")) * tol,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+
+
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via per-day HLL partials merged
-    with hll_union_agg (operators/sketches.py). Rows-only check by
-    necessity — DuckDB's HLL is a different implementation, so the
-    estimate has no SQL twin; accuracy (≤2% error vs exact) and
-    partition invariance are pinned in tests/test_sketches.py."""
+    with hll_union_agg (operators/sketches.py) — certified the
+    approx_stats way: the hashed column is the EXACT distinct count
+    (own aggregation, joined on the tiny key — never mixed into the
+    sketch agg, see approx_stats' Expand note), and the datasketches
+    estimate (lg_k=14 → rsd ≈0.8%) is asserted within 5% in-plan via
+    est_ok = 1. Tighter accuracy + partition invariance pinned in
+    tests/test_sketches.py."""
     from steel_energy_consumption_prediction_using_pyspark_spark.operators.sketches import (
         hll_distinct_rollup,
     )
 
     e = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    return hll_distinct_rollup(
-        e, ["event_type"], "user_id", partial_by="day"
-    ).orderBy("event_type")
+    est = hll_distinct_rollup(e, ["event_type"], "user_id", partial_by="day")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            _tol_ok(F.col("distinct_est"), F.col("exact_distinct"), 0.05).alias(
+                "est_ok"
+            ),
+        )
+        .orderBy("event_type")
+    )
 
 
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile sketch of lineitem price, built per-returnflag and
-    merged (operators/sketches.py). Rows-only: sketch quantiles are
-    estimates; rank accuracy is pinned in tests/test_sketches.py."""
+    merged (operators/sketches.py), certified with exact twins: hashed
+    columns are the exact interpolated quartiles (spill-safe spine)
+    and exact row count; each KLL estimate is asserted within 5% of
+    its exact value in-plan (k=1600 → rank error ≈1%, and the price
+    distribution is dense, so rank error ≈ value error). Rank-level
+    accuracy pinned in tests/test_sketches.py."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        exact_percentiles_ranked,
+    )
     from steel_energy_consumption_prediction_using_pyspark_spark.operators.sketches import (
         kll_quantile_rollup,
     )
 
     li = T(spark, sf_dir, "lineitem")
-    return kll_quantile_rollup(
+    est = kll_quantile_rollup(
         li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95], partial_by="l_returnflag"
+    )
+    names = {"e25": 0.25, "e50": 0.5, "e75": 0.75, "e95": 0.95}
+    exact = exact_percentiles_ranked(
+        li.select(F.lit(1).alias("_g"), "l_extendedprice"),
+        ["_g"],
+        "l_extendedprice",
+        names,
+    ).drop("_g")
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.round("e25", 4).alias("p25"),
+        F.round("e50", 4).alias("p50"),
+        F.round("e75", 4).alias("p75"),
+        F.round("e95", 4).alias("p95"),
+        "n",
+        *[
+            _tol_ok(F.col(f"q{int(p * 100):02d}"), F.col(e), 0.05).alias(
+                f"ok{int(p * 100):02d}"
+            )
+            for e, p in names.items()
+        ],
     )
 
 
 def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set algebra: users who click vs purchase —
     |A|, |B|, |A∪B|, |A∩B|, |A\\B| without a raw self-join
-    (operators/sketches.py). Rows-only: estimates; accuracy vs exact
-    set ops pinned in tests/test_sketches.py."""
+    (operators/sketches.py), certified with exact twins: hashed
+    columns are the exact cardinalities (one conditional-count pass
+    over distinct (user, flags)), each theta estimate asserted within
+    5% in-plan. Exact-set accuracy pinned in tests/test_sketches.py."""
     from steel_energy_consumption_prediction_using_pyspark_spark.operators.sketches import (
         theta_overlap,
     )
 
     e = T(spark, sf_dir, "events")
-    return theta_overlap(e, "event_type", "user_id", "click", "purchase")
+    est = theta_overlap(e, "event_type", "user_id", "click", "purchase")
+    flags = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("a"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("b"),
+        )
+    )
+    exact = flags.agg(
+        F.sum("a").cast("bigint").alias("x_a"),
+        F.sum("b").cast("bigint").alias("x_b"),
+        F.count(F.lit(1)).alias("x_union"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("x_inter"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("x_diff"),
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "x_a",
+        "x_b",
+        "x_union",
+        "x_inter",
+        "x_diff",
+        _tol_ok(F.col("n_a"), F.col("x_a"), 0.05).alias("ok_a"),
+        _tol_ok(F.col("n_b"), F.col("x_b"), 0.05).alias("ok_b"),
+        _tol_ok(F.col("n_union"), F.col("x_union"), 0.05).alias("ok_union"),
+        _tol_ok(F.col("n_intersect"), F.col("x_inter"), 0.05).alias("ok_inter"),
+        _tol_ok(F.col("n_a_only"), F.col("x_diff"), 0.05).alias("ok_diff"),
+    )
 
 
 def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,6 +650,46 @@ QUERIES = {
 }
 
 ORACLES = {
+    # sketch trio: exact twins hashed, in-plan tolerance flags pinned
+    # to 1 (the approx_stats certification pattern)
+    "sketch_distinct": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               CAST(1 AS INTEGER) AS est_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "sketch_quantiles": """
+        SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+               CAST(count(l_extendedprice) AS BIGINT) AS n,
+               CAST(1 AS INTEGER) AS ok25,
+               CAST(1 AS INTEGER) AS ok50,
+               CAST(1 AS INTEGER) AS ok75,
+               CAST(1 AS INTEGER) AS ok95
+        FROM lineitem
+    """,
+    "sketch_overlap": """
+        WITH flags AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+            FROM events WHERE event_type IN ('click', 'purchase')
+            GROUP BY user_id
+        )
+        SELECT CAST(sum(a) AS BIGINT) AS x_a,
+               CAST(sum(b) AS BIGINT) AS x_b,
+               CAST(count(*) AS BIGINT) AS x_union,
+               CAST(sum(a * b) AS BIGINT) AS x_inter,
+               CAST(sum(a * (1 - b)) AS BIGINT) AS x_diff,
+               CAST(1 AS INTEGER) AS ok_a,
+               CAST(1 AS INTEGER) AS ok_b,
+               CAST(1 AS INTEGER) AS ok_union,
+               CAST(1 AS INTEGER) AS ok_inter,
+               CAST(1 AS INTEGER) AS ok_diff
+        FROM flags
+    """,
     "seasonal_decompose": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, sum(value) AS v
