@@ -168,10 +168,14 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over int8-quantized-then-dequantized
     vectors (operators/quantize.py): the 4×-smaller storage path for
-    the embedding column. Rows-only: quantization noise makes ranks
-    engine-specific near ties; recall vs exact fp32 top-k (≥0.8@5) and
-    reconstruction fidelity (cos ≥ 0.999) are pinned in
-    tests/test_similarity.py."""
+    the embedding column. FULL SQL oracle (round 3): the quantization
+    is pure deterministic arithmetic — scale = max|x| (1.0 for zero
+    vectors, narrowed to float32), q = round(x/scale·127)::int8,
+    dequantized = q·scale/127 — every step bit-identical in DuckDB,
+    so the oracle re-quantizes from the raw embeddings and reproduces
+    the whole ranking, ties broken by neighbor id as everywhere.
+    Recall vs exact fp32 top-k (≥0.8@5) and reconstruction fidelity
+    (cos ≥ 0.999) additionally pinned in tests/test_similarity.py."""
     from steel_energy_consumption_prediction_using_pyspark_spark.operators.quantize import (
         quantize_int8,
         with_dequantized,
@@ -270,6 +274,55 @@ ORACLES = {
         WHERE {_COS} >= 0.32e0
     """,
 }
+
+# int8 quantize→dequantize in DuckDB: identical double arithmetic to
+# operators/quantize.py (scale narrowed through FLOAT exactly as the
+# engine stores it; round() is half-away-from-zero in both engines and
+# the ratio inputs are bit-identical doubles, so the int8 codes match
+# bit-for-bit).
+_DEQ_COS = (
+    "list_dot_product(a.dv, b.dv)"
+    " / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv)))"
+)
+
+ORACLES["ann_quantized"] = f"""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sc AS (
+        -- exact engine order: q computed against the DOUBLE scale,
+        -- the stored scale THEN narrowed to FLOAT for dequantize
+        SELECT vec_id, v,
+               CASE WHEN m > 0 THEN m ELSE 1.0 END AS scale_d,
+               CAST(CASE WHEN m > 0 THEN m ELSE 1.0 END AS FLOAT) AS scale
+        FROM (SELECT *, list_max(list_transform(v, x -> abs(x))) AS m FROM s)
+    ),
+    deq AS (
+        SELECT vec_id,
+               list_transform(
+                   list_transform(v, x -> CAST(round(x / scale_d * 127) AS TINYINT)),
+                   q -> CAST(q AS DOUBLE) * scale / 127
+               ) AS dv
+        FROM sc
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_DEQ_COS} AS cs
+        FROM deq a JOIN deq b
+          ON a.vec_id < {N_QUERY} AND b.vec_id >= {N_QUERY}
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cs,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cs DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+"""
+
 
 def _lsh_bucket_sql(vec_expr: str) -> str:
     """DuckDB expression recomputing hyperplane_bucket's sign-pattern
