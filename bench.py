@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "token_histogram",
     "tfidf",
     "bm25",
+    "hard_negatives",
     "dup_passages",
     "unigram_logprob",
     "pmi_collocations",
@@ -161,6 +162,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "temperature_mix",
     "weighted_reservoir",
+    "budget_select",
     "pack_windows",
     "pack_slices",
     "dq_summary",

@@ -258,6 +258,57 @@ def distributed_ntile(
     )
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    order: Sequence[Column],
+    weight_col: str,
+    out_col: str = "_cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running ``sum(weight) OVER (ORDER BY order...)``
+    without the single-partition global window — the same
+    range-partition + bounded-offset-collect shape as
+    :func:`distributed_ntile`, generalized from row counts to a weight
+    column: partition i's offset is the total weight of partitions
+    0..i−1 (a #partitions-row collect — metadata, not data), the local
+    running sum is a parallel per-partition window, and the global
+    prefix sum is their sum.
+
+    Use INTEGRAL weights for cross-engine exactness: the per-partition
+    totals are added driver-side in partition order, which for floats
+    is a different association than a sequential scan. Token/byte
+    budgets — the canonical use (see workload `budget_select`) — are
+    integers, where every association is exact."""
+    order = list(order)
+    parted = df.repartitionByRange(
+        *( [num_partitions] if num_partitions else [] ), *order
+    ).withColumn("_pid", F.spark_partition_id())
+    parted = parted.persist()
+    sums = sorted(
+        (r["_pid"], r["w"])
+        for r in parted.groupBy("_pid")
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid, wsum in sums:
+        offsets[pid] = acc
+        acc += wsum or 0
+    mapping = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    off = F.coalesce(mapping[F.col("_pid")].cast("long"), F.lit(0).cast("long"))
+    w = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        parted.select(
+            *df.columns,
+            (F.sum(weight_col).over(w).cast("long") + off).alias(out_col),
+        )
+    )
+
+
 def seeded_split(
     df: DataFrame, weights: Sequence[float], seed: int
 ) -> list[DataFrame]:

@@ -305,8 +305,51 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHAR_BUDGET = 200_000
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: take documents in descending
+    quality order (doc_id tiebreak) until the cumulative character
+    budget is spent — the greedy knapsack every 'best N tokens for
+    this training run' decision reduces to. The running total rides
+    operators/relational.py::distributed_prefix_sum (range partition +
+    bounded offset collect — NO single-partition global window), and
+    the weights are integers so the prefix sum is exact in any
+    association. Output: per-lang selection counts, char mass, and the
+    worst quality admitted."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        distributed_prefix_sum,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        quality_score,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "n_chars", quality_score("text").alias("q")
+    )
+    cum = distributed_prefix_sum(
+        scored,
+        [F.col("q").desc(), F.col("doc_id").asc()],
+        "n_chars",
+        out_col="cum_chars",
+    )
+    sel = cum.filter(F.col("cum_chars") <= CHAR_BUDGET)
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_chars").cast("bigint").alias("char_mass"),
+            F.round(F.min("q"), 2).alias("worst_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "weighted_reservoir": q_weighted_reservoir,
+    "budget_select": q_budget_select,
     "temperature_mix": q_temperature_mix,
     "pack_slices": q_pack_slices,
     "repetition": q_repetition,
@@ -329,7 +372,47 @@ _G3 = (
     "FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)"
 )
 
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (  # noqa: E402
+    DEFAULT_STOPWORDS as _QS_STOPWORDS,
+)
+
+_Q_TOKS = "string_split(text, ' ')"
+_Q_STOPS = ", ".join(f"'{w}'" for w in _QS_STOPWORDS)
+# quality_score's exact SQL twin (same formula as the text_quality
+# oracle; e0 literals force DOUBLE arithmetic in DuckDB)
+_QUALITY_SQL = f"""(
+    (CASE WHEN len({_Q_TOKS}) >= 20 AND len({_Q_TOKS}) <= 5000
+          THEN 1.0e0 ELSE 0.0e0 END) * 0.4e0
+  + (CASE WHEN len(list_filter({_Q_TOKS}, w -> w IN ({_Q_STOPS})))
+               / CAST(len({_Q_TOKS}) AS DOUBLE) >= 0.01e0
+           AND len(list_filter({_Q_TOKS}, w -> w IN ({_Q_STOPS})))
+               / CAST(len({_Q_TOKS}) AS DOUBLE) <= 0.7e0
+          THEN 1.0e0 ELSE 0.0e0 END) * 0.3e0
+  + (CASE WHEN CAST(list_sum(list_transform({_Q_TOKS}, w -> length(w)))
+                    AS DOUBLE) / len({_Q_TOKS}) >= 2.0e0
+           AND CAST(list_sum(list_transform({_Q_TOKS}, w -> length(w)))
+                    AS DOUBLE) / len({_Q_TOKS}) <= 12.0e0
+          THEN 1.0e0 ELSE 0.0e0 END) * 0.3e0
+)"""
+
 ORACLES = {
+    "budget_select": f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars, {_QUALITY_SQL} AS q
+            FROM documents
+        ),
+        c AS (
+            SELECT *, CAST(sum(n_chars) OVER (ORDER BY q DESC, doc_id)
+                           AS BIGINT) AS cum
+            FROM t
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_selected,
+               CAST(sum(n_chars) AS BIGINT) AS char_mass,
+               round(min(q), 2) AS worst_quality
+        FROM c WHERE cum <= {CHAR_BUDGET}
+        GROUP BY lang ORDER BY lang
+    """,
     "weighted_reservoir": """
         WITH keyed AS (
             SELECT doc_id, lang, n_chars,

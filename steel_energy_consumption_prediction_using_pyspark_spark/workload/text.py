@@ -265,6 +265,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'which copy do we keep' decision after transitive dedup:
+    one canonical document per near-dup cluster, chosen by best
+    quality score with a doc_id tiebreak — selected via struct-max
+    (max(struct(q, −doc_id))): a map-side-combinable hash aggregate,
+    no per-cluster window sort (the er_match lesson). Same planted-
+    clone cluster machinery as dedup_clusters, so singleton clusters
+    keep their only doc and clone clusters resolve to the ORIGINAL
+    (clones share the text hence the quality; the id tiebreak picks
+    the pre-augmentation id). Output: per-source representative
+    stats."""
+    d = T(spark, sf_dir, "documents")
+    aug = _with_planted_dups(
+        _with_planted_dups(d, 10, 10_000_000), 10, 20_000_000
+    )
+    pairs = D.ngram_jaccard_pairs(
+        aug, "text", "doc_id", block_col="source", shingle_n=3, threshold=0.03
+    )
+    comp = D.connected_components(
+        pairs, aug.select("doc_id"), id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    scored = aug.select(
+        "doc_id", "source", X.quality_score("text").alias("q")
+    ).join(comp, F.col("doc_id") == F.col("id")).drop("id")
+    best = scored.groupBy("cluster").agg(
+        F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("_nid"))).alias("m"),
+        F.count(F.lit(1)).alias("size"),
+    )
+    reps = best.select(
+        (-F.col("m._nid")).alias("doc_id"),
+        F.col("m.q").alias("rep_q"),
+        "size",
+    )
+    return (
+        reps.join(aug.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum((F.col("size") > 1).cast("long")).alias("n_multi"),
+            F.round(F.avg("rep_q"), 4).alias("avg_rep_quality"),
+            F.sum("doc_id").cast("bigint").alias("rep_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring over the corpus, top-20 (term, doc) pairs:
     tokenize → (doc, term) tf agg → df agg over the tf table (already
@@ -740,6 +786,7 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "cluster_representatives": q_cluster_representatives,
     "tfidf": q_tfidf,
     "stratified_sample": q_stratified_sample,
 }
@@ -751,6 +798,63 @@ _LANG_SCORE = {
     lang: f"len(list_filter({_TOKS}, w -> w IN ({', '.join(repr(m) for m in markers)})))"
     for lang, markers in X.LANG_MARKERS.items()
 }
+
+# shared transitive-closure CTE chain (planted clones -> 3-shingle
+# Jaccard pairs -> symmetrized edges -> recursive min-label reach),
+# used by the dedup_clusters AND cluster_representatives oracles
+_CLUSTERS_CTE = f"""
+        WITH RECURSIVE docs_aug AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, text, source
+            FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+            UNION ALL
+            SELECT doc_id + 20000000, text, source
+            FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+        ),
+        sh AS (
+            SELECT doc_id, source,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
+                           i -> string_split({_NORM}, ' ')[i] || ' ' ||
+                                string_split({_NORM}, ' ')[i+1] || ' ' ||
+                                string_split({_NORM}, ' ')[i+2]
+                       )
+                   ) AS sh
+            FROM docs_aug
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))
+                  / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.03
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id AS id, doc_id AS lbl FROM docs_aug
+            UNION
+            SELECT e.d AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+        ),
+        comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)"""
+
+_QUALITY_FRAG = f"""(
+    (CASE WHEN len({_TOKS}) >= 20 AND len({_TOKS}) <= 5000
+          THEN 1.0e0 ELSE 0.0e0 END) * 0.4e0
+  + (CASE WHEN len(list_filter({_TOKS}, w -> w IN ({_STOP_SQL})))
+               / CAST(len({_TOKS}) AS DOUBLE) >= 0.01e0
+           AND len(list_filter({_TOKS}, w -> w IN ({_STOP_SQL})))
+               / CAST(len({_TOKS}) AS DOUBLE) <= 0.7e0
+          THEN 1.0e0 ELSE 0.0e0 END) * 0.3e0
+  + (CASE WHEN CAST(list_sum(list_transform({_TOKS}, w -> length(w)))
+                    AS DOUBLE) / len({_TOKS}) >= 2.0e0
+           AND CAST(list_sum(list_transform({_TOKS}, w -> length(w)))
+                    AS DOUBLE) / len({_TOKS}) <= 12.0e0
+          THEN 1.0e0 ELSE 0.0e0 END) * 0.3e0
+)"""
 
 ORACLES = {
     "dup_passages": r"""
@@ -1144,44 +1248,7 @@ ORACLES = {
         WHERE len(list_intersect(a.sh, b.sh))
               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.03
     """,
-    "dedup_clusters": f"""
-        WITH RECURSIVE docs_aug AS (
-            SELECT doc_id, text, source FROM documents
-            UNION ALL
-            SELECT doc_id + 10000000, text, source
-            FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
-            UNION ALL
-            SELECT doc_id + 20000000, text, source
-            FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
-        ),
-        sh AS (
-            SELECT doc_id, source,
-                   list_distinct(
-                       list_transform(
-                           range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
-                           i -> string_split({_NORM}, ' ')[i] || ' ' ||
-                                string_split({_NORM}, ' ')[i+1] || ' ' ||
-                                string_split({_NORM}, ' ')[i+2]
-                       )
-                   ) AS sh
-            FROM docs_aug
-        ),
-        pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh))
-                  / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.03
-        ),
-        edges AS (
-            SELECT id_a AS s, id_b AS d FROM pairs
-            UNION SELECT id_b, id_a FROM pairs
-        ),
-        reach AS (
-            SELECT doc_id AS id, doc_id AS lbl FROM docs_aug
-            UNION
-            SELECT e.d AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id
-        ),
-        comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+    "dedup_clusters": _CLUSTERS_CTE + f""",
         sizes AS (
             SELECT cluster, CAST(count(*) AS BIGINT) AS size
             FROM comp GROUP BY cluster
@@ -1268,5 +1335,32 @@ ORACLES["keyword_pagerank"] = (
     + """
     SELECT node AS word, round(r, 6) AS rank FROM it5
     ORDER BY rank DESC, word ASC LIMIT 20
+"""
+)
+
+ORACLES["cluster_representatives"] = (
+    _CLUSTERS_CTE
+    + f""",
+    scored AS (
+        SELECT d.doc_id, d.source, {_QUALITY_FRAG} AS q, c.cluster
+        FROM docs_aug d JOIN comp c ON c.id = d.doc_id
+    ),
+    ranked AS (
+        SELECT cluster, doc_id, q,
+               count(*) OVER (PARTITION BY cluster) AS size,
+               row_number() OVER (
+                   PARTITION BY cluster ORDER BY q DESC, doc_id
+               ) AS rn
+        FROM scored
+    ),
+    best AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN b.size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi,
+           round(avg(b.q), 4) AS avg_rep_quality,
+           CAST(sum(b.doc_id) AS BIGINT) AS rep_id_sum
+    FROM best b JOIN docs_aug d ON d.doc_id = b.doc_id
+    GROUP BY d.source ORDER BY d.source
 """
 )

@@ -8,7 +8,7 @@ tiebreak is fully deterministic; only displayed values are rounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
@@ -146,6 +146,53 @@ def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_probe(index, queries, k=TOP_K, n_probe=4)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    query, the top-5 most-similar corpus vectors with a DIFFERENT
+    label — the high-similarity/wrong-class pairs that make the best
+    negatives (easy random negatives teach nothing). Same broadcast-
+    query scoring shape as knn_bruteforce plus the label-mismatch
+    predicate pushed before ranking; at scale the candidate source is
+    the ANN tier, not the full scan."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+        cosine,
+    )
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            cosine(F.col("qv"), F.col("cv")).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("label").alias("neg_label"),
+            F.round("cs", 4).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
 def q_ann_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approxSimilarityJoin (no SQL
     oracle: MLlib-internal hashing)."""
@@ -216,6 +263,7 @@ QUERIES = {
     "centroids": q_centroids,
     "ann_quantized": q_ann_quantized,
     "knn_bruteforce": q_knn_bruteforce,
+    "hard_negatives": q_hard_negatives,
     "embedding_stats": q_embedding_stats,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
@@ -250,6 +298,24 @@ ORACLES = {
         )
         SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
                CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "hard_negatives": f"""
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   b.label AS neg_label, {_COS} AS cs
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < {N_QUERY} AND b.vec_id >= {N_QUERY}
+             AND a.label <> b.label
+        ), ranked AS (
+            SELECT query_id, neighbor_id, neg_label, cs,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cs DESC, neighbor_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, neg_label,
+               round(cs, 4) AS cos_sim, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= {TOP_K}
     """,
     "embedding_stats": """
