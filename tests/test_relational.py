@@ -436,3 +436,31 @@ def test_zorder_buckets_bound_both_dims(spark):
     assert len(stats) == 16
     for r in stats:
         assert r.spana <= 64 - 1 and r.spanb <= 64 - 1
+
+
+def test_distributed_prefix_sum_matches_global_window(spark):
+    """Range-partitioned prefix sum ≡ single-partition window cumsum
+    for integral weights, on ties-included data and any input
+    partitioning."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        distributed_prefix_sum,
+    )
+
+    rows = [(i, (i * 7) % 5, (i * 13) % 97 + 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, grp long, w long").repartition(17)
+    order = [F.col("grp").asc(), F.col("id").asc()]
+    got = {
+        r.id: r.cum
+        for r in distributed_prefix_sum(df, order, "w", out_col="cum").collect()
+    }
+    wspec = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: r.cum
+        for r in df.select("id", F.sum("w").over(wspec).alias("cum")).collect()
+    }
+    assert got == want
