@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "group_sample",
     "pii_scrub",
     "winnowing",
+    "winnow_pairs",
     "prefix_jaccard",
     "multimodal_meta",
     "multimodal_features",
@@ -268,6 +269,7 @@ def main() -> None:
         "orc_ingest", "jsonl_ingest",               # export caches
         "dedup_clusters", "minhash_lsh",            # persisted shingles/labels
         "prefix_jaccard", "winnowing",              # persisted projections
+        "winnow_pairs",
         "tpch_important_stock", "customer_deciles",  # persisted agg/ranks
         "keyword_pagerank",                          # persisted walk internals
     }

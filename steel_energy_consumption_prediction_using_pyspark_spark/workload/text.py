@@ -217,6 +217,42 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_lang.join(distinct_fps, "lang").orderBy("lang")
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIR MINING from winnowing fingerprints — the
+    inverted-index tier between exact dedup and minhash banding:
+    explode each doc's fingerprint set, equi-join on the fingerprint
+    (only docs sharing a fingerprint ever meet — bucketed by
+    construction, never all-pairs), count shared prints per pair,
+    keep pairs sharing ≥ 2. The winnowing guarantee makes this
+    positional: any shared token run ≥ k+w−1 (= 6) surfaces at least
+    one shared fingerprint, so copied PASSAGES are caught even when
+    whole-document similarity is negligible (the plagiarism-detection
+    shape, vs minhash's whole-set resemblance). Top-20 by shared
+    count with id tiebreaks. Same md5 portability and plan-barrier
+    persist as q_winnowing."""
+    d = T(spark, sf_dir, "documents")
+    fps = X.with_winnow_fingerprints(
+        d.select("doc_id", "text"), "text", k=3, w=4
+    ).drop("text")
+    fps = fps.persist()  # plan barrier — see q_winnowing's comment
+    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    return (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.fp") == F.col("y.fp"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+        .orderBy(F.desc("shared_fps"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (no SQL oracle: seeded xxhash64
     signatures are Spark-internal). Planted exact clones guarantee
@@ -781,6 +817,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "token_histogram": q_token_histogram,
     "winnowing": q_winnowing,
+    "winnow_pairs": q_winnow_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "containment_pairs": q_containment_pairs,
     "minhash_lsh": q_minhash_lsh,
@@ -1197,6 +1234,39 @@ ORACLES = {
         )
         SELECT lang, n_docs, avg_fps, n_distinct_fps, min_fp
         FROM a1 JOIN a2 USING (lang) ORDER BY lang
+    """,
+    "winnow_pairs": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_transform(
+                           range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
+                           i -> string_split({_NORM}, ' ')[i] || ' ' ||
+                                string_split({_NORM}, ' ')[i+1] || ' ' ||
+                                string_split({_NORM}, ' ')[i+2]
+                       ),
+                       s -> md5(s)
+                   ) AS h
+            FROM documents
+        ), f AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(h) - 2, 1)),
+                           i -> list_min(h[i:i+3])
+                       )
+                   ) AS fps
+            FROM g
+        ), ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        p AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared_fps
+            FROM ex x JOIN ex y
+              ON x.fp = y.fp AND x.doc_id < y.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT id_a, id_b, shared_fps
+        FROM p ORDER BY shared_fps DESC, id_a, id_b LIMIT 20
     """,
     "token_histogram": f"""
         WITH t AS (SELECT len({_TOKS}) AS v FROM documents),
