@@ -57,33 +57,65 @@ def duplicate_groups(
 
 # --- MinHash + LSH ----------------------------------------------------------
 
-def _seeded_hasher(seed: int):
-    """Single-arg lambda factory for F.transform.
+MERSENNE61 = (1 << 61) - 1
 
-    CAUTION: PySpark higher-order functions dispatch on the callable's
-    ARITY — a two-parameter lambda is called as (element, array_index),
-    so the `lambda s, seed=seed:` default-arg idiom silently rebinds
-    the seed to the element position and every hash family collapses
-    into one. A closure over a single-parameter lambda is the safe way
-    to parameterize."""
-    return lambda s: F.xxhash64(s, F.lit(seed))
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Driver-side affine hash family for k-permutation MinHash:
+    hash_i(g) = (a_i·h(g) + b_i) mod (2⁶¹−1) over the portable 32-bit
+    gram hash h (see :func:`gram_hash32`). Parameters come from
+    random.Random(seed) — deterministic across runs, machines and
+    engines — and a_i < 2³⁰ keeps a·h + b < 2⁶³ for 32-bit h, so the
+    arithmetic is overflow-free in ANSI long math on both sides.
+    (Round 3: replaced seeded xxhash64, which is Spark-internal and
+    made the whole LSH tier unverifiable by the SQL oracle; an affine
+    family over a shared base hash is the textbook k-permutation
+    construction anyway.)
+
+    HOF arity CAUTION (kept from the xxhash64 version): a
+    two-parameter lambda passed to F.transform is called as
+    (element, array_index) — parameterize with closures, never
+    default args."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, 1 << 30) | 1, rnd.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
+
+
+def gram_hash32(s: Column) -> Column:
+    """Portable 32-bit gram hash: the first 8 hex digits of md5,
+    parsed base-16 — bit-identical in any engine (DuckDB twin:
+    CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT))."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _affine_min(hs: Column, a: int, b: int) -> Column:
+    """min over the gram-hash array under one affine permutation."""
+    return F.coalesce(
+        F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61))
+        ),
+        F.lit(MERSENNE61),
+    )
 
 
 def minhash_signature(
     text: Column | str, num_hashes: int = 32, shingle_n: int = 3
 ) -> Column:
     """k-permutation MinHash over word shingles, all in-place:
-    signature[i] = min over shingles of xxhash64(shingle, seed_i).
-    Empty shingle sets get LONG_MAX sentinels (never collide)."""
-    sh = shingles(text, n=shingle_n)
+    signature[i] = min over shingles of (a_i·h(g) + b_i) mod (2⁶¹−1)
+    with the portable md5-derived gram hash. Empty shingle sets get
+    the modulus as a sentinel (an affine value is < M61, so sentinels
+    only collide with each other). Convenience single-expression form
+    — the gram-hash subtree appears once per permutation and relies on
+    codegen subexpression elimination; the hot path
+    (:func:`minhash_lsh_pairs`) stages it as a named column instead."""
+    hs = F.transform(shingles(text, n=shingle_n), gram_hash32)
     return F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(sh, _seeded_hasher(i))),
-                F.lit(2**63 - 1),
-            )
-            for i in range(num_hashes)
-        ]
+        *[_affine_min(hs, a, b) for a, b in _minhash_params(num_hashes)]
     )
 
 
@@ -137,19 +169,21 @@ def minhash_lsh_pairs(
     # would be empty (ANSI divide-by-zero). Exact-dedup handles them.
     if persist:
         shingled = shingled.persist()
-    sig = shingled.select(
+    # Stage the gram hashes as a NAMED column: 32 affine permutations
+    # all read it, and an inline subtree would re-md5 every shingle per
+    # permutation (the winnowing O(n²) lesson).
+    hashed = shingled.select(
+        "_id", F.transform("_sh", gram_hash32).alias("_hs")
+    )
+    sig = hashed.select(
         "_id",
         F.array(
-            *[
-                F.coalesce(
-                    F.array_min(F.transform("_sh", _seeded_hasher(i))),
-                    F.lit(2**63 - 1),
-                )
-                for i in range(num_hashes)
-            ]
+            *[_affine_min(F.col("_hs"), a, b) for a, b in _minhash_params(num_hashes)]
         ).alias("_sig"),
     )
-    # band hash = xxhash64 over the band's slice of the signature
+    # band key = the band's signature slice itself (comma-joined) —
+    # an exact, engine-portable join key; hashing it again would only
+    # narrow the shuffle rows at the cost of oracle opacity.
     banded = sig.select(
         "_id",
         F.explode(
@@ -157,10 +191,8 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.element_at("_sig", b * r + i + 1).cast("string") for i in range(r)]
-                            )
+                        F.concat_ws(
+                            ",", *[F.element_at("_sig", b * r + i + 1).cast("string") for i in range(r)]
                         ).alias("bhash"),
                     )
                     for b in range(bands)

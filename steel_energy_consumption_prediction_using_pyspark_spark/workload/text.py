@@ -254,9 +254,16 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (no SQL oracle: seeded xxhash64
-    signatures are Spark-internal). Planted exact clones guarantee
-    recall>0; pytest pins that every planted pair is found."""
+    """MinHash-LSH near-dup candidates — FULL SQL oracle since round 3:
+    the signature family is 32 affine permutations (aᵢ·h + bᵢ) mod
+    (2⁶¹−1) over a portable md5-derived 32-bit gram hash
+    (operators/dedup.py::_minhash_params / gram_hash32 — replaced the
+    Spark-internal seeded xxhash64), and band keys are the literal
+    signature slices, so DuckDB re-derives signatures, banding, the
+    bucket join AND the exact-Jaccard verification — the entire LSH
+    tier value-checked end to end (the ann_lsh treatment, applied to
+    dedup). Planted exact clones guarantee recall>0; pytest pins that
+    every planted pair is found."""
     d = _with_planted_dups(T(spark, sf_dir, "documents"))
     pairs = D.minhash_lsh_pairs(
         d, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
@@ -1434,3 +1441,73 @@ ORACLES["cluster_representatives"] = (
     GROUP BY d.source ORDER BY d.source
 """
 )
+
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.dedup import (  # noqa: E402
+    MERSENNE61 as _MH_M61,
+)
+from steel_energy_consumption_prediction_using_pyspark_spark.operators.dedup import (  # noqa: E402
+    _minhash_params,
+)
+
+_MH_SIG_TERMS = ",\n                   ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_M61}))"
+    for a, b in _minhash_params(32)
+)
+_MH_BAND_KEY = " || ',' || ".join(
+    f"CAST(sig[b * 4 + {i}] AS VARCHAR)" for i in range(1, 5)
+)
+
+ORACLES["minhash_lsh"] = f"""
+    WITH docs_aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text
+        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
+                       i -> string_split({_NORM}, ' ')[i] || ' ' ||
+                            string_split({_NORM}, ' ')[i+1] || ' ' ||
+                            string_split({_NORM}, ' ')[i+2]
+                   )
+               ) AS sh
+        FROM docs_aug
+    ),
+    nz AS (SELECT * FROM sh WHERE len(sh) > 0),
+    hashed AS (
+        SELECT doc_id, sh,
+               list_transform(
+                   sh,
+                   g -> CAST(CAST(concat('0x', substr(md5(g), 1, 8))
+                                  AS UBIGINT) AS BIGINT)
+               ) AS hs
+        FROM nz
+    ),
+    sig AS (
+        SELECT doc_id, sh,
+               [{_MH_SIG_TERMS}] AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, sh, b AS band, {_MH_BAND_KEY} AS bkey
+        FROM sig, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    ),
+    ver AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(a.sh, b.sh))
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                   AS j
+        FROM cand c
+        JOIN nz a ON a.doc_id = c.id_a
+        JOIN nz b ON b.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, round(j, 4) AS jaccard FROM ver WHERE j >= 0.5e0
+"""
