@@ -237,6 +237,13 @@ def simhash64(text: Column | str) -> Column:
     one int64. Computed entirely with higher-order functions per row —
     no explode, no shuffle, scales with bytes scanned.
 
+    Token hash (round 3): the 64 bits come from md5's first 16 hex
+    digits as two uint32 halves (lo = digits 1-8, hi = 9-16) instead
+    of xxhash64 — engine-portable, so the simhash query gains a full
+    DuckDB oracle (same md5 trick as gram_hash32/winnowing). The
+    halves stay SEPARATE until the final fold: every intermediate is
+    < 2³², overflow-free under ANSI long arithmetic in both engines.
+
     Packing detail: Spark's shiftleft takes a literal shift amount and
     ANSI long arithmetic overflow-checks, so the 64 sign bits are
     Horner-folded into two uint32 halves (each < 2^32, overflow-free)
@@ -244,9 +251,20 @@ def simhash64(text: Column | str) -> Column:
     toks = F.filter(
         F.array_distinct(tokens(normalize_text(text))), lambda w: F.length(w) > 0
     )
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+            .cast("long")
+            .alias("lo"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+            .cast("long")
+            .alias("hi"),
+        ),
+    )
     # acc: array of 64 signed counts (index i ↔ bit i-1); one zip_with
-    # per reduce step; getbit extracts with a column-valued position.
+    # per reduce step; getbit extracts with a column-valued position
+    # from the half that owns the bit.
     zeros = F.array_repeat(F.lit(0), 64)
     bitsum = F.aggregate(
         hashes,
@@ -255,7 +273,11 @@ def simhash64(text: Column | str) -> Column:
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.getbit(h, b) * 2 - 1,
+                lambda b: F.when(
+                    b < 32, F.getbit(h["lo"], b)
+                ).otherwise(F.getbit(h["hi"], b - 32))
+                * 2
+                - 1,
             ),
             lambda a, bit: a + bit,
         ),

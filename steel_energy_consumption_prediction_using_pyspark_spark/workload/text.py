@@ -1511,3 +1511,63 @@ ORACLES["minhash_lsh"] = f"""
     )
     SELECT id_a, id_b, round(j, 4) AS jaccard FROM ver WHERE j >= 0.5e0
 """
+
+# SimHash oracle: re-derives the md5-halves token hashes, the 64
+# per-bit sign sums, the two uint32 signature halves, and half-wise
+# Hamming (bit_count(xor(lo))+bit_count(xor(hi)) ≡ 64-bit Hamming).
+# The left join keeps zero-token docs with all-zero signatures,
+# matching simhash64's empty-fold result.
+ORACLES["simhash"] = f"""
+    WITH docs_aug AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text, lang
+        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+    ),
+    tk AS (
+        SELECT doc_id, lang,
+               list_filter(list_distinct(string_split({_NORM}, ' ')),
+                           w -> length(w) > 0) AS toks
+        FROM docs_aug
+    ),
+    th AS (SELECT doc_id, lang, unnest(toks) AS t FROM tk),
+    h AS (
+        SELECT doc_id, lang,
+               CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS UBIGINT)
+                    AS BIGINT) AS lo,
+               CAST(CAST(concat('0x', substr(md5(t), 9, 8)) AS UBIGINT)
+                    AS BIGINT) AS hi
+        FROM th
+    ),
+    bits AS (
+        SELECT doc_id, lang, b,
+               CAST(sum(CASE WHEN b < 32 THEN (lo >> b) & 1
+                             ELSE (hi >> (b - 32)) & 1 END) * 2
+                    - count(*) AS BIGINT) AS s
+        FROM h, UNNEST(range(0, 64)) AS r(b)
+        GROUP BY doc_id, lang, b
+    ),
+    sig0 AS (
+        SELECT doc_id, lang,
+               CAST(sum(CASE WHEN s > 0 AND b < 32
+                             THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS slo,
+               CAST(sum(CASE WHEN s > 0 AND b >= 32
+                             THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS shi
+        FROM bits GROUP BY doc_id, lang
+    ),
+    sig AS (
+        SELECT d.doc_id, d.lang,
+               coalesce(s.slo, 0) AS slo, coalesce(s.shi, 0) AS shi
+        FROM docs_aug d LEFT JOIN sig0 s USING (doc_id, lang)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.slo, b.slo))
+                    + bit_count(xor(a.shi, b.shi)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4
+"""
