@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "winnowing",
     "winnow_pairs",
+    "phrase_search",
     "prefix_jaccard",
     "multimodal_meta",
     "multimodal_features",
@@ -269,7 +270,8 @@ def main() -> None:
         "orc_ingest", "jsonl_ingest",               # export caches
         "dedup_clusters", "minhash_lsh",            # persisted shingles/labels
         "prefix_jaccard", "winnowing",              # persisted projections
-        "winnow_pairs",
+        "winnow_pairs", "phrase_search",    # persisted postings
+    "phrase_search",
         "tpch_important_stock", "customer_deciles",  # persisted agg/ranks
         "keyword_pagerank",                          # persisted walk internals
     }

@@ -217,6 +217,66 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_lang.join(distinct_fps, "lang").orderBy("lang")
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval via POSITIONAL posting lists — the IR
+    capability a bag-of-words inverted index can't express: find the
+    corpus' most frequent bigram (deterministic count/tiebreak), then
+    locate every occurrence by joining the two terms' postings on
+    (doc, pos+1 = pos) — adjacency, not co-occurrence. Output: the
+    phrase, how many docs contain it, total occurrences, and docs
+    where it appears more than once. Scale shape: postings shuffle
+    once on the term; the adjacency join only touches the two query
+    terms' lists (term-pruned, never the full index)."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(X.tokens(X.normalize_text(F.col("text")))).alias(
+            "pos", "tok"
+        ),
+    )
+    toks = toks.persist()  # feeds both posting sides of the lookup
+    # Bigram mining stays per-row zip_with (no positional self-join —
+    # the keyword_pagerank rule); the adjacency JOIN below is reserved
+    # for the phrase LOOKUP, where it touches only the query terms'
+    # postings.
+    tkarr = d.select(X.tokens(X.normalize_text(F.col("text"))).alias("w"))
+    n = F.size("w")
+    grams = tkarr.filter(n >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, n - 1),
+                F.slice(F.col("w"), 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g")
+    )
+    bigrams = grams.groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = bigrams.orderBy(
+        F.desc("cnt"), F.asc("w1"), F.asc("w2")
+    ).limit(1)
+    hits = (
+        toks.alias("p1")
+        .join(F.broadcast(top), F.col("p1.tok") == F.col("w1"))
+        .join(
+            toks.alias("p2"),
+            (F.col("p2.doc_id") == F.col("p1.doc_id"))
+            & (F.col("p2.pos") == F.col("p1.pos") + 1)
+            & (F.col("p2.tok") == F.col("w2")),
+        )
+        .select("w1", "w2", F.col("p1.doc_id").alias("doc_id"))
+    )
+    per_doc = hits.groupBy("w1", "w2", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return per_doc.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("occ").cast("bigint").alias("n_occurrences"),
+        F.sum((F.col("occ") > 1).cast("long")).alias("n_docs_repeat"),
+    )
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIR MINING from winnowing fingerprints — the
     inverted-index tier between exact dedup and minhash banding:
@@ -825,6 +885,7 @@ QUERIES = {
     "token_histogram": q_token_histogram,
     "winnowing": q_winnowing,
     "winnow_pairs": q_winnow_pairs,
+    "phrase_search": q_phrase_search,
     "ngram_jaccard": q_ngram_jaccard,
     "containment_pairs": q_containment_pairs,
     "minhash_lsh": q_minhash_lsh,
@@ -1570,4 +1631,39 @@ ORACLES["simhash"] = f"""
           ON a.lang = b.lang AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4
+"""
+
+ORACLES["phrase_search"] = f"""
+    WITH tk AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+        FROM tk, UNNEST(range(1, len(toks) + 1)) AS r(i)
+    ),
+    bigrams AS (
+        SELECT a.tok AS w1, b.tok AS w2, count(*) AS cnt
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT w1, w2 FROM bigrams
+        ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+    ),
+    hits AS (
+        SELECT t.w1, t.w2, p1.doc_id
+        FROM pos p1 JOIN top t ON p1.tok = t.w1
+        JOIN pos p2 ON p2.doc_id = p1.doc_id
+                   AND p2.pos = p1.pos + 1 AND p2.tok = t.w2
+    ),
+    per_doc AS (
+        SELECT w1, w2, doc_id, count(*) AS occ FROM hits GROUP BY 1, 2, 3
+    )
+    SELECT w1, w2,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(occ) AS BIGINT) AS n_occurrences,
+           CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_repeat
+    FROM per_doc GROUP BY w1, w2
 """
