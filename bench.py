@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "multimodal_meta",
     "multimodal_features",
     "image_decode",
+    "audio_features",
     "frame_sample",
     "image_resize",
     "centroids",

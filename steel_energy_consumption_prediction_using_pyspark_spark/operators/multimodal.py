@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -432,6 +433,92 @@ def decode_image_pixels(
             )
 
     return df.mapInPandas(kernel, PIXEL_SCHEMA)
+
+
+WAVE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def synthesize_wave(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 'audio' synthesis: each document's utf-8 bytes
+    become a little-endian PCM16 payload (consecutive byte pairs →
+    one signed 16-bit sample; odd tails zero-padded) with every ODD
+    sample's high byte XOR'd with 0x80 — pure-ASCII text alone never
+    sets the sign bit, so the flip guarantees mixed-sign waveforms
+    and real zero-crossing behavior downstream. The audio counterpart
+    of synthesize_images: engine-independent construction upstream, a
+    genuine sample-format decode downstream."""
+    df = df.select(id_col, text_col)  # pruning barrier projection
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                raw = bytearray(str(text).encode("utf-8"))
+                if len(raw) % 2:
+                    raw += b"\x00"
+                for off in range(3, len(raw), 4):  # odd samples' high byte
+                    raw[off] ^= 0x80
+                ids.append(int(doc))
+                payloads.append(bytes(raw))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "payload": payloads}
+            )
+
+    return df.mapInPandas(
+        kernel,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def decode_wave_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL PCM16 decode + the classic waveform features: sample
+    count, RMS, absolute peak, and zero-crossing count (sign changes
+    between consecutive samples with sign(x≥0)=+1 — the simple
+    convention, identical in SQL). numpy int16 little-endian parse
+    per payload, Arrow-batched; every feature is integer/double
+    arithmetic on the decoded samples, so the whole decode path is
+    SQL-oracle-checkable (workload `audio_features`)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rmss, peaks, zcs = [], [], [], [], []
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                s = np.frombuffer(bytes(payload), dtype="<i2").astype("int64")
+                ids.append(int(doc))
+                ns.append(int(s.size))
+                if s.size == 0:
+                    rmss.append(0.0)
+                    peaks.append(0)
+                    zcs.append(0)
+                    continue
+                rmss.append(float(np.sqrt(np.mean((s * s).astype("float64")))))
+                peaks.append(int(np.abs(s).max()))
+                signs = np.where(s >= 0, 1, -1)
+                zcs.append(int((signs[1:] != signs[:-1]).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                    "zero_crossings": pd.Series(zcs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(kernel, WAVE_SCHEMA)
 
 
 SYNTH_WIDTH = 16  # synthetic raster width: 16 px × 3 ch = 48 bytes/row

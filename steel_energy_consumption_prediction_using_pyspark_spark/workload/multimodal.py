@@ -14,11 +14,13 @@ from pyspark.sql import functions as F
 from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimodal import (
     decode_image_meta,
     decode_image_pixels,
+    decode_wave_features,
     extract_features,
     pack_blob,
     resize_image_meta,
     sample_frames,
     synthesize_images,
+    synthesize_wave,
 )
 from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
     session_window_agg,
@@ -144,16 +146,108 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio tier, end-to-end real: documents synthesized into
+    little-endian PCM16 payloads (odd samples' high byte XOR 0x80 so
+    ASCII text yields mixed-sign waveforms), then genuinely decoded
+    and featurized — sample count, RMS, absolute peak, zero-crossing
+    count — in the Arrow-batched kernel. Every feature is exact
+    integer/double arithmetic on the decoded samples, so the DuckDB
+    oracle re-derives the samples from character codes and reproduces
+    the numbers — the audio analogue of image_decode's raster-md5
+    proof."""
+    d = T(spark, sf_dir, "documents")
+    waves = decode_wave_features(synthesize_wave(d))
+    return (
+        waves.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_samples").cast("bigint").alias("total_samples"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.max("peak").alias("max_peak"),
+            F.sum("zero_crossings").cast("bigint").alias("total_crossings"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "image_decode": q_image_decode,
+    "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
     "image_resize": q_image_resize,
     "session_window": q_session_window,
 }
 
 ORACLES = {
+    # PCM16 samples re-derived from character codes: sample i (1-based)
+    # = ascii(char 2i−1) + 256·hi, hi = ascii(char 2i) (0 past the end
+    # — the zero pad), XOR 128 on even-numbered samples (byte offsets
+    # 3, 7, … — 0-based odd samples); signed wrap at 32768. Features
+    # are exact integer/double arithmetic — RMS sums of squared int16
+    # stay < 2^53, so even the float mean is EXACT in both engines.
+    "audio_features": """
+        WITH d AS (
+            SELECT doc_id, source, text,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+        ),
+        samples AS (
+            SELECT doc_id, source, i,
+                   ascii(substring(text, CAST(2*i - 1 AS INT), 1)) AS lo,
+                   CASE WHEN nb >= 2*i
+                        THEN ascii(substring(text, CAST(2*i AS INT), 1))
+                        ELSE 0 END AS hi
+            FROM d, UNNEST(range(1, CAST((nb + 1) // 2 AS BIGINT) + 1)) AS r(i)
+            WHERE nb > 0
+        ),
+        vals AS (
+            SELECT doc_id, source, i,
+                   lo + 256 * (CASE WHEN i % 2 = 0 THEN xor(hi, 128)
+                                    ELSE hi END) AS v
+            FROM samples
+        ),
+        signed_s AS (
+            SELECT doc_id, source, i,
+                   CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+            FROM vals
+        ),
+        marked AS (
+            SELECT doc_id, source, s,
+                   CASE WHEN s >= 0 THEN 1 ELSE -1 END AS sgn,
+                   lag(CASE WHEN s >= 0 THEN 1 ELSE -1 END)
+                       OVER (PARTITION BY doc_id ORDER BY i) AS prev_sgn
+            FROM signed_s
+        ),
+        per_doc0 AS (
+            SELECT doc_id, source,
+                   count(*) AS n_samples,
+                   sqrt(avg(CAST(s * s AS DOUBLE))) AS rms,
+                   max(abs(s)) AS peak,
+                   sum(CASE WHEN prev_sgn IS NOT NULL AND sgn <> prev_sgn
+                            THEN 1 ELSE 0 END) AS zc
+            FROM marked GROUP BY doc_id, source
+        ),
+        per_doc AS (
+            -- empty docs decode to zero samples (rms 0, peak 0, zc 0)
+            SELECT d.doc_id, d.source,
+                   coalesce(p.n_samples, 0) AS n_samples,
+                   coalesce(p.rms, 0e0) AS rms,
+                   coalesce(p.peak, 0) AS peak,
+                   coalesce(p.zc, 0) AS zc
+            FROM d LEFT JOIN per_doc0 p USING (doc_id, source)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_samples) AS BIGINT) AS total_samples,
+               round(avg(rms), 4) AS avg_rms,
+               CAST(max(peak) AS INTEGER) AS max_peak,
+               CAST(sum(zc) AS BIGINT) AS total_crossings
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
     # raster = text || ' '×pad by construction (synthesize_images), so
     # md5 over the VARCHAR recomputes the engine's md5 over the decoded
     # binary raster — pure-ASCII fixture assumption as frame_sample.

@@ -192,3 +192,28 @@ def test_map_in_arrow_features_equal_pandas_tier(spark, blobs):
     a = {r.doc_id: r.feature for r in extract_features(blobs).collect()}
     b = {r.doc_id: r.feature for r in extract_features_arrow(blobs).collect()}
     assert a == b
+
+
+def test_wave_synthesis_and_decode_hand_pinned(spark):
+    """PCM16 round trip byte-pinned: 'AB' → sample 0x4241 = 16961;
+    'ABCD' → samples [16961, 17475^(0x80<<8)=0x4443 xor high bit];
+    odd-length pads a zero byte; empty text → zero samples."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimodal import (
+        decode_wave_features,
+        synthesize_wave,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "AB"), (1, "ABCD"), (2, "A"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decode_wave_features(synthesize_wave(docs)).collect()}
+    # "AB": one sample 0x4241 = 16961 (positive), no crossings
+    assert (out[0].n_samples, out[0].peak, out[0].zero_crossings) == (1, 16961, 0)
+    # "ABCD": sample0 = 16961; sample1 high byte 0x44^0x80=0xC4 →
+    # 0xC443 = 50243 - 65536 = -15293 → one sign change
+    assert (out[1].n_samples, out[1].peak, out[1].zero_crossings) == (2, 16961, 1)
+    assert round(out[1].rms, 4) == round((16961**2 / 2 + 15293**2 / 2) ** 0.5, 4)
+    # "A" pads to (0x41, 0x00) → sample 65
+    assert (out[2].n_samples, out[2].peak) == (1, 65)
+    assert (out[3].n_samples, out[3].rms, out[3].peak) == (0, 0.0, 0)
