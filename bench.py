@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "image_decode",
     "audio_features",
+    "video_decode",
     "frame_sample",
     "image_resize",
     "centroids",

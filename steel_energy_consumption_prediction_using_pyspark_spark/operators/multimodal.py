@@ -435,6 +435,118 @@ def decode_image_pixels(
     return df.mapInPandas(kernel, PIXEL_SCHEMA)
 
 
+SYNTH_WIDTH = 16  # synthetic raster width: 16 px × 3 ch = 48 bytes/row
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+FRAME_ROWS = 2  # synthetic video frame: 16 px × 2 rows × 3 ch = 96 bytes
+
+
+def synthesize_video(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = SYNTH_WIDTH,
+    rows: int = FRAME_ROWS,
+) -> DataFrame:
+    """Deterministic 'video' synthesis: the document's bytes cut into
+    fixed-size chunks (width×rows×3 = 96 bytes), each chunk
+    space-padded and encoded as ONE PPM frame, frames concatenated
+    into a single payload — a decodable multi-frame container built
+    the same engine-independent way as synthesize_images."""
+    import numpy as np
+
+    df = df.select(id_col, text_col)  # pruning barrier projection
+    chunk = width * rows * 3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, nframes = [], [], []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                n = max(1, -(-len(raw) // chunk))
+                raw = raw + b" " * (n * chunk - len(raw))
+                frames = []
+                for i in range(n):
+                    px = np.frombuffer(
+                        raw[i * chunk : (i + 1) * chunk], np.uint8
+                    ).reshape(rows, width, 3)
+                    frames.append(encode_ppm(px))
+                ids.append(int(doc))
+                payloads.append(b"".join(frames))
+                nframes.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "n_frames": pd.Series(nframes, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        kernel,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+                StructField("n_frames", IntegerType()),
+            ]
+        ),
+    )
+
+
+def decode_video_frames(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL multi-frame decode: scan the payload for consecutive PPM
+    containers, decode each with the same pure-numpy parser as the
+    image tier, emit one row per frame with its raster — the 1→N
+    batch-shape change of true video decoding (mapInPandas, output
+    rows not aligned with input rows), with an actual format parse
+    where ffmpeg would sit."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, rasters = [], [], [], [], []
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload)
+                pos, fidx = 0, 0
+                while pos < len(buf):
+                    if buf[pos : pos + 2] != b"P6":
+                        raise ValueError(
+                            f"expected PPM frame at offset {pos}"
+                        )
+                    arr = decode_pixels(buf[pos:])
+                    h, w, _ = arr.shape
+                    header_len = len(b"P6\n%d %d\n255\n" % (w, h))
+                    pos += header_len + w * h * 3
+                    ids.append(int(doc))
+                    idxs.append(fidx)
+                    ws.append(w)
+                    hs.append(h)
+                    rasters.append(arr.tobytes())
+                    fidx += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "pixels": rasters,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, VIDEO_FRAME_SCHEMA)
+
+
 WAVE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -519,9 +631,6 @@ def decode_wave_features(
             )
 
     return df.mapInPandas(kernel, WAVE_SCHEMA)
-
-
-SYNTH_WIDTH = 16  # synthetic raster width: 16 px × 3 ch = 48 bytes/row
 
 
 def synthesize_images(

@@ -14,12 +14,14 @@ from pyspark.sql import functions as F
 from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimodal import (
     decode_image_meta,
     decode_image_pixels,
+    decode_video_frames,
     decode_wave_features,
     extract_features,
     pack_blob,
     resize_image_meta,
     sample_frames,
     synthesize_images,
+    synthesize_video,
     synthesize_wave,
 )
 from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
@@ -172,7 +174,33 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video tier, end-to-end real: documents cut into 96-byte
+    chunks, each chunk a PPM frame, frames concatenated into one
+    payload — then the whole container genuinely re-parsed frame by
+    frame (operators/multimodal.py::decode_video_frames, the 1→N
+    decode explosion with an actual format parse). The digest hashes
+    every DECODED frame raster; the oracle re-derives each frame's
+    bytes as text-slice‖padding and reproduces the md5s — proving
+    frame boundaries, ordering, and pixel content byte-exactly."""
+    d = T(spark, sf_dir, "documents")
+    frames = decode_video_frames(synthesize_video(d))
+    joined = frames.join(d.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.count_distinct("doc_id").alias("n_videos"),
+            F.max("frame_idx").alias("max_frame_idx"),
+            F.count_distinct(F.md5("pixels")).alias("n_uniq_frames"),
+            F.sum(F.octet_length("pixels")).cast("bigint").alias("raster_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "video_decode": q_video_decode,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "image_decode": q_image_decode,
@@ -183,6 +211,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    # each frame's raster = 96-byte text slice ‖ space padding (the
+    # last frame pads; frame count = ceil(nb/96), min 1) — md5 over
+    # the VARCHAR slice reproduces the engine's md5 over the decoded
+    # frame bytes (pure-ASCII fixture, as image_decode/frame_sample)
+    "video_decode": """
+        WITH d AS (
+            SELECT doc_id, source, text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nb
+            FROM documents
+        ),
+        fr AS (
+            SELECT doc_id, source, nb, CAST(i AS INTEGER) AS frame_idx,
+                   substring(text, CAST(i * 96 + 1 AS INT), 96)
+                   || repeat(' ', CAST(least(96,
+                          greatest(0, (i + 1) * 96 - nb)) AS INT)) AS raster
+            FROM d,
+                 UNNEST(range(0, greatest(1, (nb + 95) // 96))) AS r(i)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+               CAST(max(frame_idx) AS INTEGER) AS max_frame_idx,
+               CAST(count(DISTINCT md5(raster)) AS BIGINT) AS n_uniq_frames,
+               CAST(count(*) * 96 AS BIGINT) AS raster_bytes
+        FROM fr GROUP BY source ORDER BY source
+    """,
     # PCM16 samples re-derived from character codes: sample i (1-based)
     # = ascii(char 2i−1) + 256·hi, hi = ascii(char 2i) (0 past the end
     # — the zero pad), XOR 128 on even-numbered samples (byte offsets

@@ -217,3 +217,25 @@ def test_wave_synthesis_and_decode_hand_pinned(spark):
     # "A" pads to (0x41, 0x00) → sample 65
     assert (out[2].n_samples, out[2].peak) == (1, 65)
     assert (out[3].n_samples, out[3].rms, out[3].peak) == (0, 0.0, 0)
+
+
+def test_video_synthesis_and_frame_decode(spark):
+    """Multi-frame container round trip: 200 bytes → 3 PPM frames
+    (96+96+8-pad); frames decode back to the exact text slices."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimodal import (
+        decode_video_frames,
+        synthesize_video,
+    )
+
+    text = "".join(chr(65 + i % 26) for i in range(200))
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    out = sorted(
+        decode_video_frames(synthesize_video(docs)).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in out] == [0, 1, 2]
+    assert all((r.width, r.height) == (16, 2) for r in out)
+    raw = text.encode()
+    assert bytes(out[0].pixels) == raw[0:96]
+    assert bytes(out[1].pixels) == raw[96:192]
+    assert bytes(out[2].pixels) == raw[192:200] + b" " * 88
