@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "join_dims",
     "join_fact",
     "join_anti",
+    "join_outer",
     "join_semi",
     "shipping_priority",
     "regional_volume",
@@ -115,6 +116,8 @@ BENCH_QUERIES = [
     "argmax",
     "sample_hash",
     "gapfill",
+    "growth_rates",
+    "cep_pattern",
     "posexplode",
     "interval_math",
     "sessionize",

@@ -396,6 +396,112 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_count(active, "c_mktsegment", name="n_big_spenders").orderBy("c_mktsegment")
 
 
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with null-side accounting — the reconciliation
+    join shape (all customers ⟗ all recent-order buyers): rows split
+    into matched / customer-only / order-only classes via null probes,
+    then per-class counts and value mass. Completes the join-type
+    surface (inner/semi/anti/broadcast/asof/range + outer); the
+    coalesce-key discipline after a full outer is the classic bug
+    source the oracle pins."""
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("spend"),
+        )
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    cls = (
+        F.when(F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(), "matched")
+        .when(F.col("c_custkey").isNotNull(), "customer_only")
+        .otherwise("order_only")
+    )
+    return (
+        j.select(
+            cls.alias("cls"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("spend", F.lit(0.0)).alias("spend"),
+            F.coalesce("c_acctbal", F.lit(0.0)).alias("bal"),
+        )
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_orders").cast("bigint").alias("orders"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+        .orderBy("cls")
+    )
+
+
+def q_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year growth of order revenue —
+    the BI staple: monthly aggregate (one shuffle), then lag(1) and
+    lag(12) over the BOUNDED month grid (the day-grid window
+    argument). Percent changes on the floor recipe; first months emit
+    NULL growth, preserved by both engines."""
+    o = T(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("month")
+    flr2 = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    mom = (F.col("rev") - F.lag("rev", 1).over(w)) / F.lag("rev", 1).over(w) * 100
+    yoy = (F.col("rev") - F.lag("rev", 12).over(w)) / F.lag("rev", 12).over(w) * 100
+    return monthly.select(
+        "month",
+        flr2(F.col("rev")).alias("revenue"),
+        flr2(mom).alias("mom_pct"),
+        flr2(yoy).alias("yoy_pct"),
+    ).orderBy("month")
+
+
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern over per-user event sequences
+    — MATCH_RECOGNIZE semantics expressed with HOFs: collect each
+    user's ordered (type, ts) sequence once, then detect 'a purchase
+    preceded by ≥3 clicks since the previous purchase' entirely
+    inside the array (aggregate with a (clicks_since, hits) state
+    machine — one pass, no window self-joins, no explode). Output:
+    users with ≥1 qualifying purchase, their hit counts, corpus
+    totals. The oracle replays the same state machine relationally
+    (running click counts between purchases via window partitions)."""
+    e = T(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    # state: struct(clicks bigint, hits bigint)
+    init = F.struct(
+        F.lit(0).cast("long").alias("clicks"), F.lit(0).cast("long").alias("hits")
+    )
+    step = lambda acc, ev: F.when(  # noqa: E731
+        ev["event_type"] == "click",
+        F.struct((acc["clicks"] + 1).alias("clicks"), acc["hits"].alias("hits")),
+    ).when(
+        ev["event_type"] == "purchase",
+        F.struct(
+            F.lit(0).cast("long").alias("clicks"),
+            (acc["hits"] + (acc["clicks"] >= 3).cast("long")).alias("hits"),
+        ),
+    ).otherwise(acc)
+    hits = seqs.select(
+        "user_id", F.aggregate("seq", init, step)["hits"].alias("hits")
+    )
+    qualified = hits.filter(F.col("hits") > 0)
+    return qualified.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("hits").cast("bigint").alias("n_patterns"),
+        F.min("user_id").alias("first_user"),
+        F.max("user_id").alias("last_user"),
+    )
+
+
 # --- classic multi-join analytics (TPC-H shapes on the fixtures) ------------
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1574,6 +1680,9 @@ QUERIES = {
     "join_dims": q_join_dims,
     "join_fact": q_join_fact,
     "join_anti": q_join_anti,
+    "join_outer": q_join_outer,
+    "growth_rates": q_growth_rates,
+    "cep_pattern": q_cep_pattern,
     "join_semi": q_join_semi,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
@@ -1666,6 +1775,82 @@ ORACLES = {
                CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_div3
         FROM x GROUP BY event_type ORDER BY event_type
+    """,
+    "join_outer": """
+        WITH agg AS (
+            SELECT o_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(o_totalprice) AS spend
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_custkey
+        ),
+        j AS (
+            SELECT c.c_custkey, c.c_acctbal, a.o_custkey, a.n_orders, a.spend
+            FROM customer c FULL OUTER JOIN agg a ON c.c_custkey = a.o_custkey
+        )
+        SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+                         THEN 'matched'
+                    WHEN c_custkey IS NOT NULL THEN 'customer_only'
+                    ELSE 'order_only' END AS cls,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS orders,
+               round(sum(coalesce(spend, 0e0)), 2) AS total_spend,
+               round(sum(coalesce(c_acctbal, 0e0)), 2) AS total_bal
+        FROM j GROUP BY cls ORDER BY cls
+    """,
+    "growth_rates": """
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT month,
+               floor(rev * 100 + 0.5e0) / 100 AS revenue,
+               floor((rev - lag(rev, 1) OVER (ORDER BY month))
+                     / lag(rev, 1) OVER (ORDER BY month) * 100 * 100
+                     + 0.5e0) / 100 AS mom_pct,
+               floor((rev - lag(rev, 12) OVER (ORDER BY month))
+                     / lag(rev, 12) OVER (ORDER BY month) * 100 * 100
+                     + 0.5e0) / 100 AS yoy_pct
+        FROM m ORDER BY month
+    """,
+    "cep_pattern": """
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS seg_after
+            FROM events
+        ),
+        segs AS (
+            -- segment id BEFORE each purchase: purchases close the
+            -- segment they sit in, so subtract their own contribution
+            SELECT user_id, ts, event_id, event_type,
+                   seg_after - CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END AS seg
+            FROM ordered
+        ),
+        clicks_per_seg AS (
+            SELECT user_id, seg,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS n_clicks,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS has_purchase
+            FROM segs GROUP BY user_id, seg
+        ),
+        per_user AS (
+            SELECT user_id,
+                   sum(CASE WHEN has_purchase > 0 AND n_clicks >= 3
+                            THEN 1 ELSE 0 END) AS hits
+            FROM clicks_per_seg GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(hits) AS BIGINT) AS n_patterns,
+               min(user_id) AS first_user,
+               max(user_id) AS last_user
+        FROM per_user WHERE hits > 0
     """,
     "stream_enrich": """
         SELECT c_mktsegment,
