@@ -306,6 +306,7 @@ def main() -> None:
         "window_running", "cube", "tpch_market_share", "tpch_profit",
         "fingerprint_dedup", "prefix_jaccard", "knn_bruteforce", "ann_ivf",
         "tfidf", "pagerank", "bfs_hops", "sessionize",
+        "image_decode", "er_match",
     ]
     summary = {
         "metric": "workload_suite_seconds",
