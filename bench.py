@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "er_quality",
     "salted_join",
     "cohort_retention",
+    "abandoned_carts",
+    "order_gaps",
     "ewma_value",
     "survival_curve",
     "streaks",

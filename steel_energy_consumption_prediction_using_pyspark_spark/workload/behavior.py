@@ -657,7 +657,70 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_abandoned_carts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks NOT followed by a purchase within 30 minutes — the
+    temporal NOT-EXISTS complement of the stream_join funnel: a
+    left-anti join whose condition is an equi-key PLUS a time-range
+    conjunct. Catalyst keeps the user_id equi-part as the shuffle key
+    and evaluates the range residually, so abandonment detection costs
+    one co-partitioned join, no per-event window scan. Per-user
+    abandonment summary of the top-15 most-abandoning users."""
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    cond = (
+        (clicks.user_id == buys.b_user)
+        & (buys.b_ts > clicks.c_ts)
+        & (buys.b_ts <= clicks.c_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    abandoned = clicks.join(buys, cond, "left_anti")
+    per_user = abandoned.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_abandoned")
+    )
+    return per_user.orderBy(F.desc("n_abandoned"), F.asc("user_id")).limit(15)
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence: the distribution of day gaps between a
+    customer's consecutive orders — lag over (customer, date) then a
+    bounded gap histogram (7-day buckets, capped at 10). The
+    repeat-purchase rhythm metric behind replenishment and churn
+    models; one shuffle on the customer key, everything else
+    map-side."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                F.to_date("o_orderdate"),
+                F.lag(F.to_date("o_orderdate"), 1).over(w),
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    bucket = F.least(F.floor(F.col("gap_days") / 7), F.lit(10)).cast("int")
+    return (
+        gaps.select(bucket.alias("gap_weeks"), "gap_days")
+        .groupBy("gap_weeks")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_days"),
+            F.max("gap_days").alias("max_days"),
+        )
+        .orderBy("gap_weeks")
+    )
+
+
 QUERIES = {
+    "abandoned_carts": q_abandoned_carts,
+    "order_gaps": q_order_gaps,
     "markov_transitions": q_markov_transitions,
     "trajectory_similarity": q_trajectory_similarity,
     "rfm_segments": q_rfm_segments,
@@ -679,6 +742,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "abandoned_carts": """
+        WITH clicks AS (
+            SELECT user_id, ts AS c_ts, event_id AS c_id
+            FROM events WHERE event_type = 'click'
+        ),
+        abandoned AS (
+            SELECT c.user_id FROM clicks c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events b
+                WHERE b.event_type = 'purchase'
+                  AND b.user_id = c.user_id
+                  AND b.ts > c.c_ts
+                  AND b.ts <= c.c_ts + INTERVAL 30 MINUTE
+            )
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_abandoned
+        FROM abandoned GROUP BY user_id
+        ORDER BY n_abandoned DESC, user_id ASC LIMIT 15
+    """,
+    "order_gaps": """
+        WITH g AS (
+            SELECT o_custkey,
+                   datediff('day',
+                            lag(CAST(o_orderdate AS DATE), 1) OVER (
+                                PARTITION BY o_custkey
+                                ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                            CAST(o_orderdate AS DATE)) AS gap_days
+            FROM orders
+        )
+        SELECT CAST(least(gap_days // 7, 10) AS INTEGER) AS gap_weeks,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(min(gap_days) AS INTEGER) AS min_days,
+               CAST(max(gap_days) AS INTEGER) AS max_days
+        FROM g WHERE gap_days IS NOT NULL
+        GROUP BY gap_weeks ORDER BY gap_weeks
+    """,
     "attribution": """
         WITH pur AS (
             SELECT user_id, ts AS pts, event_id AS pid
