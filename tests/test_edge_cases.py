@@ -102,3 +102,64 @@ def test_salted_agg_empty(spark):
 def test_lang_guess_empty(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="")], DOC_SCHEMA)
     assert docs.select(X.lang_guess("text").alias("g")).collect()[0].g == "und"
+
+
+def test_gram_hash32_matches_hashlib(spark):
+    """The portable gram hash is exactly int(md5(g)[:8], 16) — pinned
+    against hashlib so neither engine can drift."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.dedup import (
+        gram_hash32,
+    )
+
+    df = spark.createDataFrame([("hello world",), ("",)], "g string")
+    got = [r.h for r in df.select(gram_hash32(F.col("g")).alias("h")).collect()]
+    want = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in ("hello world", "")]
+    assert got == want
+
+
+def test_minhash_params_deterministic_and_bounded():
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.dedup import (
+        _minhash_params,
+    )
+
+    a = _minhash_params(32)
+    b = _minhash_params(32)
+    assert a == b and len(a) == 32
+    for ai, bi in a:
+        assert 1 <= ai < (1 << 30) and ai % 2 == 1
+        assert 0 <= bi < (1 << 31)
+    # overflow-free bound: max a·h + b stays under 2^63
+    assert ((1 << 30) - 1) * ((1 << 32) - 1) + ((1 << 31) - 1) < (1 << 63)
+
+
+def test_ppm_rejects_wide_maxval():
+    import numpy as np
+    import pytest
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimodal import (
+        decode_pixels,
+    )
+
+    px = np.zeros((1, 1, 3), dtype=np.uint8)
+    payload = b"P6\n1 1\n65535\n" + px.tobytes() * 2
+    with pytest.raises(ValueError):
+        decode_pixels(payload)
+
+
+def test_bmp_rejects_compressed():
+    import struct
+
+    import pytest
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.multimodal import (
+        decode_pixels,
+    )
+
+    header = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 1, 0, 0, 0, 0, 0)  # BI_RLE8
+    with pytest.raises(ValueError):
+        decode_pixels(header + info)
