@@ -258,6 +258,106 @@ def distributed_ntile(
     )
 
 
+def distributed_prefix_agg(
+    df: DataFrame,
+    order: Sequence[Column],
+    specs: Sequence[tuple[str, str, str]],
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running aggregates ``fn(col) OVER (ORDER BY
+    order... ROWS UNBOUNDED PRECEDING)`` for several columns at once,
+    WITHOUT the single-partition global window (Spark's "Moving all
+    data to a single partition" — one task holding every row, the
+    scale-killer this module exists to avoid).
+
+    ``specs`` is a sequence of ``(col, fn, out_col)`` with ``fn`` one
+    of ``sum`` / ``max`` / ``min``. Shape (same as
+    :func:`distributed_ntile`): range-repartition on the sort key so
+    partition i holds a contiguous ordered key range; ONE
+    groupBy(partition_id) pass computes every spec's per-partition
+    total (a #partitions-row driver collect — bounded metadata, not
+    data); partition i's *offset* is the combine of partitions 0..i−1's
+    totals (running sum for ``sum``, running extreme for
+    ``max``/``min``); the local running aggregate is a parallel
+    per-partition window; the global prefix value is
+    local ⊕ offset (``+`` for sum with null→0; null-skipping
+    ``greatest``/``least`` for the extremes, so an empty prefix is
+    NULL exactly like the window function).
+
+    ``exclusive=True`` uses the ``ROWS BETWEEN UNBOUNDED PRECEDING AND
+    1 PRECEDING`` frame (running aggregate over strictly-earlier rows;
+    first global row → NULL for extremes), the frame skyline-style
+    frontier scans need.
+
+    Use INTEGRAL weights for ``sum`` cross-engine exactness: the
+    per-partition totals are added driver-side in partition order,
+    which for floats is a different association than a sequential
+    scan. ``max``/``min`` are associative-exact for every dtype.
+    Cost: one range shuffle + one bounded collect; every stage
+    parallel."""
+    order = list(order)
+    specs = [tuple(s) for s in specs]
+    for _c, fn, _o in specs:
+        if fn not in ("sum", "max", "min"):
+            raise ValueError(f"unsupported prefix fn: {fn!r}")
+    parted = df.repartitionByRange(
+        *( [num_partitions] if num_partitions else [] ), *order
+    ).withColumn("_pid", F.spark_partition_id())
+    parted = parted.persist()
+    agg_fn = {"sum": F.sum, "max": F.max, "min": F.min}
+    rows = sorted(
+        (r["_pid"], tuple(r[f"_a{i}"] for i in range(len(specs))))
+        for r in parted.groupBy("_pid")
+        .agg(*[agg_fn[fn](c).alias(f"_a{i}") for i, (c, fn, _) in enumerate(specs)])
+        .collect()
+    )
+    # Per-spec offset per partition: combine of all PRIOR partitions'
+    # totals (None when no prior partition contributes).
+    offsets: list[dict[int, object]] = [{} for _ in specs]
+    accs: list[object] = [None] * len(specs)
+    for pid, totals in rows:
+        for i, (_c, fn, _o) in enumerate(specs):
+            offsets[i][pid] = accs[i]
+            t = totals[i]
+            if t is None:
+                continue
+            if accs[i] is None:
+                accs[i] = t if fn != "sum" else t
+            elif fn == "sum":
+                accs[i] = accs[i] + t
+            elif fn == "max":
+                accs[i] = max(accs[i], t)
+            else:
+                accs[i] = min(accs[i], t)
+    lo, hi = Window.unboundedPreceding, (-1 if exclusive else Window.currentRow)
+    w = Window.partitionBy("_pid").orderBy(*order).rowsBetween(lo, hi)
+    outs: list[Column] = []
+    for i, (c, fn, out_col) in enumerate(specs):
+        pairs = [
+            x
+            for pid, off in offsets[i].items()
+            if off is not None
+            for x in (F.lit(pid), F.lit(off))
+        ]
+        off_expr = F.create_map(*pairs)[F.col("_pid")] if pairs else F.lit(None)
+        local = agg_fn[fn](c).over(w)
+        if fn == "sum":
+            local = local.cast("long")
+            val = F.when(
+                local.isNull() & off_expr.cast("long").isNull(), F.lit(None)
+            ).otherwise(
+                F.coalesce(local, F.lit(0).cast("long"))
+                + F.coalesce(off_expr.cast("long"), F.lit(0).cast("long"))
+            )
+        elif fn == "max":
+            val = F.greatest(local, off_expr)  # null-skipping combine
+        else:
+            val = F.least(local, off_expr)
+        outs.append(val.alias(out_col))
+    return parted.select(*df.columns, *outs)
+
+
 def distributed_prefix_sum(
     df: DataFrame,
     order: Sequence[Column],
@@ -266,46 +366,15 @@ def distributed_prefix_sum(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact global running ``sum(weight) OVER (ORDER BY order...)``
-    without the single-partition global window — the same
-    range-partition + bounded-offset-collect shape as
-    :func:`distributed_ntile`, generalized from row counts to a weight
-    column: partition i's offset is the total weight of partitions
-    0..i−1 (a #partitions-row collect — metadata, not data), the local
-    running sum is a parallel per-partition window, and the global
-    prefix sum is their sum.
-
-    Use INTEGRAL weights for cross-engine exactness: the per-partition
-    totals are added driver-side in partition order, which for floats
-    is a different association than a sequential scan. Token/byte
-    budgets — the canonical use (see workload `budget_select`) — are
-    integers, where every association is exact."""
-    order = list(order)
-    parted = df.repartitionByRange(
-        *( [num_partitions] if num_partitions else [] ), *order
-    ).withColumn("_pid", F.spark_partition_id())
-    parted = parted.persist()
-    sums = sorted(
-        (r["_pid"], r["w"])
-        for r in parted.groupBy("_pid")
-        .agg(F.sum(weight_col).alias("w"))
-        .collect()
-    )
-    offsets, acc = {}, 0
-    for pid, wsum in sums:
-        offsets[pid] = acc
-        acc += wsum or 0
-    mapping = F.create_map(
-        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
-    )
-    off = F.coalesce(mapping[F.col("_pid")].cast("long"), F.lit(0).cast("long"))
-    w = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        parted.select(
-            *df.columns,
-            (F.sum(weight_col).over(w).cast("long") + off).alias(out_col),
-        )
+    without the single-partition global window — single-column sum
+    convenience over :func:`distributed_prefix_agg` (see there for the
+    shape, cost, and the integral-weight exactness note). Canonical
+    use: token/byte budgets (workload ``budget_select``)."""
+    return distributed_prefix_agg(
+        df,
+        order,
+        [(weight_col, "sum", out_col)],
+        num_partitions=num_partitions,
     )
 
 

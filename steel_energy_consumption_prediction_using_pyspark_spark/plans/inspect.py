@@ -75,3 +75,39 @@ def assert_whole_stage_codegen(df: DataFrame) -> None:
     df.collect()
     plan = physical_plan(df)
     assert "codegen id" in plan, f"no WholeStageCodegen spans:\n{plan}"
+
+
+def global_windows(df: DataFrame) -> list[str]:
+    """Node names of every Window operator whose required child
+    distribution is AllTuples — i.e. an UNPARTITIONED window that
+    forces Spark's "Moving all data to a single partition" plan, the
+    canonical scale-killer. Walks the physical-plan tree (unwrapping
+    the AdaptiveSparkPlan shell) and inspects
+    ``requiredChildDistribution`` directly, so scalar aggregates'
+    legitimate ``Exchange SinglePartition`` over partial-agg metadata
+    rows do NOT false-positive."""
+    out: list[str] = []
+
+    def walk(n):
+        nm = n.nodeName()
+        if nm == "AdaptiveSparkPlan":
+            walk(n.inputPlan())
+            return
+        if "Window" in nm:
+            dists = n.requiredChildDistribution()
+            for i in range(dists.length()):
+                if "AllTuples" in dists.apply(i).toString():
+                    out.append(nm)
+        ch = n.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def assert_no_global_window(df: DataFrame) -> None:
+    """Assert the plan contains no unpartitioned (AllTuples) Window —
+    see :func:`global_windows`."""
+    found = global_windows(df)
+    assert not found, f"unpartitioned global Window in plan: {found}"

@@ -436,15 +436,22 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a rows-frame over the distinct-balance groups, so equal
     # balances never leak into "greater").
     groups = per.groupBy("c_acctbal").agg(F.max("n_orders").alias("gm"))
-    # BOUNDED global window: input is one row per DISTINCT balance
-    # (acctbal has fixed 2-dp precision over a fixed range → ~1.1M
-    # possible values, hard-capped regardless of row count), so the
-    # single-partition running-max is safe at any data scale.
-    wg = Window.orderBy(F.desc("c_acctbal")).rowsBetween(
-        Window.unboundedPreceding, -1
+    # Distributed exclusive running-max over the distinct-balance
+    # groups (operators/relational.py::distributed_prefix_agg,
+    # exclusive frame): range-partitioned, parallel at ANY distinct
+    # cardinality — no single-partition window, no precision-cap
+    # assumption. max is associative-exact for every dtype.
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        distributed_prefix_agg,
     )
+
     frontier_groups = (
-        groups.withColumn("prev", F.max("gm").over(wg))
+        distributed_prefix_agg(
+            groups,
+            [F.desc("c_acctbal")],
+            [("gm", "max", "prev")],
+            exclusive=True,
+        )
         .filter(F.col("prev").isNull() | (F.col("gm") > F.col("prev")))
         .select("c_acctbal", "gm")
     )

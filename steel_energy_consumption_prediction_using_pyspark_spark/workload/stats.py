@@ -344,8 +344,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, whose single buffer materializes every value of the
     table in one executor (the 100 TB OOM; it also caused a 16 s GC
     outlier in bench under cache pressure). The spine is a parallel
-    two-phase hash agg to (value, cnt); one cumulative window over
-    |distinct values| rows assigns rank ranges; each spine row then
+    two-phase hash agg to (value, cnt); a DISTRIBUTED prefix sum
+    (operators/relational.py::distributed_prefix_agg — range
+    repartition + bounded per-partition-offset collect, integral
+    counts so exact) assigns rank ranges with NO single-partition
+    window anywhere, so the spine is scale-safe even when |distinct
+    values| ≈ |rows| (arbitrary continuous doubles); each spine row then
     GENERATES (sequence+explode) the grid indices whose boundary
     order statistic it holds — pruning bounds are conservative, the
     exact floor/ceil rank condition filters — and the 1001-row lo/hi
@@ -362,14 +366,15 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .crossJoin(F.broadcast(n_df))
     )
-    wc = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        distributed_prefix_agg,
     )
-    # Bounded global window: |distinct values| rows, documented spine
-    # caveat shared with exact_percentiles_ranked.
-    spine = spine.select(
-        "value", "_cnt", "_n", F.sum("_cnt").over(wc).alias("_cum")
-    )
+
+    # Distributed prefix sum over the spine: exact at ANY distinct-value
+    # cardinality (no single-partition window, no precision assumption).
+    spine = distributed_prefix_agg(
+        spine, [F.col("value")], [("_cnt", "sum", "_cum")]
+    ).select("value", "_cnt", "_n", "_cum")
     nm1 = F.greatest(F.col("_n") - 1, F.lit(1.0))
     # Conservative gi candidate range per spine row (exact conditions
     # filter below; bounds only prune the explode).
@@ -472,19 +477,24 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift statistic between the
     click and purchase value distributions: D = max |F₁(x) − F₂(x)|
     over the pooled support — the standard no-assumptions
-    batch-drift detector. One sort-order window pass over the pooled
-    (value, group) points computing both running ECDFs via
-    conditional cumulative sums; all ECDF values are integer-count
-    ratios, so D is engine-exact. Output: D, the value attaining it
-    (earliest, deterministic), and sample sizes."""
+    batch-drift detector. Both running ECDFs ride ONE distributed
+    prefix-sum pass over the distinct-value support
+    (operators/relational.py::distributed_prefix_agg — two integral
+    cumulative counts in the same range-partitioned scan, no
+    single-partition window at any cardinality); all ECDF values are
+    integer-count ratios, so D is engine-exact. Output: D, the value
+    attaining it (earliest, deterministic), and sample sizes."""
     e = T(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        distributed_prefix_agg,
+    )
+
     # Aggregate to the distinct-value support FIRST (distributed
-    # hash agg) — the global ECDF window then runs over the bounded
-    # support (cent-valued range), never the raw facts: the one
-    # legitimate single-partition window placement (same argument as
-    # customer_deciles).
+    # hash agg), then compute BOTH running ECDF numerators in one
+    # distributed prefix-sum pass — exact integral counts, no
+    # single-partition window even when |distinct values| ≈ |rows|.
     per_val = e.groupBy("value").agg(
         F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("c2"),
@@ -493,19 +503,17 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").cast("double").alias("n1"),
         F.sum("c2").cast("double").alias("n2"),
     )
-    # BOUNDED global window: input is one row per DISTINCT metric
-    # value (the ECDF support, already aggregated) — bounded by value
-    # precision, not event count — so the single-partition running sum
-    # is safe at any data scale.
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = distributed_prefix_agg(
+        per_val,
+        [F.col("value")],
+        [("c1", "sum", "_cum1"), ("c2", "sum", "_cum2")],
     )
-    ecdf = per_val.crossJoin(F.broadcast(tot)).select(
+    ecdf = cum.crossJoin(F.broadcast(tot)).select(
         "value",
         "n1",
         "n2",
-        (F.sum("c1").over(w) / F.col("n1")).alias("f1"),
-        (F.sum("c2").over(w) / F.col("n2")).alias("f2"),
+        (F.col("_cum1") / F.col("n1")).alias("f1"),
+        (F.col("_cum2") / F.col("n2")).alias("f2"),
     )
     diff = F.abs(F.col("f1") - F.col("f2"))
     return (

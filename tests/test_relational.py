@@ -464,3 +464,60 @@ def test_distributed_prefix_sum_matches_global_window(spark):
         for r in df.select("id", F.sum("w").over(wspec).alias("cum")).collect()
     }
     assert got == want
+
+
+def test_distributed_prefix_agg_matches_window(spark):
+    """distributed_prefix_agg ≡ the global-window running aggregates it
+    replaces, for: multi-column sums in one pass, running max, and the
+    EXCLUSIVE frame (unboundedPreceding..-1, NULL on the first global
+    row) — across an input cardinality equal to the row count (the
+    regime the old bounded-spine assumption could not survive)."""
+    from pyspark.sql import Window
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        distributed_prefix_agg,
+    )
+
+    df = spark.range(0, 2003).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 500 + 1).alias("w1"),
+        ((F.col("id") * 11) % 97).alias("w2"),
+    )
+    got = {
+        (r["k"], r["s1"], r["s2"], r["mx"])
+        for r in distributed_prefix_agg(
+            df,
+            [F.col("k")],
+            [("w1", "sum", "s1"), ("w2", "sum", "s2"), ("w2", "max", "mx")],
+            num_partitions=8,
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["k"], r["s1"], r["s2"], r["mx"])
+        for r in df.select(
+            "k",
+            F.sum("w1").over(w).alias("s1"),
+            F.sum("w2").over(w).alias("s2"),
+            F.max("w2").over(w).alias("mx"),
+        ).collect()
+    }
+    assert got == want
+
+    wx = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, -1)
+    got_x = {
+        (r["k"], r["prev"])
+        for r in distributed_prefix_agg(
+            df,
+            [F.desc("k")],
+            [("w2", "max", "prev")],
+            exclusive=True,
+            num_partitions=8,
+        ).collect()
+    }
+    want_x = {
+        (r["k"], r["prev"])
+        for r in df.select("k", F.max("w2").over(wx).alias("prev")).collect()
+    }
+    assert got_x == want_x
+    assert any(p is None for _, p in got_x)  # first global row → NULL
