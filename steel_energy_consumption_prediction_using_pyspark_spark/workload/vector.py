@@ -242,9 +242,11 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieve-then-diversify: brute-force top-50 per query, MMR
     re-rank to 10 (λ=0.7) via operators/similarity.py::mmr_rerank.
-    No SQL oracle — the greedy selection is iterative (rows-only
-    check); λ=1 degeneration to plain top-k and cluster-diversity
-    behavior are pinned in tests/test_similarity.py."""
+    FULL SQL oracle since round 4: the greedy selection is
+    deterministic given the candidate set, so its 10 iterations
+    unroll as chained CTEs (see ORACLES["mmr_rerank"] below); λ=1
+    degeneration to plain top-k and cluster-diversity behavior remain
+    pinned in tests/test_similarity.py."""
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -447,3 +449,61 @@ ORACLES["ann_lsh"] = f"""
     bucket_c=_lsh_bucket_sql("CAST(embedding AS DOUBLE[])"),
     bucket_q=_lsh_bucket_sql("CAST(embedding AS DOUBLE[])"),
 )
+
+
+# MMR unrolled-CTE oracle (round 4, VERDICT r3 #7): the greedy
+# selection is deterministic given the candidate set, so its k=10
+# iterations unroll exactly like the PageRank/CEP oracles — p{t} picks
+# the per-query argmax of λ·rel − (1−λ)·max_sim (ties (rel desc, id
+# asc), the kernel's pre-sort + first-argmax order), s{t} drops the
+# pick and folds its cosine into every survivor's running max. Float
+# details mirrored from the numpy kernel: rel is the 4-dp-rounded
+# retrieval cos_sim; (1−λ) is computed in float64 (0.30000000000000004,
+# hence `1.0e0 - 0.7e0`, never a decimal literal); candidate-candidate
+# cosines normalize per element FIRST then dot (numpy's Vn @ Vn[i]
+# association), with the norm-0 → 1 guard.
+_MMR_SCORE = "0.7e0 * rel - (1.0e0 - 0.7e0) * ms"
+_MMR_STEPS, _MMR_UNIONS = [], []
+for _t in range(1, 11):
+    _MMR_STEPS.append(f"""
+    p{_t} AS (
+        SELECT query_id, neighbor_id, rel, {_MMR_SCORE} AS score
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY {_MMR_SCORE} DESC, rel DESC, neighbor_id) AS rn
+              FROM s{_t - 1}) WHERE rn = 1),
+    s{_t} AS (
+        SELECT s.query_id, s.neighbor_id, s.rel,
+               greatest(s.ms, list_dot_product(na.v, nb.v)) AS ms
+        FROM s{_t - 1} s
+        JOIN p{_t} p ON s.query_id = p.query_id AND s.neighbor_id <> p.neighbor_id
+        JOIN nv na ON na.vec_id = s.neighbor_id
+        JOIN nv nb ON nb.vec_id = p.neighbor_id)""")
+    _MMR_UNIONS.append(
+        f"SELECT query_id, neighbor_id, {_t} AS r, score FROM p{_t}"
+    )
+
+ORACLES["mmr_rerank"] = f"""
+    WITH cand AS (
+        SELECT query_id, neighbor_id, round(cs, 4) AS rel FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cs,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {_COS} DESC, b.vec_id) AS rank
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < {N_QUERY} AND b.vec_id >= {N_QUERY})
+        WHERE rank <= 50
+    ),
+    nv AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / (CASE WHEN nrm = 0 THEN 1.0e0 ELSE nrm END)) AS v
+        FROM (SELECT vec_id, embedding,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings WHERE vec_id >= {N_QUERY})
+    ),
+    s0 AS (SELECT query_id, neighbor_id, rel, 0.0e0 AS ms FROM cand),{",".join(_MMR_STEPS)}
+    SELECT query_id, neighbor_id, CAST(r AS INTEGER) AS mmr_rank,
+           round(score, 6) AS mmr_score
+    FROM ({" UNION ALL ".join(_MMR_UNIONS)})
+"""
