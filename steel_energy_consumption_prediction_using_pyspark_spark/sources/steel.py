@@ -8,8 +8,17 @@ corr(CO2, Usage_kWh) ≈ 0.99 — the invariants the reference's EDA and
 ML goldens depend on (BASELINE.md).
 
 Generated entirely with Catalyst expressions over ``spark.range`` —
-deterministic (seeded xxhash64 noise, no RNG state), distributed (no
-driver-side materialization), and scale-free (any row count).
+deterministic (seeded md5-derived noise, no RNG state), distributed
+(no driver-side materialization), and scale-free (any row count).
+
+Round 4: the noise family moved from Spark-internal ``xxhash64`` to
+the same portable md5 recipe the MinHash/SimHash tiers use
+(operators/dedup.py::gram_hash32 — first 8 md5 hex digits as a
+uint32), so the WHOLE fixture is reproducible in any engine with
+md5(): DuckDB re-derives every row via
+``CAST('0x' || substr(md5(id || ':' || salt), 1, 8) AS UBIGINT)``,
+which is what lets ``steel_eda`` replay the reference's EDA golden
+as a full value-checked oracle instead of a rows-only entry.
 """
 
 from __future__ import annotations
@@ -36,10 +45,25 @@ FULL_YEAR_ROWS = 35_040  # 365 days × 96 fifteen-minute intervals
 
 
 def _noise(seed_col, salt: int, lo: float, hi: float):
-    """Deterministic pseudo-uniform in [lo, hi): xxhash64 of (row id,
-    salt) scaled. Pure column expression — reproducible on any
-    partitioning/executor count."""
-    u = (F.pmod(F.xxhash64(seed_col, F.lit(salt)), F.lit(1_000_000)) / 1_000_000.0)
+    """Deterministic pseudo-uniform in [lo, hi): first 8 md5 hex
+    digits of "<id>:<salt>" as a uint32, scaled by 2^-32. Pure column
+    expression — reproducible on any partitioning/executor count AND
+    in any engine with md5() (the portable family shared with the
+    MinHash/SimHash oracles; DuckDB twin in workload/ml.py)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", seed_col.cast("string"), F.lit(str(salt)))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
     return u * (hi - lo) + lo
 
 
@@ -85,7 +109,10 @@ def steel_energy(spark: SparkSession, n_rows: int = FULL_YEAR_ROWS) -> DataFrame
         .otherwise(52.0)
     )
     weekday_factor = F.when(weekend, 0.55).otherwise(1.0)
-    rel_noise = 0.93 + 0.14 * _noise(F.col("id"), 1, 0.0, 1.0) ** F.lit(2.0)
+    # n1*n1, not pow(n1, 2.0): IEEE multiplication is correctly
+    # rounded in every engine, libm pow is not guaranteed to be.
+    _n1 = _noise(F.col("id"), 1, 0.0, 1.0)
+    rel_noise = 0.93 + 0.14 * _n1 * _n1
     usage = daypart_level * weekday_factor * rel_noise + _noise(
         F.col("id"), 7, 0.0, 1.0
     )

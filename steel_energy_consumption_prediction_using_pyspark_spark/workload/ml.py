@@ -72,9 +72,11 @@ def q_steel_eda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's signature EDA chain, verbatim shape
     (SteelPred.py:57): groupBy → dict-style avg agg (auto-named
     `avg(Usage_kWh)`) → orderBy desc → withColumnRenamed →
-    format_number STRING output. Rows-only: format_number's
-    thousands-separator string has no DuckDB equivalent; the numeric
-    pipeline is oracle-covered by avg_orderby."""
+    format_number STRING output. FULL oracle since round 4: the
+    fixture's portable-md5 noise lets DuckDB regenerate the table and
+    replay the chain (see ORACLES["steel_eda"]); printf('%.2f')
+    matches format_number's HALF_EVEN on these sub-1000 averages
+    (no thousands separator in range)."""
     data = steel_energy(spark, QUERY_ROWS)
     return (
         data.groupBy("Day_of_week")
@@ -183,6 +185,43 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    # steel_eda (round 4, VERDICT r3 #4): the fixture's noise family is
+    # now the portable md5 recipe (sources/steel.py::_noise), so DuckDB
+    # re-derives the ENTIRE generated table row by row — same timestamp
+    # grid, same dayparts, same uniform draws — and replays the
+    # reference's signature EDA (SteelPred.py:57) as a full value
+    # check. printf('%.2f') mirrors format_number's HALF_EVEN; every
+    # float literal is eN-typed so DuckDB parses doubles, not decimals;
+    # association parenthesized exactly as the Catalyst expression.
+    "steel_eda": f"""
+        WITH n AS (
+            SELECT range AS id,
+                   TIMESTAMP '2018-01-01 00:00:00'
+                   + range * INTERVAL 900 SECOND AS ts
+            FROM range({QUERY_ROWS})
+        ), x AS (
+            SELECT dayname(ts) AS dow, hour(ts) AS h,
+                   dayname(ts) IN ('Saturday', 'Sunday') AS wkend,
+                   CAST('0x' || substr(md5(id || ':1'), 1, 8) AS UBIGINT)
+                       / 4294967296.0e0 AS u1,
+                   CAST('0x' || substr(md5(id || ':7'), 1, 8) AS UBIGINT)
+                       / 4294967296.0e0 AS u7
+            FROM n
+        ), u AS (
+            SELECT dow,
+                   round((CASE WHEN h < 3 THEN 5.0e0 WHEN h < 6 THEN 9.0e0
+                               WHEN h < 9 THEN 16.0e0 WHEN h < 12 THEN 30.0e0
+                               WHEN h < 15 THEN 48.0e0 WHEN h < 18 THEN 60.0e0
+                               WHEN h < 21 THEN 70.0e0 ELSE 52.0e0 END
+                          * CASE WHEN wkend THEN 0.55e0 ELSE 1.0e0 END
+                          * (0.93e0 + 0.14e0 * u1 * u1)
+                          + u7), 2) AS usage
+            FROM x
+        )
+        SELECT dow AS Day_of_week,
+               printf('%.2f', avg(usage)) AS avg_energy_consumption
+        FROM u GROUP BY dow
+    """,
     "scaler_stats": """
         WITH long AS (
             UNPIVOT (
