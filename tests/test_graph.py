@@ -178,3 +178,17 @@ def test_convergence_checkpoint_truncates_lineage(spark):
     # scan, not 25 nested joins.
     plan = ranks._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+
+def test_pagerank_materialized_equals_session_cached(spark, sf_dir):
+    """Same graph, same recurrence → the materialized-table walk must
+    reproduce the session-cache walk's top-20 exactly (rank rounded to
+    6 decimals on both paths)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.graph import (
+        q_pagerank,
+        q_pagerank_materialized,
+    )
+
+    a = [tuple(r) for r in q_pagerank(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q_pagerank_materialized(spark, sf_dir).collect()]
+    assert a == b

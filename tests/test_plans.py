@@ -379,3 +379,35 @@ def test_spine_queries_no_global_window(spark, sf_dir):
     assert global_windows(ctl), "checker failed to flag a global window"
     for q in (q_quantile_normalize, q_ks_drift, q_skyline):
         assert_no_global_window(q(spark, sf_dir))
+
+
+def test_materialized_edges_bucket_local_aggregation(spark, sf_dir):
+    """The bucketed edge table (VERDICT r3 #5) must give walk-side
+    consumers shuffle-free src aggregation: groupBy(src) over the
+    materialized scan plans partial+final HashAggregate with ZERO
+    Exchange, and the scan itself reports Bucketed: true."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.graph import (
+        materialized_edges,
+    )
+
+    t = materialized_edges(spark, sf_dir)
+    deg = t.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    plan = physical_plan(deg)
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_pagerank_materialized_no_edge_build(spark, sf_dir):
+    """The warm walk over the materialized table must do ZERO
+    edge-build work: its plan reads only the bucketed graph_edges
+    table — no orders scan, no lineitem scan, no distinct/symmetrize
+    union — proving the build cost is paid exactly once at
+    materialization."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.graph import (
+        q_pagerank_materialized,
+    )
+
+    plan = physical_plan(q_pagerank_materialized(spark, sf_dir))
+    assert "graph_edges" in plan, plan
+    assert "lineitem" not in plan, plan
+    assert "orders" not in plan, plan
