@@ -411,3 +411,63 @@ def test_pagerank_materialized_no_edge_build(spark, sf_dir):
     assert "graph_edges" in plan, plan
     assert "lineitem" not in plan, plan
     assert "orders" not in plan, plan
+
+
+def test_aqe_skew_join_fires_on_planted_skew(spark):
+    """Proof (VERDICT r3 #6) that Spark's AQE skew-split actually
+    fires on the kind of hot-key distribution our salted_join recipe
+    targets: a planted 100×-skewed key under test-sized thresholds
+    must yield `skew=true` on the final adaptive SortMergeJoin. The
+    division of labor this pins: AQE handles ONE-SIDED storage skew at
+    runtime by splitting oversized shuffle partitions (nothing to do
+    at authoring time — keep joins declarative), while explicit
+    salting (operators/relational.py::salted_join) is for the cases
+    AQE can't reach: hot keys on BOTH sides of the stage boundary, or
+    aggregation funnels with no shuffle file to re-split. Both paths
+    must agree on results, also asserted here."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        salted_join,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 120_000).selectExpr(
+            "CASE WHEN id % 6 != 0 THEN 0 ELSE id % 997 END AS k",
+            "id",
+            "repeat('x', 64) AS pad",
+        )
+        small = spark.range(0, 997).selectExpr("id AS k", "id * 2 AS v")
+        # Plain join, no downstream key-partitioned consumer: AQE skips
+        # the skew split whenever a downstream operator requires the
+        # join's hash partitioning (splitting would break it) — which
+        # is itself part of the salting-vs-AQE division this test
+        # documents. Execute THIS DataFrame's own QueryExecution so
+        # the adaptive plan finalizes (a write/save builds a fresh
+        # execution whose final plan the handle never sees).
+        joined = big.join(small, "k")
+        joined.collect()
+        plan = physical_plan(joined)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+
+        got = joined.groupBy("k").count()
+        want = salted_join(big, small, ["k"]).groupBy("k").count()
+        assert {(r["k"], r["count"]) for r in got.collect()} == {
+            (r["k"], r["count"]) for r in want.collect()
+        }
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
