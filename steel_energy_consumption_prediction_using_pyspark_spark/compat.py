@@ -1,0 +1,63 @@
+"""Environment-compat shims.
+
+ensure_protobuf: `transformWithStateInPandas` (streaming/stateful.py)
+speaks the typed-state protocol over protobuf from separate Python
+worker processes. Some sandboxes ship no `google.protobuf`
+distribution on sys.path, but DO carry a pure-Python copy inside the
+Google Cloud SDK (`platform/google_appengine/google/protobuf`, plain
+`google` namespace, BSD-licensed). This shim locates such a copy and
+wires it up for BOTH the driver (sys.path) and the Spark Python
+workers (PYTHONPATH — which is only inherited if the JVM has not
+started yet, hence the call sites: session.get_session before the
+builder, tests/conftest.py before the fixture).
+
+The SDK runtime may trail PySpark's generated code by a minor version
+(e.g. runtime 6.32 vs gencode 6.33). Protobuf guarantees cross-minor
+wire compatibility within a major; its only blocker is an eager
+version gate with an official escape hatch
+(TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK), which we set ONLY when
+falling back to the SDK copy — a properly installed protobuf keeps
+the gate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_FALLBACK_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_protobuf() -> bool:
+    """Make `google.protobuf` importable, via fallback if needed.
+
+    Returns True if the package is (now) importable. Idempotent; no-op
+    when a real distribution is installed."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    for d in _FALLBACK_DIRS:
+        if not os.path.isdir(os.path.join(d, "google", "protobuf")):
+            continue
+        if d not in sys.path:
+            sys.path.append(d)  # append: never shadow real packages
+        existing = os.environ.get("PYTHONPATH", "")
+        if d not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                existing + os.pathsep + d if existing else d
+            )
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        try:
+            import google.protobuf  # noqa: F401
+
+            return True
+        except ImportError:
+            continue
+    return False

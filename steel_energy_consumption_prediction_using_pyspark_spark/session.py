@@ -65,6 +65,13 @@ def get_session(
     is the memory knob; on a cluster, executor sizing belongs to the
     deploy config, not here.
     """
+    # Before the JVM exists: wire a protobuf fallback onto PYTHONPATH
+    # so transformWithState's Python workers can import it (compat.py).
+    from steel_energy_consumption_prediction_using_pyspark_spark.compat import (
+        ensure_protobuf,
+    )
+
+    ensure_protobuf()
     par = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)

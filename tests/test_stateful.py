@@ -44,12 +44,15 @@ def _protobuf_available() -> bool:
     # The transformWithState state-server protocol speaks protobuf from
     # a separate Python driver worker; without the package the query
     # crashes at init (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    # compat.ensure_protobuf wires the gcloud-SDK pure-Python fallback
+    # onto sys.path/PYTHONPATH when no distribution is installed (it
+    # already ran via session.get_session before the JVM started, so
+    # worker processes inherit the path too).
+    from steel_energy_consumption_prediction_using_pyspark_spark.compat import (
+        ensure_protobuf,
+    )
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 @pytest.mark.skipif(
@@ -58,21 +61,36 @@ def _protobuf_available() -> bool:
 )
 def test_type_counts_transform_with_state_match_batch(spark, sf_dir):
     """transformWithStateInPandas MapState operator ≡ batch
-    groupBy(user, type).count()."""
+    groupBy(user, type).count(). Typed state needs the RocksDB state
+    store (HDFS-backed provider has no column families) — set for this
+    query only, restored after."""
     from steel_energy_consumption_prediction_using_pyspark_spark.streaming.stateful import (
         type_counts_per_user,
     )
 
-    stream = read_events_stream(spark, sf_dir)
-    out = type_counts_per_user(stream)
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("tws_out")
-        .trigger(availableNow=True)
-        .start()
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
-    q.awaitTermination()
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = type_counts_per_user(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
     got = {
         (r.user_id, r.event_type): r.cnt
         for r in spark.table("tws_out").collect()
