@@ -184,31 +184,34 @@ QUERIES = {
     "evaluator_metrics": q_evaluator_metrics,
 }
 
-ORACLES: dict[str, str] = {
-    # steel_eda (round 4, VERDICT r3 #4): the fixture's noise family is
-    # now the portable md5 recipe (sources/steel.py::_noise), so DuckDB
-    # re-derives the ENTIRE generated table row by row — same timestamp
-    # grid, same dayparts, same uniform draws — and replays the
-    # reference's signature EDA (SteelPred.py:57) as a full value
-    # check. printf('%.2f') mirrors format_number's HALF_EVEN; every
-    # float literal is eN-typed so DuckDB parses doubles, not decimals;
-    # association parenthesized exactly as the Catalyst expression.
-    "steel_eda": f"""
-        WITH n AS (
+# DuckDB twin of the generated steel fixture (round 4, VERDICT r3 #4):
+# the noise family is the portable md5 recipe (sources/steel.py::
+# _noise), so DuckDB re-derives the generated table row by row — same
+# timestamp grid, same dayparts, same uniform draws. Every float
+# literal is eN-typed so DuckDB parses doubles, not decimals;
+# association parenthesized exactly as the Catalyst expression. Shared
+# by the steel_eda and ml_feature_pipeline oracles.
+def _steel_fixture_sql(n_rows: int) -> str:
+    """CTE fragment yielding relation steel(dow, h, load_type, usage)."""
+    return f"""
+        _steel_n AS (
             SELECT range AS id,
                    TIMESTAMP '2018-01-01 00:00:00'
                    + range * INTERVAL 900 SECOND AS ts
-            FROM range({QUERY_ROWS})
-        ), x AS (
+            FROM range({n_rows})
+        ), _steel_x AS (
             SELECT dayname(ts) AS dow, hour(ts) AS h,
                    dayname(ts) IN ('Saturday', 'Sunday') AS wkend,
                    CAST('0x' || substr(md5(id || ':1'), 1, 8) AS UBIGINT)
                        / 4294967296.0e0 AS u1,
                    CAST('0x' || substr(md5(id || ':7'), 1, 8) AS UBIGINT)
                        / 4294967296.0e0 AS u7
-            FROM n
-        ), u AS (
-            SELECT dow,
+            FROM _steel_n
+        ), steel AS (
+            SELECT dow, h,
+                   CASE WHEN h < 12 THEN 'Light_Load'
+                        WHEN h < 19 THEN 'Medium_Load'
+                        ELSE 'Maximum_Load' END AS load_type,
                    round((CASE WHEN h < 3 THEN 5.0e0 WHEN h < 6 THEN 9.0e0
                                WHEN h < 9 THEN 16.0e0 WHEN h < 12 THEN 30.0e0
                                WHEN h < 15 THEN 48.0e0 WHEN h < 18 THEN 60.0e0
@@ -216,11 +219,37 @@ ORACLES: dict[str, str] = {
                           * CASE WHEN wkend THEN 0.55e0 ELSE 1.0e0 END
                           * (0.93e0 + 0.14e0 * u1 * u1)
                           + u7), 2) AS usage
-            FROM x
-        )
+            FROM _steel_x
+        )"""
+
+
+ORACLES: dict[str, str] = {
+    # printf('%.2f') mirrors format_number's HALF_EVEN (sub-1000
+    # averages: no thousands separator in range).
+    "steel_eda": f"""
+        WITH {_steel_fixture_sql(QUERY_ROWS)}
         SELECT dow AS Day_of_week,
                printf('%.2f', avg(usage)) AS avg_energy_consumption
-        FROM u GROUP BY dow
+        FROM steel GROUP BY dow
+    """,
+    # ml_feature_pipeline: the fitted StringIndexer ordinal is the
+    # frequencyDesc rank (count DESC, label ASC — the tiebreak MLlib
+    # documents and string_indexer already pins), and n/avg_usage come
+    # straight off the regenerated fixture — so the MLlib fit's
+    # OBSERVABLE output is fully value-checked even though the fit
+    # itself runs in MLlib.
+    "ml_feature_pipeline": f"""
+        WITH {_steel_fixture_sql(QUERY_ROWS)},
+        counts AS (
+            SELECT load_type, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(usage), 2) AS avg_usage
+            FROM steel GROUP BY load_type
+        )
+        SELECT load_type AS Load_Type, n,
+               CAST(row_number() OVER (ORDER BY n DESC, load_type ASC) - 1
+                    AS DOUBLE) AS load_type_index,
+               avg_usage
+        FROM counts
     """,
     "scaler_stats": """
         WITH long AS (
