@@ -50,10 +50,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesized PPM/BMP containers → REAL pixel decode (pure-numpy
     format parse, operators/multimodal.py::decode_image_pixels) →
     Arrow-batched feature extraction over the DECODED raster →
-    per-source aggregate. Rows-only: the kernel's numpy float32
-    arithmetic has no faithful SQL twin; the decode itself is
-    oracle-checked by `image_decode` and byte-pinned in
-    tests/test_multimodal.py."""
+    per-source aggregate. FULL oracle since round 4: the byte
+    histogram is order-insensitive, so the raster's byte multiset
+    (text + pad spaces) fully determines the features regardless of
+    codec row order, and CAST(c/n AS FLOAT) reproduces the numpy
+    float32 narrowing (see ORACLES["multimodal_features"]); the
+    decode bytes stay pinned by `image_decode`."""
     d = T(spark, sf_dir, "documents")
     px = decode_image_pixels(synthesize_images(d))
     feats = extract_features(px, payload_col="pixels")
@@ -211,6 +213,61 @@ QUERIES = {
 }
 
 ORACLES = {
+    # multimodal_features (round 4): the byte-histogram "embedding"
+    # kernel is fully SQL-derivable because the histogram is ORDER-
+    # INSENSITIVE — whatever the PPM/BMP codec does to row order, the
+    # decoded raster's byte multiset is text || pad-spaces (48-byte
+    # rows, h=ceil(nb/48) min 1). Bin = byte // 32 (FEATURE_DIM=8;
+    # ASCII fixture occupies bins 1-3, the rest are exactly 0.0 and
+    # drop out of the norm). float32 semantics mirrored: numpy's
+    # float64 divide narrowed to float32 == CAST(c/n AS FLOAT); the
+    # norm then squares/sums in double in bin order, exactly
+    # F.aggregate's left fold.
+    "multimodal_features": """
+        WITH d AS (
+            SELECT doc_id, source, text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+                   48 * greatest(1,
+                       (CAST(octet_length(encode(text)) AS BIGINT) + 47)
+                       // 48) AS n
+            FROM documents
+        ),
+        chars AS (
+            SELECT doc_id,
+                   ascii(substring(text, CAST(i AS INT), 1)) // 32 AS bin
+            FROM d, UNNEST(range(1, nb + 1)) AS r(i)
+            WHERE nb > 0
+        ),
+        cnt AS (
+            SELECT d.doc_id, d.source, d.n,
+                   coalesce(sum(CASE WHEN bin = 0 THEN 1 END), 0) AS c0,
+                   coalesce(sum(CASE WHEN bin = 1 THEN 1 END), 0)
+                       + (d.n - d.nb) AS c1,
+                   coalesce(sum(CASE WHEN bin = 2 THEN 1 END), 0) AS c2,
+                   coalesce(sum(CASE WHEN bin = 3 THEN 1 END), 0) AS c3
+            FROM d LEFT JOIN chars USING (doc_id)
+            GROUP BY d.doc_id, d.source, d.n, d.nb
+        ),
+        f AS (
+            SELECT doc_id, source,
+                   CAST(CAST(CAST(c0 AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f0,
+                   CAST(CAST(CAST(c1 AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f1,
+                   CAST(CAST(CAST(c2 AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f2,
+                   CAST(CAST(CAST(c3 AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f3
+            FROM cnt
+        ),
+        rowed AS (
+            SELECT source, round(f0, 4) AS f0r,
+                   round(sqrt((((0e0 + f0*f0) + f1*f1) + f2*f2) + f3*f3),
+                         4) AS nrm
+            FROM f
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               round(avg(f0r), 4) AS avg_f0,
+               round(avg(nrm), 4) AS avg_norm
+        FROM rowed GROUP BY source ORDER BY source
+    """,
+
     # each frame's raster = 96-byte text slice ‖ space padding (the
     # last frame pads; frame count = ceil(nb/96), min 1) — md5 over
     # the VARCHAR slice reproduces the engine's md5 over the decoded
