@@ -26,6 +26,7 @@ from steel_energy_consumption_prediction_using_pyspark_spark.operators.relationa
 )
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
     T,
+    exact_pct_sql,
     register,
     ts_str,
 )
@@ -1966,16 +1967,14 @@ ORACLES = {
                floor(avg(o_totalprice) * 10000 + 0.5e0) / 10000 AS avg_price
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
-    "equidepth_histogram": """
+    # edges via exact_pct_sql, not quantile_cont: bucket assignment is
+    # a strict comparison against each edge, so quantile_cont's ulp
+    # drift at tied order statistics would migrate whole tied groups
+    # across buckets (sf1 stress finding — see workload/util.py).
+    "equidepth_histogram": f"""
         WITH edges AS (
-            SELECT quantile_cont(o_totalprice, 0.125) AS e1,
-                   quantile_cont(o_totalprice, 0.25)  AS e2,
-                   quantile_cont(o_totalprice, 0.375) AS e3,
-                   quantile_cont(o_totalprice, 0.5)   AS e4,
-                   quantile_cont(o_totalprice, 0.625) AS e5,
-                   quantile_cont(o_totalprice, 0.75)  AS e6,
-                   quantile_cont(o_totalprice, 0.875) AS e7
-            FROM orders
+            {exact_pct_sql("orders", [], "o_totalprice",
+                           {f"e{i}": i / 8 for i in range(1, 8)})}
         ),
         b AS (
             SELECT CASE

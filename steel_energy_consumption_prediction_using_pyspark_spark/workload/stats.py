@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+    T,
+    exact_pct_sql,
+)
 
 
 # --- covariance / moments / median per group --------------------------------
@@ -717,12 +720,13 @@ ORACLES = {
         FROM dt d JOIN seas s USING (dow)
         GROUP BY d.dow, s.seasonal ORDER BY d.dow
     """,
-    "winsorize": """
+    # edges via exact_pct_sql, NOT quantile_cont: the strict clip
+    # comparison amplifies quantile_cont's ulp drift at tied order
+    # statistics into whole tied groups flipping (sf1 stress finding).
+    "winsorize": f"""
         WITH edges AS (
-            SELECT event_type,
-                   quantile_cont(value, 0.05) AS p05,
-                   quantile_cont(value, 0.95) AS p95
-            FROM events GROUP BY event_type
+            {exact_pct_sql("events", ["event_type"], "value",
+                           {"p05": 0.05, "p95": 0.95})}
         )
         SELECT e.event_type,
                CAST(count(*) AS BIGINT) AS n,
@@ -752,22 +756,23 @@ ORACLES = {
         FROM obs JOIN rt USING (event_type) JOIN ct USING (dow)
         CROSS JOIN tot
     """,
-    "mad_anomaly": """
+    # medians via exact_pct_sql (see winsorize): the >2 threshold and
+    # mad=0 guard are strict comparisons against the interpolated
+    # medians — quantile_cont's tie-ulp would flip flag membership.
+    "mad_anomaly": f"""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
             FROM events GROUP BY event_type, CAST(ts AS DATE)
         ),
         med AS (
-            SELECT event_type, quantile_cont(v, 0.5) AS med
-            FROM daily GROUP BY event_type
+            {exact_pct_sql("daily", ["event_type"], "v", {"med": 0.5})}
         ),
         dev AS (
             SELECT d.event_type, d.day, d.v, m.med, abs(d.v - m.med) AS adev
             FROM daily d JOIN med m USING (event_type)
         ),
         mad AS (
-            SELECT event_type, quantile_cont(adev, 0.5) AS mad
-            FROM dev GROUP BY event_type
+            {exact_pct_sql("dev", ["event_type"], "adev", {"mad": 0.5})}
         )
         SELECT d.event_type,
                strftime(d.day, '%Y-%m-%d') AS day,

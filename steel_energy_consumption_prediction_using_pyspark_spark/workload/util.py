@@ -72,3 +72,48 @@ def generate_planes(
     return [
         [rng.uniform(-0.5, 0.5) for _ in range(dim)] for _ in range(num_planes)
     ]
+
+
+def exact_pct_sql(
+    src: str,
+    keys: list[str],
+    val: str,
+    ps: dict[str, float],
+) -> str:
+    """DuckDB fragment computing exact linear-interpolated percentiles
+    with the ENGINE's arithmetic (operators/relational.py::
+    exact_percentiles_ranked): v_lo + (v_hi − v_lo)·frac, with
+    t = 1e0 + CAST(n−1 AS DOUBLE)·p and frac = t − floor(t).
+
+    Exists because DuckDB's quantile_cont lerps as
+    lo·(1−frac) + hi·frac, which at TIED order statistics
+    (v_lo == v_hi) drifts an ulp off the exact value (e.g.
+    2.5200000000000005 vs 2.52) — harmless for rounded outputs, but a
+    strict comparison against the edge (winsorize clipping, histogram
+    bucketing, anomaly thresholds) flips entire tied groups. Found by
+    the sf1 stress gate (round 4); every comparison-sensitive oracle
+    uses this fragment instead of quantile_cont."""
+    key_csv = ", ".join(keys)
+    key_pfx = key_csv + ", " if keys else ""
+    part = f"PARTITION BY {key_csv} " if keys else ""
+    terms = []
+    for name, p in ps.items():
+        t = f"(1e0 + CAST(n - 1 AS DOUBLE) * {p!r}e0)"
+        lo, hi = f"CAST(floor({t}) AS BIGINT)", f"CAST(ceil({t}) AS BIGINT)"
+        cover = "cum - c < {r} AND {r} <= cum"
+        v_lo = f"max(CASE WHEN {cover.format(r=lo)} THEN v END)"
+        v_hi = f"max(CASE WHEN {cover.format(r=hi)} THEN v END)"
+        frac = f"max(CASE WHEN {cover.format(r=lo)} THEN {t} - floor({t}) END)"
+        terms.append(f"({v_lo} + ({v_hi} - {v_lo}) * {frac}) AS {name}")
+    group = f"GROUP BY {key_csv}" if keys else ""
+    return f"""
+        SELECT {key_pfx}{", ".join(terms)}
+        FROM (
+            SELECT {key_pfx}v, c,
+                   sum(c) OVER ({part}ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER ({part.rstrip() or ''}) AS n
+            FROM (SELECT {key_pfx}{val} AS v, count(*) AS c
+                  FROM {src} GROUP BY {key_pfx}{val})
+        ) {group}
+    """
