@@ -25,6 +25,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+    KMEANS_HASH_A,
+    KMEANS_HASH_M,
+    KMEANS_ITERS,
+    KMEANS_MAX_TRAIN,
     cosine,
     dot,
     generate_planes,
@@ -210,6 +214,103 @@ class IvfIndex:
         self.assigned.unpersist()
 
 
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side dot with the IDENTICAL left-to-right fold as
+    util.dot / DuckDB list_dot_product — bit-for-bit the same double."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _nearest_centroid(
+    vec: Column, norm: Column, centroids: list[list[float]]
+) -> Column:
+    """Argmax-cosine centroid id as a PURE PROJECTION over literal
+    centroid arrays — no shuffle, no window, no crossJoin: assignment
+    at 100 TB is a map-only pass riding the corpus scan. Ties break to
+    the lowest cid via array_min over (−cos, cid) structs. The caller
+    stages `norm` (= sqrt(dot(vec, vec))) as a named column so the HOF
+    is not re-evaluated per centroid (NOTES rule 7); the per-centroid
+    norm is folded driver-side with the identical left-to-right
+    accumulation, so every double matches what a SQL twin derives
+    in-plan from the same centroid values."""
+    import math
+
+    cands = []
+    for cid, cv in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in cv])
+        ncent = math.sqrt(_py_dot(cv, cv))
+        cos = dot(vec, lit) / (norm * F.lit(ncent))
+        cands.append(F.struct((-cos).alias("negcos"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*cands))["cid"]
+
+
+def kmeans_cosine_det(
+    train: DataFrame,
+    k: int = 16,
+    iters: int = KMEANS_ITERS,
+    dim: int = 64,
+    code_col: str = "_q",
+    id_col: str = "_tid",
+) -> list[list[float]]:
+    """Deterministic spherical k-means (Lloyd) over int8 code vectors —
+    the engine-owned coarse quantizer that replaced MLlib KMeans so the
+    whole IVF tier is value-reproducible in any engine (the round-3
+    portable-hash doctrine applied to clustering):
+
+    - init: the codes of the ``k`` lowest-id training vectors;
+    - assign: argmax cosine(code, centroid), ties to the lowest cid —
+      cosine is scale-invariant, so the per-vector quantization scale
+      cancels and codes rank like the original vectors;
+    - update: element-wise mean as exact int64 code sums / count.
+      Integer sums are order-independent under any partitioning (no
+      float accumulation), so the trained centroids are bit-identical
+      across runs, partitionings, and engines;
+    - empty clusters keep their previous centroid.
+
+    Per iteration: one map-only assignment projection + one k-group
+    hash agg (map-side partials) over the bounded training set; the
+    only driver-side data are the k×(dim+1) centroid sums. Returns the
+    centroids as plain Python doubles (sum/count true division is the
+    same correctly-rounded IEEE op as SQL CAST(sum AS DOUBLE)/count —
+    sums stay far below 2^53)."""
+    base = train.select(F.col(id_col).alias("_tid"), F.col(code_col).alias("_q"))
+    init_rows = base.orderBy("_tid").limit(k).collect()
+    cents = [[float(v) for v in r._q] for r in init_rows]
+    staged = base.select(
+        "_q", F.col("_q").cast("array<double>").alias("_qd")
+    ).withColumn("_nq", F.sqrt(dot(F.col("_qd"), F.col("_qd"))))
+    staged = staged.persist()
+    try:
+        for _ in range(iters):
+            assigned = staged.select(
+                "_q",
+                _nearest_centroid(F.col("_qd"), F.col("_nq"), cents).alias("_cid"),
+            )
+            sums = assigned.groupBy("_cid").agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at(F.col("_q"), i + 1).cast("long")).alias(
+                        f"_s{i}"
+                    )
+                    for i in range(dim)
+                ],
+            )
+            got = {r._cid: r for r in sums.collect()}
+            cents = [
+                (
+                    [got[cid][f"_s{i}"] / got[cid]._n for i in range(dim)]
+                    if cid in got
+                    else cents[cid]
+                )
+                for cid in range(k)
+            ]
+    finally:
+        staged.unpersist()
+    return cents
+
+
 def ivf_build(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -217,40 +318,63 @@ def ivf_build(
     n_centroids: int = 16,
     seed: int = 42,
     persist: bool = True,
+    dim: int | None = None,
 ) -> IvfIndex:
     """Train the coarse quantizer and assign every corpus vector to
-    its inverted list. Built from public MLlib KMeans.
+    its inverted list.
+
+    Fully deterministic since round 4: the quantizer is
+    :func:`kmeans_cosine_det` over the int8 codes of
+    operators/quantize.py (``seed`` retained for API compatibility;
+    nothing is random anymore), trained on a bounded
+    multiplicative-hash-ordered subset when the corpus exceeds
+    ``max(100·k, 2000)`` vectors — at 100 TB you never run k-means over
+    the full corpus to place 2^k centroids; a deterministic sample is
+    the standard IVF training set. Corpus assignment is a map-only
+    argmax-cosine projection against the (tiny, literal) centroids on
+    the RAW vectors — quantization touches training only.
 
     ``persist`` caches the assigned corpus so repeated probes skip the
     scan+assign; pass False for one-shot use (see :func:`ivf_topk`).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.quantize import (
+        quantize_int8,
+    )
 
+    if dim is None:
+        dim = len(corpus.select(vec_col).head()[0])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_cv"),
-    ).withColumn("_feat", array_to_vector("_cv"))
-    # Coarse quantizer: bucketing quality saturates quickly, so cap the
-    # iterations and train on a bounded sample — at 100 TB you never
-    # run k-means over the full corpus to place 2^k centroids; a
-    # deterministic sample is the standard IVF training set.
-    km = KMeans(
-        k=n_centroids, seed=seed, maxIter=5,
-        featuresCol="_feat", predictionCol="_list",
     )
-    train = c.select("_feat")
-    n_corpus = train.count()
-    max_train = max(n_centroids * 100, 2000)
+    qz = quantize_int8(
+        corpus.select(F.col(id_col).alias("_tid"), F.col(vec_col).alias("_v")),
+        col="_v",
+        qcol="_q",
+    ).select("_tid", "_q")
+    n_corpus = qz.count()
+    max_train = max(n_centroids * 100, KMEANS_MAX_TRAIN)
+    train = qz
     if n_corpus > max_train:
-        train = train.sample(fraction=max_train / n_corpus, seed=seed)
-    model = km.fit(train)
-    c_assigned = model.transform(c).select("neighbor_id", "_cv", "_list")
+        train = qz.orderBy(
+            (F.col("_tid") * F.lit(KMEANS_HASH_A)) % F.lit(KMEANS_HASH_M),
+            F.col("_tid"),
+        ).limit(max_train)
+    cents = kmeans_cosine_det(
+        train, k=n_centroids, iters=KMEANS_ITERS, dim=dim
+    )
+    c_assigned = (
+        c.withColumn("_nv", F.sqrt(dot(F.col("_cv"), F.col("_cv"))))
+        .select(
+            "neighbor_id",
+            "_cv",
+            _nearest_centroid(F.col("_cv"), F.col("_nv"), cents).alias("_list"),
+        )
+    )
     if persist:
         c_assigned = c_assigned.persist()
 
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-    cent_rows = [(i, centroids[i]) for i in range(len(centroids))]
+    cent_rows = [(i, cents[i]) for i in range(n_centroids)]
     cent_df = corpus.sparkSession.createDataFrame(
         cent_rows, "cid int, cvec array<double>"
     )

@@ -74,6 +74,16 @@ def generate_planes(
     ]
 
 
+# Deterministic k-means quantizer parameters — shared by the operator
+# (operators/similarity.py::kmeans_cosine_det / ivf_build) and the
+# unrolled IVF oracle (workload/vector.py). Live here, dependency-free,
+# for the same no-cycle reason as generate_planes above.
+KMEANS_ITERS = 5
+KMEANS_MAX_TRAIN = 2000
+KMEANS_HASH_A = 2654435761  # Knuth multiplicative-hash constant
+KMEANS_HASH_M = 1 << 32
+
+
 def exact_pct_sql(
     src: str,
     keys: list[str],

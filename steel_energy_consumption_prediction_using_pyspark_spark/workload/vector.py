@@ -17,7 +17,13 @@ from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
 from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
     similarity as S,
 )
-from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+    KMEANS_HASH_A,
+    KMEANS_HASH_M,
+    KMEANS_ITERS,
+    KMEANS_MAX_TRAIN,
+    T,
+)
 
 N_QUERY = 5
 TOP_K = 5
@@ -94,11 +100,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN, COLD path: k-means quantizer training + corpus assign
-    + probe, end to end (no SQL oracle: MLlib k-means training; recall
-    vs brute force pinned in pytest). The built index is stored in the
-    session cache so `ivf_probe` measures the steady-state probe —
-    build+probe here ≡ ivf_topk one-shot (equality pinned in
+    """IVF ANN, COLD path: quantizer training + corpus assign + probe,
+    end to end. FULL SQL oracle since round 4: the coarse quantizer is
+    the engine-owned deterministic spherical k-means
+    (operators/similarity.py::kmeans_cosine_det — int8 codes, exact
+    integer-sum centroid updates), so ORACLES["ann_ivf"] unrolls the
+    complete tier — 5 Lloyd iterations, corpus assignment, probe
+    selection, ranking — as chained CTEs. Recall vs brute force stays
+    pinned in pytest. The built index is stored in the session cache
+    so `ivf_probe` measures the steady-state probe — build+probe here
+    ≡ ivf_topk one-shot (equality pinned in
     tests/test_similarity.py::test_ivf_build_probe_amortizes)."""
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERY).select(
@@ -130,9 +141,9 @@ def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The amortized IVF path: build (k-means + assign, cached per
     session/sf) once, probe per query batch. Bench-wise this is the
     steady-state ANN latency — `ann_ivf` is the same answer's cold
-    build+probe. Rows-only like ann_ivf (MLlib k-means training has
-    no SQL oracle); probe≡build-probe equality and recall are pinned
-    in tests/test_similarity.py."""
+    build+probe. FULL SQL oracle since round 4 (the shared unrolled
+    quantizer oracle, see q_ann_ivf); probe≡build-probe equality and
+    recall are pinned in tests/test_similarity.py."""
     e = T(spark, sf_dir, "embeddings")
     key = (spark.sparkContext.applicationId, sf_dir)
     index = _IVF_CACHE.get(key)
@@ -507,3 +518,100 @@ ORACLES["mmr_rerank"] = f"""
            round(score, 6) AS mmr_score
     FROM ({" UNION ALL ".join(_MMR_UNIONS)})
 """
+
+
+# --- IVF oracle: the full deterministic quantizer, unrolled ---------------
+#
+# Round 4 replaced the MLlib KMeans coarse quantizer with
+# operators/similarity.py::kmeans_cosine_det — deterministic spherical
+# k-means over int8 codes (exact integer-sum centroid updates, argmax-
+# cosine assignment, ties to the lowest cid). Every step is plain
+# arithmetic both engines execute bit-identically (codes: the proven
+# ann_quantized recipe; cosine: list_dot_product ≡ aggregate(zip_with);
+# means: CAST(int64 sum AS DOUBLE)/count ≡ Python int true division),
+# so the ENTIRE IVF tier — training iterations, corpus assignment,
+# probe selection, final ranking — unrolls as chained CTEs the same
+# way the PageRank and MMR oracles do.
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _ivf_oracle_sql(
+    k: int = 16, iters: int = KMEANS_ITERS, dim: int = 64, n_probe: int = 4
+) -> str:
+    max_train = max(k * 100, KMEANS_MAX_TRAIN)
+    ctes = [
+        f"""
+    raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sc AS (SELECT vec_id, v,
+                  CASE WHEN m > 0 THEN m ELSE 1.0 END AS scale_d
+           FROM (SELECT vec_id, v,
+                        list_max(list_transform(v, x -> abs(x))) AS m
+                 FROM raw WHERE vec_id >= {N_QUERY})),
+    codes AS (SELECT vec_id,
+                     list_transform(
+                         v, x -> CAST(round(x / scale_d * 127) AS TINYINT)
+                     ) AS q
+              FROM sc),
+    train AS (SELECT vec_id, q, CAST(q AS DOUBLE[]) AS qd FROM codes
+              ORDER BY (vec_id * {KMEANS_HASH_A}) % {KMEANS_HASH_M}, vec_id
+              LIMIT {max_train}),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  CAST(q AS DOUBLE[]) AS cvec
+           FROM (SELECT vec_id, q FROM train ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(
+            f"""
+    a{t} AS (SELECT q, cid FROM (
+        SELECT t.q, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                   ORDER BY {_cos_sql("t.qd", "c.cvec")} DESC, c.cid) AS rn
+        FROM train t CROSS JOIN c{p} c) WHERE rn = 1),
+    u{t} AS (SELECT cid, ord,
+                    CAST(sum(CAST(q[ord] AS BIGINT)) AS DOUBLE)
+                        / count(*) AS val
+             FROM a{t} CROSS JOIN
+                  (SELECT unnest(generate_series(1, {dim})) AS ord) o
+             GROUP BY cid, ord),
+    c{t} AS (SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+             FROM c{p} p LEFT JOIN (
+                 SELECT cid, list(val ORDER BY ord) AS cvec
+                 FROM u{t} GROUP BY cid) n USING (cid))"""
+        )
+    final = f""",
+    qry AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {N_QUERY}),
+    assign AS (SELECT neighbor_id, v, cid FROM (
+        SELECT r.vec_id AS neighbor_id, r.v, ce.cid,
+               row_number() OVER (PARTITION BY r.vec_id
+                   ORDER BY {_cos_sql("r.v", "ce.cvec")} DESC, ce.cid) AS rn
+        FROM raw r CROSS JOIN c{iters} ce WHERE r.vec_id >= {N_QUERY})
+        WHERE rn = 1),
+    probes AS (SELECT query_id, v, cid FROM (
+        SELECT qy.query_id, qy.v, ce.cid,
+               row_number() OVER (PARTITION BY qy.query_id
+                   ORDER BY {_cos_sql("qy.v", "ce.cvec")} DESC, ce.cid) AS rn
+        FROM qry qy CROSS JOIN c{iters} ce) WHERE rn <= {n_probe}),
+    scored AS (SELECT p.query_id, a.neighbor_id,
+                      {_cos_sql("p.v", "a.v")} AS cs
+               FROM assign a JOIN probes p USING (cid)),
+    ranked AS (SELECT query_id, neighbor_id, cs,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY cs DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}"""
+    return "WITH " + ",".join(ctes) + final
+
+
+ORACLES["ann_ivf"] = _ivf_oracle_sql()
+ORACLES["ivf_probe"] = _ivf_oracle_sql()

@@ -270,3 +270,36 @@ def test_bruteforce_plan_has_partition_prereduce(spark, sf_dir):
     # And the result is still the exact top-k: self-query rank 1 is self.
     top = {r.query_id: r.neighbor_id for r in df.filter("rank = 1").collect()}
     assert all(qid == nid for qid, nid in top.items())
+
+
+def test_kmeans_det_partitioning_invariant(spark, sf_dir):
+    """The deterministic quantizer's centroids are bit-identical under
+    any input partitioning: integer code sums are exact (no float
+    accumulation order), init is id-ordered, assignment ties break on
+    cid. This is the property that makes the whole IVF tier
+    oracle-checkable — a foreign engine replaying the same arithmetic
+    lands on the same doubles."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.quantize import (
+        quantize_int8,
+    )
+
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 5)
+    qz = quantize_int8(
+        e.select(F.col("vec_id").alias("_tid"), F.col("embedding").alias("_v")),
+        col="_v",
+        qcol="_q",
+    ).select("_tid", "_q")
+    a = S.kmeans_cosine_det(qz, k=8, iters=3, dim=64)
+    b = S.kmeans_cosine_det(qz.repartition(13), k=8, iters=3, dim=64)
+    assert a == b  # exact float equality, element-wise
+
+
+def test_ivf_assignment_total(spark, sf_dir):
+    """Every corpus vector lands in exactly one inverted list (no NaN
+    cosine dropouts — the fixtures contain no zero vectors)."""
+    c, _ = _split(spark, sf_dir)
+    index = S.ivf_build(c, n_centroids=8, persist=False)
+    got = index.assigned.groupBy("_list").count()
+    assert index.assigned.filter(F.col("_list").isNull()).count() == 0
+    assert index.assigned.count() == c.count()
+    assert got.count() <= 8
