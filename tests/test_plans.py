@@ -471,3 +471,47 @@ def test_aqe_skew_join_fires_on_planted_skew(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """When the dim side of a shuffle join carries a selective filter
+    but is too big to broadcast, Catalyst's InjectRuntimeFilter plants
+    a bloom_filter_agg on the dim side and a might_contain probe on
+    the fact side — the fact shuffle then moves only rows whose keys
+    probably survive the join. This is the 100 TB complement to the
+    broadcast pin (test_dim_join_broadcasts): past the broadcast
+    ceiling, runtime bloom pruning is what keeps the fact-side shuffle
+    proportional to the join's selectivity, not the table size. The
+    default applicationSideScanSizeThreshold (10 GB) is exactly the
+    "only bother at scale" guard — lowered here so the optimizer sees
+    fixture-sized tables the way it would see 100 TB ones."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = T(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = T(spark, sf_dir, "lineitem")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized
+        assert "might_contain" in optimized, optimized
+        # and the probe must sit on the FACT (lineitem) branch:
+        probe_side = optimized[optimized.index("might_contain"):]
+        assert "lineitem" in probe_side or "l_orderkey" in probe_side
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
