@@ -335,6 +335,40 @@ def simhash_pairs(
 
 # --- n-gram Jaccard (blocked exact) -----------------------------------------
 
+PAIR_FANOUT = 8
+
+
+def _fanout_self_join(sh: DataFrame, cond, fanout: int = PAIR_FANOUT):
+    """Skew-proof blocked self-join: salt the x side by id hash and
+    replicate the y side `fanout` ways, so each candidate pair is
+    produced EXACTLY once (at the x row's salt) while the largest
+    block's quadratic comparison work spreads across `fanout` tasks
+    instead of landing on one straggler. Pure plan rewrite — the pair
+    set is identical, so oracles are untouched. Found on the sf1
+    stress gate: one hot `source` block held a single task >10 min
+    while 31 cores idled; the equi-join shuffle cannot split one key's
+    rows, but salting can. Cost: fanout× shuffle of the (bounded)
+    shingle projections — the standard trade for self-join skew.
+
+    The shuffle_merge hint is load-bearing: on byte-small inputs Spark
+    would pick a broadcast-hash join, which runs at the probe side's
+    SCAN partitioning (a handful of file splits) — the salt never
+    reaches an exchange and the quadratic compare serializes on 2-3
+    tasks regardless (second sf1 finding). Forcing the shuffle join
+    routes both sides through a (block, salt)-keyed exchange whose
+    width AQE sizes (floored by coalescePartitions.minPartitionSize,
+    see session.py) — a few MB of extra shuffle buys full-core pair
+    production."""
+    x = sh.withColumn("_salt", F.pmod(F.xxhash64("_id"), F.lit(fanout)))
+    y = sh.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(fanout)]))
+    )
+    return x.alias("x").join(
+        y.alias("y").hint("shuffle_merge"),
+        cond & (F.col("x._salt") == F.col("y._salt")),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -344,7 +378,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs sharing a block key.
-    The honest O(n²/blocks) baseline the sketch methods approximate."""
+    The honest O(n²/blocks) baseline the sketch methods approximate;
+    the per-block quadratic work is spread via
+    :func:`_fanout_self_join` so a hot block cannot serialize it.
+
+    Shingle sets are carried as portable 32-bit gram hashes
+    (:func:`gram_hash32`), not gram strings: the quadratic inner loop
+    pays an array_intersect + array_union per candidate pair, and on
+    BIGINT arrays those are ~an order of magnitude cheaper than on
+    ~25-byte strings (and the salted shuffle moves 8-byte elements
+    instead of the text). Set cardinalities — hence jaccard — are
+    unchanged short of an md5-prefix collision inside one document
+    (P ≈ n²/2³² per doc, and the DuckDB twin applies the IDENTICAL
+    hash, so even a collision cannot split engine from oracle)."""
     from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
         normalize_text,
         shingles_from,
@@ -360,7 +406,12 @@ def ngram_jaccard_pairs(
         .select(
             "_id",
             *( ["_blk"] if block_col else [] ),
-            F.array_distinct(shingles_from("_tk", shingle_n)).alias("_sh"),
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(shingles_from("_tk", shingle_n)),
+                    gram_hash32,
+                )
+            ).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
     )
@@ -370,8 +421,7 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("x._sh"), F.col("y._sh")))
     union = F.size(F.array_union(F.col("x._sh"), F.col("y._sh")))
     return (
-        sh.alias("x")
-        .join(sh.alias("y"), cond)
+        _fanout_self_join(sh, cond)
         .select(
             F.col("x._id").alias("id_a"),
             F.col("y._id").alias("id_b"),
@@ -396,9 +446,10 @@ def ngram_containment_pairs(
     measure, not symmetric similarity (Broder 1997 distinguishes
     resemblance vs containment for exactly this reason). Emits ordered
     pairs (id_a contained-in id_b), both directions when both clear
-    the threshold. Same blocked self-join shape as
-    :func:`ngram_jaccard_pairs`; the sketch-scale analogue hashes
-    only A's shingles (minhash of A against B's shingle filter)."""
+    the threshold. Same blocked self-join shape (and same hashed-gram
+    representation — see there) as :func:`ngram_jaccard_pairs`; the
+    sketch-scale analogue hashes only A's shingles (minhash of A
+    against B's shingle filter)."""
     from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
         normalize_text,
         shingles_from,
@@ -414,7 +465,12 @@ def ngram_containment_pairs(
         .select(
             "_id",
             *( ["_blk"] if block_col else [] ),
-            F.array_distinct(shingles_from("_tk", shingle_n)).alias("_sh"),
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(shingles_from("_tk", shingle_n)),
+                    gram_hash32,
+                )
+            ).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
     )
@@ -423,8 +479,7 @@ def ngram_containment_pairs(
         cond = cond & (F.col("x._blk") == F.col("y._blk"))
     inter = F.size(F.array_intersect(F.col("x._sh"), F.col("y._sh")))
     return (
-        sh.alias("x")
-        .join(sh.alias("y"), cond)
+        _fanout_self_join(sh, cond)
         .select(
             F.col("x._id").alias("id_a"),
             F.col("y._id").alias("id_b"),
@@ -499,16 +554,25 @@ def connected_components(
     Components in MapReduce"), which are the same two join/agg
     primitives applied alternately.
     """
+    # localCheckpoint, not persist: `edges` usually arrives as the tail
+    # of a deep candidate pipeline (LSH banding → verify), and a
+    # persisted DataFrame still EMBEDS that whole logical plan — every
+    # round's join then re-prints it, and by round ~20 the composed
+    # plan string crosses Spark's 2^31 cap and the driver OOMs
+    # (observed on the sf1 stress gate). Eager checkpointing truncates
+    # the lineage to the materialized blocks, so per-round plans stay
+    # O(1); the action doubles as the build barrier. Same recipe as
+    # graph.pagerank (round 3). At 100 TB, checkpoint to reliable
+    # storage instead.
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    sym.count()
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl")
-    ).persist()
+    ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (
@@ -522,15 +586,13 @@ def connected_components(
                 labels.id,
                 F.least(labels.lbl, F.coalesce("nbr_lbl", labels.lbl)).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    sym.unpersist()
     return labels.select("id", F.col("lbl").alias("cluster"))
 
 

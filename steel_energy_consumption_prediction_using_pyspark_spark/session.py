@@ -29,6 +29,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing targets max(total/parallelism, minPartitionSize);
+    # the 1M default collapses CPU-heavy-but-byte-light shuffles (the
+    # quadratic compare family: shingle-array intersects, cosine
+    # verifies) to a handful of tasks — observed on the sf1 stress gate
+    # as a 6-task join stage doing minutes of per-row work while 30
+    # cores idled. 64k keeps those at full width; byte-heavy shuffles
+    # still coalesce via the total/parallelism term, so this only
+    # affects plans where bytes badly under-proxy cost.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # Parquet pushdown knobs are on by default; pinned here as documentation

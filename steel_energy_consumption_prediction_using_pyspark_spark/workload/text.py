@@ -904,6 +904,26 @@ _LANG_SCORE = {
     for lang, markers in X.LANG_MARKERS.items()
 }
 
+# Shared hashed-shingle list: grams are reduced to the portable
+# 32-bit md5-prefix hash (identical to the engine's gram_hash32)
+# BEFORE the quadratic pair join, so list_intersect runs on BIGINTs
+# instead of ~25-byte strings — same speed/portability trade the
+# engine makes in ngram_jaccard_pairs.
+_HASHED_SH = f"""list_distinct(
+                       list_transform(
+                           list_distinct(
+                               list_transform(
+                                   range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
+                                   i -> string_split({_NORM}, ' ')[i] || ' ' ||
+                                        string_split({_NORM}, ' ')[i+1] || ' ' ||
+                                        string_split({_NORM}, ' ')[i+2]
+                               )
+                           ),
+                           g -> CAST(CAST(concat('0x', substr(md5(g), 1, 8))
+                                          AS UBIGINT) AS BIGINT)
+                       )
+                   )"""
+
 # shared transitive-closure CTE chain (planted clones -> 3-shingle
 # Jaccard pairs -> symmetrized edges -> recursive min-label reach),
 # used by the dedup_clusters AND cluster_representatives oracles
@@ -917,25 +937,23 @@ _CLUSTERS_CTE = f"""
             SELECT doc_id + 20000000, text, source
             FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
         ),
-        sh AS (
+        sh AS MATERIALIZED (
             SELECT doc_id, source,
-                   list_distinct(
-                       list_transform(
-                           range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
-                           i -> string_split({_NORM}, ' ')[i] || ' ' ||
-                                string_split({_NORM}, ' ')[i+1] || ' ' ||
-                                string_split({_NORM}, ' ')[i+2]
-                       )
-                   ) AS sh
+                   {_HASHED_SH} AS sh
             FROM docs_aug
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))
                   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.03
         ),
-        edges AS (
+        -- MATERIALIZED is load-bearing: edges is referenced inside the
+        -- recursive term, and an inlined CTE would re-run the whole
+        -- quadratic pair join on EVERY closure iteration (observed at
+        -- sf1: ~30 iterations x ~2 min of pair join = a half-hour
+        -- oracle for a graph whose largest component is 32 nodes).
+        edges AS MATERIALIZED (
             SELECT id_a AS s, id_b AS d FROM pairs
             UNION SELECT id_b, id_a FROM pairs
         ),
@@ -1348,14 +1366,7 @@ ORACLES = {
     "containment_pairs": f"""
         WITH sh AS (
             SELECT doc_id, source,
-                   list_distinct(
-                       list_transform(
-                           range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
-                           i -> string_split({_NORM}, ' ')[i] || ' ' ||
-                                string_split({_NORM}, ' ')[i+1] || ' ' ||
-                                string_split({_NORM}, ' ')[i+2]
-                       )
-                   ) AS sh
+                   {_HASHED_SH} AS sh
             FROM documents
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1368,14 +1379,7 @@ ORACLES = {
     "ngram_jaccard": f"""
         WITH sh AS (
             SELECT doc_id, source,
-                   list_distinct(
-                       list_transform(
-                           range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
-                           i -> string_split({_NORM}, ' ')[i] || ' ' ||
-                                string_split({_NORM}, ' ')[i+1] || ' ' ||
-                                string_split({_NORM}, ' ')[i+2]
-                       )
-                   ) AS sh
+                   {_HASHED_SH} AS sh
             FROM documents
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
