@@ -259,3 +259,65 @@ def test_prefix_jaccard_matches_bruteforce(spark, sf_dir):
     }
     assert fast == brute
     assert sum(1 for (_, b, j) in fast if b >= 10_000_000 and j == 1.0) >= 5
+
+
+def test_fanout_self_join_preserves_pair_set(spark, sf_dir):
+    """The 8-way salted self-join (_fanout_self_join) is a pure plan
+    rewrite: every candidate pair is produced exactly once, at the x
+    row's salt. Pin pair-for-pair equality (ids AND jaccard) against a
+    naive unsalted blocked join on the same inputs, including the
+    blocked (block_col) shape the sf1 hot-block fix targets. Clones
+    are planted so the pair set is guaranteed non-empty at every
+    fixture SF (clone pairs land at J=1.0 in the clone's block)."""
+    d, _ = _planted(spark, sf_dir, n=5)
+    d = d.filter((F.col("doc_id") % 10_000_000) < 300)
+    fast = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in D.ngram_jaccard_pairs(
+            d, "text", "doc_id", block_col="source", threshold=0.03
+        ).collect()
+    }
+    # naive twin: same hashed-shingle projection, plain blocked join
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        normalize_text,
+        shingles_from,
+        tokens,
+    )
+
+    sh = (
+        d.select(
+            F.col("doc_id").alias("_id"),
+            F.col("source").alias("_blk"),
+            tokens(normalize_text("text")).alias("_tk"),
+        )
+        .select(
+            "_id",
+            "_blk",
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(shingles_from("_tk", 3)), D.gram_hash32
+                )
+            ).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+    )
+    inter = F.size(F.array_intersect(F.col("x._sh"), F.col("y._sh")))
+    union = F.size(F.array_union(F.col("x._sh"), F.col("y._sh")))
+    naive = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x._id") < F.col("y._id"))
+            & (F.col("x._blk") == F.col("y._blk")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            (inter / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.03)
+        .collect()
+    }
+    assert fast == naive
+    assert len(fast) > 0
