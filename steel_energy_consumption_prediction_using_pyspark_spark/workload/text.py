@@ -904,25 +904,31 @@ _LANG_SCORE = {
     for lang, markers in X.LANG_MARKERS.items()
 }
 
-# Shared hashed-shingle list: grams are reduced to the portable
-# 32-bit md5-prefix hash (identical to the engine's gram_hash32)
-# BEFORE the quadratic pair join, so list_intersect runs on BIGINTs
-# instead of ~25-byte strings — same speed/portability trade the
-# engine makes in ngram_jaccard_pairs.
-_HASHED_SH = f"""list_distinct(
+# Shared hashed-shingle list over a STAGED token column `tk` (the
+# caller's previous CTE must compute tk = string_split(_NORM, ' ')
+# once per row): the gram lambda references tk three times per gram,
+# and DuckDB does not CSE lambda bodies, so inlining the
+# regexp+split there costs O(tokens²) regexp evaluations per
+# document — measured as a >10-minute single-threaded oracle at sf1
+# (the 10k-row parquet is one row group, so DuckDB cannot even
+# parallelize the scan). Same stage-the-tokens rule the engine's
+# shingles_from docstring mandates. Grams are reduced to the
+# portable 32-bit md5-prefix hash (identical to the engine's
+# gram_hash32) BEFORE the quadratic pair join, so list_intersect
+# runs on BIGINTs instead of ~25-byte strings.
+_HASHED_SH = """list_distinct(
                        list_transform(
                            list_distinct(
                                list_transform(
-                                   range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
-                                   i -> string_split({_NORM}, ' ')[i] || ' ' ||
-                                        string_split({_NORM}, ' ')[i+1] || ' ' ||
-                                        string_split({_NORM}, ' ')[i+2]
+                                   range(1, greatest(len(tk) - 1, 1)),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                )
                            ),
                            g -> CAST(CAST(concat('0x', substr(md5(g), 1, 8))
                                           AS UBIGINT) AS BIGINT)
                        )
                    )"""
+_TK_STAGE = f"string_split({_NORM}, ' ')"
 
 # shared transitive-closure CTE chain (planted clones -> 3-shingle
 # Jaccard pairs -> symmetrized edges -> recursive min-label reach),
@@ -937,10 +943,13 @@ _CLUSTERS_CTE = f"""
             SELECT doc_id + 20000000, text, source
             FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
         ),
+        tks AS (
+            SELECT doc_id, source, {_TK_STAGE} AS tk FROM docs_aug
+        ),
         sh AS MATERIALIZED (
             SELECT doc_id, source,
                    {_HASHED_SH} AS sh
-            FROM docs_aug
+            FROM tks
         ),
         pairs AS MATERIALIZED (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1286,18 +1295,18 @@ ORACLES = {
         FROM kept GROUP BY lang ORDER BY lang
     """,
     "winnowing": f"""
-        WITH g AS (
+        WITH tks AS (
+            SELECT doc_id, lang, {_TK_STAGE} AS tk FROM documents
+        ), g AS (
             SELECT doc_id, lang,
                    list_transform(
                        list_transform(
-                           range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
-                           i -> string_split({_NORM}, ' ')[i] || ' ' ||
-                                string_split({_NORM}, ' ')[i+1] || ' ' ||
-                                string_split({_NORM}, ' ')[i+2]
+                           range(1, greatest(len(tk) - 1, 1)),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                        ),
                        s -> md5(s)
                    ) AS h
-            FROM documents
+            FROM tks
         ), f AS (
             SELECT doc_id, lang,
                    list_distinct(
@@ -1322,18 +1331,18 @@ ORACLES = {
         FROM a1 JOIN a2 USING (lang) ORDER BY lang
     """,
     "winnow_pairs": f"""
-        WITH g AS (
+        WITH tks AS (
+            SELECT doc_id, {_TK_STAGE} AS tk FROM documents
+        ), g AS (
             SELECT doc_id,
                    list_transform(
                        list_transform(
-                           range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
-                           i -> string_split({_NORM}, ' ')[i] || ' ' ||
-                                string_split({_NORM}, ' ')[i+1] || ' ' ||
-                                string_split({_NORM}, ' ')[i+2]
+                           range(1, greatest(len(tk) - 1, 1)),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                        ),
                        s -> md5(s)
                    ) AS h
-            FROM documents
+            FROM tks
         ), f AS (
             SELECT doc_id,
                    list_distinct(
@@ -1364,10 +1373,13 @@ ORACLES = {
         FROM t, s GROUP BY 1 ORDER BY 1
     """,
     "containment_pairs": f"""
-        WITH sh AS (
+        WITH tks AS (
+            SELECT doc_id, source, {_TK_STAGE} AS tk FROM documents
+        ),
+        sh AS (
             SELECT doc_id, source,
                    {_HASHED_SH} AS sh
-            FROM documents
+            FROM tks
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(len(list_intersect(a.sh, b.sh))
@@ -1377,10 +1389,13 @@ ORACLES = {
               / CAST(len(a.sh) AS DOUBLE) >= 0.05
     """,
     "ngram_jaccard": f"""
-        WITH sh AS (
+        WITH tks AS (
+            SELECT doc_id, source, {_TK_STAGE} AS tk FROM documents
+        ),
+        sh AS (
             SELECT doc_id, source,
                    {_HASHED_SH} AS sh
-            FROM documents
+            FROM tks
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(len(list_intersect(a.sh, b.sh))
@@ -1529,17 +1544,18 @@ ORACLES["minhash_lsh"] = f"""
         SELECT doc_id + 10000000, text
         FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
     ),
+    tks AS (
+        SELECT doc_id, {_TK_STAGE} AS tk FROM docs_aug
+    ),
     sh AS (
         SELECT doc_id,
                list_distinct(
                    list_transform(
-                       range(1, greatest(len(string_split({_NORM}, ' ')) - 1, 1)),
-                       i -> string_split({_NORM}, ' ')[i] || ' ' ||
-                            string_split({_NORM}, ' ')[i+1] || ' ' ||
-                            string_split({_NORM}, ' ')[i+2]
+                       range(1, greatest(len(tk) - 1, 1)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                    )
                ) AS sh
-        FROM docs_aug
+        FROM tks
     ),
     nz AS (SELECT * FROM sh WHERE len(sh) > 0),
     hashed AS (
