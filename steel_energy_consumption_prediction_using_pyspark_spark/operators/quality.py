@@ -137,3 +137,49 @@ def table_fingerprint(df, row_str):
         F.bit_xor(lane(1)).alias("fp_lo"),
         F.bit_xor(lane(17)).alias("fp_hi"),
     )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    label: str = "join",
+) -> DataFrame:
+    """EXACT equi-join output cardinality from per-key counts —
+    |A ⋈ B| = Σ_k cntA(k)·cntB(k) — without executing the join.
+
+    The pre-flight check before committing a join key at 100 TB
+    (companion to :func:`skew_profile`): two map-side-combinable
+    groupBy counts plus a join of the (small) count tables replace
+    materializing a potentially exploding output. A self-join profile
+    (pass the same frame twice) answers "will this pair generator
+    blow up" — the question the dedup tier's blocked self-joins ask
+    before choosing block keys. The formula is exact, not an
+    estimate, so a DuckDB twin hash-verifies it; at warehouse scale
+    the same shape runs over sampled or sketched counts (the CM-sketch
+    variant trades exactness for one pass).
+
+    Returns 1 row: (join_name, est_rows, n_shared_keys,
+    max_key_rows, top_key) where max_key_rows is the largest single
+    key's contribution — the skew headline — and top_key is its key
+    (largest key wins contribution ties, via struct-max: one hash
+    aggregate, no window sort).
+    """
+    ca = a.groupBy(F.col(a_key).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    cb = b.groupBy(F.col(b_key).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    contrib = ca.join(cb, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("rows")
+    )
+    m = F.max(F.struct(F.col("rows"), F.col("k"))).alias("m")
+    return contrib.agg(
+        F.sum("rows").alias("est_rows"),
+        F.count(F.lit(1)).alias("n_shared_keys"),
+        m,
+    ).select(
+        F.lit(label).alias("join_name"),
+        "est_rows",
+        "n_shared_keys",
+        F.col("m.rows").alias("max_key_rows"),
+        F.col("m.k").alias("top_key"),
+    )

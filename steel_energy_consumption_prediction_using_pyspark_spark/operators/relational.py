@@ -529,3 +529,33 @@ def weighted_hash_sample(
     rate = F.least(F.lit(1.0), weight * F.lit(base_rate))
     thr = F.floor(rate * F.lit(4294967296.0))
     return df.filter(h < thr)
+
+
+def compaction_bins(
+    files: "DataFrame",
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    target: "Column",
+) -> "DataFrame":
+    """Small-file compaction planning — the OPTIMIZE/bin-packing step
+    of lakehouse table maintenance: within each table partition, walk
+    files in a deterministic order and cut a new output bin whenever
+    the running byte total crosses `target` (bin = exclusive prefix
+    sum DIV target — the streaming first-fit used by Delta/Iceberg
+    compaction, which packs neighbors instead of globally optimizing,
+    preserving clustering order).
+
+    One per-PARTITION window (never global — bounded by files per
+    partition, thousands at most; the 100 TB table has many
+    partitions, not many files per partition), integer DIV only so a
+    SQL twin reproduces bins exactly. Returns the input plus a `bin`
+    column; the caller aggregates bins into the rewrite manifest.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_excl = F.sum(size_col).over(w) - F.col(size_col)
+    return files.withColumn("bin", F.floor(cum_excl / target))

@@ -510,7 +510,75 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction manifest
+    (operators/relational.py::compaction_bins): a deterministic file
+    listing — one "file" per ship-day, sized by row count × 96-byte
+    proxy, partitioned by month — is bin-packed to a target of 4× the
+    global mean file size (derived from the data with integer DIV, so
+    the plan is scale-factor-robust: bins hold ~4 neighbors at every
+    SF). Output: the rewrite manifest — per (month, bin) file count,
+    byte total, and the day range each compacted object will span."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        compaction_bins,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(F.to_date("l_shipdate").alias("d"))
+    files = li.groupBy(
+        F.date_format("d", "yyyy-MM").alias("part"),
+        F.dayofmonth("d").alias("f"),
+    ).agg((F.count(F.lit(1)) * F.lit(96)).alias("bytes"))
+    # integer DIV, not float-divide-then-cast: Spark's long cast
+    # truncates while DuckDB's rounds, so the two engines would pick
+    # different targets on a .5 boundary
+    avg = files.agg(
+        F.sum("bytes").alias("sb"), F.count(F.lit(1)).alias("nf")
+    ).selectExpr("sb DIV nf AS mean_bytes")
+    planned = compaction_bins(
+        files.crossJoin(F.broadcast(avg)),
+        "part",
+        "f",
+        "bytes",
+        F.col("mean_bytes") * F.lit(4),
+    )
+    return (
+        planned.groupBy("part", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("bytes"),
+            F.min("f").alias("first_day"),
+            F.max("f").alias("last_day"),
+        )
+        .orderBy("part", "bin")
+    )
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-size profile
+    (operators/quality.py::join_size_estimate): exact output
+    cardinality and worst-key contribution of two joins — the
+    many-to-many lineitem self-join on l_partkey (the "will this pair
+    generator explode" check the dedup tier's block keys face) and
+    the orders⋈lineitem fact join — computed from per-key counts
+    without executing either join."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.quality import (
+        join_size_estimate,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    prof_self = join_size_estimate(
+        li, "l_partkey", li, "l_partkey", "lineitem_self_partkey"
+    )
+    prof_fact = join_size_estimate(
+        o, "o_orderkey", li, "l_orderkey", "orders_lineitem_orderkey"
+    )
+    return prof_self.unionByName(prof_fact).orderBy("join_name")
+
+
 QUERIES = {
+    "compaction_plan": q_compaction_plan,
+    "join_cardinality": q_join_cardinality,
     "zorder_layout": q_zorder_layout,
     "benford": q_benford,
     "reconcile": q_reconcile,
@@ -555,6 +623,72 @@ from steel_energy_consumption_prediction_using_pyspark_spark.operators.relationa
 )
 
 ORACLES = {
+    "compaction_plan": """
+        WITH files AS (
+            SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS part,
+                   day(CAST(l_shipdate AS DATE)) AS f,
+                   CAST(count(*) * 96 AS BIGINT) AS bytes
+            FROM lineitem GROUP BY 1, 2
+        ),
+        tgt AS (
+            SELECT (sum(bytes) // count(*)) * 4 AS target
+            FROM files
+        ),
+        binned AS (
+            SELECT part, f, bytes,
+                   CAST(floor(
+                       (sum(bytes) OVER (PARTITION BY part ORDER BY f
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - bytes)
+                       / CAST(target AS DOUBLE)
+                   ) AS BIGINT) AS bin
+            FROM files, tgt
+        )
+        SELECT part, bin,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(bytes) AS BIGINT) AS bytes,
+               min(f) AS first_day, max(f) AS last_day
+        FROM binned GROUP BY part, bin ORDER BY part, bin
+    """,
+    "join_cardinality": """
+        WITH self_c AS (
+            SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1
+        ),
+        self_contrib AS (SELECT k, c * c AS rows_ FROM self_c),
+        self_prof AS (
+            SELECT 'lineitem_self_partkey' AS join_name,
+                   CAST(sum(rows_) AS BIGINT) AS est_rows,
+                   CAST(count(*) AS BIGINT) AS n_shared_keys,
+                   CAST(max(rows_) AS BIGINT) AS max_key_rows,
+                   (SELECT k FROM self_contrib
+                    ORDER BY rows_ DESC, k DESC LIMIT 1) AS top_key
+            FROM self_contrib
+        ),
+        oc AS (
+            SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1
+        ),
+        lc AS (
+            SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1
+        ),
+        fact_contrib AS (
+            SELECT oc.k, oc.c * lc.c AS rows_
+            FROM oc JOIN lc ON oc.k = lc.k
+        ),
+        fact_prof AS (
+            SELECT 'orders_lineitem_orderkey' AS join_name,
+                   CAST(sum(rows_) AS BIGINT) AS est_rows,
+                   CAST(count(*) AS BIGINT) AS n_shared_keys,
+                   CAST(max(rows_) AS BIGINT) AS max_key_rows,
+                   (SELECT k FROM fact_contrib
+                    ORDER BY rows_ DESC, k DESC LIMIT 1) AS top_key
+            FROM fact_contrib
+        )
+        SELECT * FROM self_prof UNION ALL SELECT * FROM fact_prof
+        ORDER BY join_name
+    """,
     "zorder_layout": f"""
         WITH mx AS (
             SELECT max(o_custkey) AS mc,
