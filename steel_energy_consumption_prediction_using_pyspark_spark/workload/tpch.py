@@ -460,20 +460,27 @@ def q_tpch_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: the supplier(s) whose 1997-Q1 revenue equals the
-    maximum — the textbook CREATE VIEW + scalar MAX subquery, expressed
-    as one grouped aggregate reused twice (revenue per supplier, then
-    its 1-row max broadcast back). The equality test runs on the
-    UNROUNDED double within each engine; output is rounded after."""
+    maximum — the textbook CREATE VIEW + scalar MAX subquery. The max
+    is taken with a global window over the ONE computed rev frame,
+    not a second aggregation of the subtree: a double sum re-evaluated
+    twice (Spark re-executes shared subtrees per consumer; shuffle
+    fetch order is a network race) can differ in the last ulp, and
+    the equality then matches zero rows — observed as a flaky sf1
+    oracle before DuckDB's twin was MATERIALIZED for the same reason.
+    The window input is the per-supplier rev table (dim-sized,
+    bounded), not the fact table."""
     li = T(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     rev = li.groupBy("l_suppkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
     )
-    mx = rev.agg(F.max("total_rev").alias("mx"))
+    from pyspark.sql import Window
+
+    mx = F.max("total_rev").over(Window.partitionBy())
     supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(_bc(mx))
+        rev.withColumn("mx", mx)
         .filter(F.col("total_rev") == F.col("mx"))
         .join(_bc(supp), rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_revenue"))
@@ -724,16 +731,24 @@ ORACLES = {
         ORDER BY custdist DESC, c_count DESC
     """,
     "tpch_top_supplier": """
-        WITH rev AS (
+        -- MATERIALIZED + window max: an inlined rev would be summed
+        -- independently for the scalar-max subquery and the probe
+        -- side, and parallel double sums can differ in the last ulp,
+        -- making the equality match zero rows (observed flaky at sf1)
+        WITH rev AS MATERIALIZED (
             SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1997-04-01'
             GROUP BY l_suppkey
+        ),
+        r AS (
+            SELECT l_suppkey, total_rev, max(total_rev) OVER () AS mx
+            FROM rev
         )
         SELECT s_suppkey, s_name, round(total_rev, 2) AS total_revenue
-        FROM rev JOIN supplier ON l_suppkey = s_suppkey
-        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        FROM r JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = mx
         ORDER BY s_suppkey
     """,
     "tpch_promo_suppliers": """
