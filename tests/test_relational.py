@@ -521,3 +521,47 @@ def test_distributed_prefix_agg_matches_window(spark):
     }
     assert got_x == want_x
     assert any(p is None for _, p in got_x)  # first global row → NULL
+
+
+def test_compaction_bins_hand_computed(spark):
+    """Bin = exclusive running total DIV target, per partition: files
+    of sizes 60,60,60 with target 100 pack as [0,0,1] (the second 60
+    starts at offset 60 < 100; the third at 120 >= 100), and a file
+    larger than target still gets its own bin without absorbing the
+    next partition's files."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        compaction_bins,
+    )
+
+    rows = [
+        ("a", 1, 60), ("a", 2, 60), ("a", 3, 60),
+        ("b", 1, 250), ("b", 2, 10),
+    ]
+    df = spark.createDataFrame(rows, ["part", "f", "bytes"])
+    got = {
+        (r.part, r.f, r.bin)
+        for r in compaction_bins(df, "part", "f", "bytes", F.lit(100)).collect()
+    }
+    assert got == {
+        ("a", 1, 0), ("a", 2, 0), ("a", 3, 1),
+        ("b", 1, 0), ("b", 2, 2),
+    }
+
+
+def test_join_size_estimate_matches_actual_join(spark):
+    """est_rows is EXACT: equal to the materialized equi-join count,
+    and max_key_rows/top_key name the worst key (struct-max ties →
+    largest key)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.quality import (
+        join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,), (3,), (3,)], ["k"])
+    b = spark.createDataFrame([(1,), (2,), (2,), (3,), (9,)], ["k"])
+    prof = join_size_estimate(a, "k", b, "k", "t").collect()[0]
+    actual = a.join(b, "k").count()
+    assert prof.est_rows == actual == 1 * 2 + 2 * 1 + 3 * 1
+    assert prof.n_shared_keys == 3
+    # contributions: k1=2, k2=2, k3=3 -> max 3 at key 3
+    assert prof.max_key_rows == 3 and prof.top_key == 3
+    assert prof.join_name == "t"
