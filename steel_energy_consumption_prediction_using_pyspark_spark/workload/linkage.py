@@ -16,12 +16,20 @@ custkey parity. That keeps the whole family oracle-checkable —
 blocking recall and scoring precision are pinned by values, not by
 trust.
 
-Scale notes (100 TB): candidate-pair count is the whole game. The
-block key below (nationkey omitted, last-3 digits of the numeric id)
-yields ~|C|/1000 candidates per dirty record (round 3: widened from last-2 — 10× fewer Levenshtein evaluations, recall still 100% because the corruption never touches digits; block-key granularity IS the ER scaling lever) — a bounded fan-out
-equi-join, no cross product anywhere in the plan. Skewed blocks (a
-too-coarse key) are the known failure mode; the salted_join query
-next door is the recipe when a block key goes hot.
+Scale notes (100 TB): candidate-pair count is the whole game. Any
+FIXED block-key length k makes candidate pairs grow as n²/10^k —
+the round-4 sf1 stress bench measured exactly that (last-3 digits:
+0.7 s at sf0.1 → 24.7 s at sf1, 37× for 10× data). The fix is a
+SCALE-ADAPTIVE key: block length = greatest(3, len(str(|C|)) − 2),
+computed from count(customer) inside the query (one column-pruned
+count scan, broadcast as a scalar), so expected block occupancy is
+structurally capped at ~15 clean rows regardless of table size and
+the pair count is O(n), not O(n²). The identical integer formula
+runs on the DuckDB side, so the family stays oracle-checkable at
+every SF. Recall stays 100% because the corruption never touches
+digits. Skewed blocks (a too-coarse key) are the other failure
+mode; the salted_join query next door is the recipe when a block
+key goes hot.
 """
 
 from __future__ import annotations
@@ -50,19 +58,34 @@ def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_er_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked entity resolution: dirty customer names → best clean
-    match. Block on the last three digits of the digits-only name (the
-    corruption never touches digits), score candidates by Levenshtein
-    distance, keep the minimum per dirty record (clean-key tiebreak).
-    Output is the 20 worst (highest-distance) resolved matches plus
-    totals — small, fully deterministic, value-checked against DuckDB
-    computing the identical pipeline in SQL."""
+def _blocked_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared blocked-ER pipeline: adaptive-length digit blocking →
+    Levenshtein scoring → struct-min best match per dirty record.
+
+    Block length = greatest(3, len(str(|customer|)) − 2): one extra
+    digit per 10× rows, so expected occupancy (|C| / 10^blen) stays
+    ≤ ~15 and the candidate-pair count is linear in |C|. The count
+    rides a column-pruned scan and is broadcast to both sides as a
+    1-row scalar; the blocking join itself is a plain equi-join on
+    the derived key — no cross product anywhere in the plan."""
     dirty = _dirty_customers(spark, sf_dir)
     clean = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    params = T(spark, sf_dir, "customer").agg(
+        F.greatest(
+            F.lit(3), F.length(F.count(F.lit(1)).cast("string")) - F.lit(2)
+        ).alias("blen")
+    )
     digits = lambda col: F.regexp_replace(col, "[^0-9]", "")  # noqa: E731
-    d = dirty.withColumn("block", F.substring(digits(F.col("dirty_name")), -3, 3))
-    c = clean.withColumn("block", F.substring(digits(F.col("c_name")), -3, 3))
+    d = (
+        dirty.withColumn("dig", digits(F.col("dirty_name")))
+        .crossJoin(F.broadcast(params))
+        .withColumn("block", F.expr("substring(dig, -blen, blen)"))
+    )
+    c = (
+        clean.withColumn("dig", digits(F.col("c_name")))
+        .crossJoin(F.broadcast(params))
+        .withColumn("block", F.expr("substring(dig, -blen, blen)"))
+    )
     pairs = d.join(c, "block").withColumn(
         "lev", F.levenshtein(F.col("dirty_name"), F.col("c_name"))
     )
@@ -71,14 +94,28 @@ def q_er_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate per dirty key), vs the previous row_number window whose
     # sort shuffled every scored pair. Same (lev, c_custkey) total
     # order, same winner; measured 5.2 s → 3.7 s at sf0.1.
-    best = (
+    return (
         pairs.groupBy("dirty_key")
         .agg(F.min(F.struct("lev", "c_custkey")).alias("m"))
         .select(
             "dirty_key",
-            F.col("m.c_custkey").alias("match_key"),
+            F.col("m.c_custkey").alias("c_custkey"),
             F.col("m.lev").alias("lev"),
         )
+    )
+
+
+def q_er_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution: dirty customer names → best clean
+    match. Block on the last `blen` digits of the digits-only name
+    (the corruption never touches digits; blen is scale-adaptive, see
+    _blocked_best), score candidates by Levenshtein distance, keep
+    the minimum per dirty record (clean-key tiebreak). Output is the
+    20 worst (highest-distance) resolved matches — small, fully
+    deterministic, value-checked against DuckDB computing the
+    identical pipeline in SQL."""
+    best = _blocked_best(spark, sf_dir).withColumnRenamed(
+        "c_custkey", "match_key"
     )
     return best.orderBy(F.desc("lev"), F.asc("dirty_key")).limit(20)
 
@@ -89,25 +126,7 @@ def q_er_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty_key), and the distance histogram collapsed to min/max.
     One row; pins blocking recall == 100% on this corruption set as a
     VALUE the oracle must reproduce, not a test-only assertion."""
-    dirty = _dirty_customers(spark, sf_dir)
-    clean = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    digits = lambda col: F.regexp_replace(col, "[^0-9]", "")  # noqa: E731
-    d = dirty.withColumn("block", F.substring(digits(F.col("dirty_name")), -3, 3))
-    c = clean.withColumn("block", F.substring(digits(F.col("c_name")), -3, 3))
-    pairs = d.join(c, "block").withColumn(
-        "lev", F.levenshtein(F.col("dirty_name"), F.col("c_name"))
-    )
-    # Same struct-min best-match shape as q_er_match (map-side partial
-    # aggregation instead of a row_number window over all pairs).
-    best = (
-        pairs.groupBy("dirty_key")
-        .agg(F.min(F.struct("lev", "c_custkey")).alias("m"))
-        .select(
-            "dirty_key",
-            F.col("m.c_custkey").alias("c_custkey"),
-            F.col("m.lev").alias("lev"),
-        )
-    )
+    best = _blocked_best(spark, sf_dir)
     return best.agg(
         F.count(F.lit(1)).alias("n_dirty"),
         F.sum(
@@ -159,20 +178,28 @@ QUERIES = {
 }
 
 # DuckDB notes: regexp_replace needs the 'g' flag (Spark replaces all
-# occurrences by default); right(x, 3) ≡ Spark substring(x, -3, 3);
-# levenshtein is the same unit-cost edit distance in both engines.
+# occurrences by default); right(x, k) ≡ Spark substring(x, -k, k)
+# for k ≤ len(x); levenshtein is the same unit-cost edit distance in
+# both engines. The adaptive block length replays the Spark formula:
+# greatest(3, len(str(count(customer))) − 2).
 _ER_BEST = """
-    WITH dirty AS (
+    WITH params AS (
+        SELECT greatest(3, length(CAST(count(*) AS VARCHAR)) - 2) AS blen
+        FROM customer
+    ),
+    dirty AS (
         SELECT c_custkey AS dirty_key,
                CASE WHEN c_custkey % 2 = 0 THEN upper(c_name)
                     ELSE regexp_replace(c_name, 'Customer#', 'cust no ', 'g')
                END AS dirty_name
         FROM customer WHERE c_custkey % 3 = 1
     ),
-    d AS (SELECT *, right(regexp_replace(dirty_name, '[^0-9]', '', 'g'), 3) AS block FROM dirty),
+    d AS (SELECT dirty.*,
+                 right(regexp_replace(dirty_name, '[^0-9]', '', 'g'), blen) AS block
+          FROM dirty, params),
     c AS (SELECT c_custkey, c_name,
-                 right(regexp_replace(c_name, '[^0-9]', '', 'g'), 3) AS block
-          FROM customer),
+                 right(regexp_replace(c_name, '[^0-9]', '', 'g'), blen) AS block
+          FROM customer, params),
     pairs AS (
         SELECT d.dirty_key, d.dirty_name, c.c_custkey, c.c_name,
                levenshtein(d.dirty_name, c.c_name) AS lev
