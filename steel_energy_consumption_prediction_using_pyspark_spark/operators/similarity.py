@@ -223,27 +223,54 @@ def _py_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+def _fmt_double_lit(x: float) -> str:
+    """Shortest round-trip decimal for a double, as a Spark SQL literal.
+    Python's repr emits the shortest string that re-parses to the same
+    double; Spark's literal parser (Java Double.parseDouble) is equally
+    correctly-rounded, so the JVM sees the bit-identical value that
+    F.lit(x) would have shipped through py4j."""
+    s = repr(float(x))
+    if "e" in s:
+        return s.upper() + "D"
+    if "." not in s:
+        s += ".0"
+    return s + "D"
+
+
 def _nearest_centroid(
-    vec: Column, norm: Column, centroids: list[list[float]]
+    vec_name: str, norm_name: str, centroids: list[list[float]]
 ) -> Column:
     """Argmax-cosine centroid id as a PURE PROJECTION over literal
     centroid arrays — no shuffle, no window, no crossJoin: assignment
     at 100 TB is a map-only pass riding the corpus scan. Ties break to
     the lowest cid via array_min over (−cos, cid) structs. The caller
-    stages `norm` (= sqrt(dot(vec, vec))) as a named column so the HOF
-    is not re-evaluated per centroid (NOTES rule 7); the per-centroid
-    norm is folded driver-side with the identical left-to-right
-    accumulation, so every double matches what a SQL twin derives
-    in-plan from the same centroid values."""
+    stages `norm_name` (= sqrt(dot(vec, vec))) as a named column so
+    the HOF is not re-evaluated per centroid (NOTES rule 7); the
+    per-centroid norm is folded driver-side with the identical
+    left-to-right accumulation, so every double matches what a SQL
+    twin derives in-plan from the same centroid values.
+
+    Built as ONE SQL expression string parsed JVM-side: the Column-
+    object version shipped k×dim literal nodes through py4j per call
+    (~1.1 s per Lloyd iteration at k=16, dim=64 — measured round 4);
+    a single expr() is one round trip, same expression tree, same
+    left-to-right aggregate/zip_with fold semantics as workload.util
+    dot()."""
     import math
 
     cands = []
     for cid, cv in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in cv])
+        arr = "array(" + ",".join(_fmt_double_lit(x) for x in cv) + ")"
         ncent = math.sqrt(_py_dot(cv, cv))
-        cos = dot(vec, lit) / (norm * F.lit(ncent))
-        cands.append(F.struct((-cos).alias("negcos"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*cands))["cid"]
+        dot_s = (
+            f"aggregate(zip_with({vec_name}, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        cands.append(
+            f"struct(-({dot_s} / ({norm_name} * {_fmt_double_lit(ncent)})) "
+            f"AS negcos, {cid} AS cid)"
+        )
+    return F.expr("array_min(array(" + ",".join(cands) + ")).cid")
 
 
 def kmeans_cosine_det(
@@ -276,26 +303,31 @@ def kmeans_cosine_det(
     same correctly-rounded IEEE op as SQL CAST(sum AS DOUBLE)/count —
     sums stay far below 2^53)."""
     base = train.select(F.col(id_col).alias("_tid"), F.col(code_col).alias("_q"))
-    init_rows = base.orderBy("_tid").limit(k).collect()
-    cents = [[float(v) for v in r._q] for r in init_rows]
+    # One materialization of the (possibly sort-limited) quantized
+    # training set: init reads the k lowest-id codes FROM the persisted
+    # block instead of re-evaluating the quantize+sample pipeline —
+    # measured ~2-3.5 s saved per cold build at k=16.
     staged = base.select(
-        "_q", F.col("_q").cast("array<double>").alias("_qd")
+        "_tid", "_q", F.col("_q").cast("array<double>").alias("_qd")
     ).withColumn("_nq", F.sqrt(dot(F.col("_qd"), F.col("_qd"))))
     staged = staged.persist()
+    init_rows = staged.select("_tid", "_q").orderBy("_tid").limit(k).collect()
+    cents = [[float(v) for v in r._q] for r in init_rows]
+    # The per-dimension sum columns are identical every iteration —
+    # build the Column trees once (reusable across DataFrames) instead
+    # of 64 py4j constructions per Lloyd step.
+    sum_cols = [
+        F.sum(F.element_at(F.col("_q"), i + 1).cast("long")).alias(f"_s{i}")
+        for i in range(dim)
+    ]
     try:
         for _ in range(iters):
             assigned = staged.select(
                 "_q",
-                _nearest_centroid(F.col("_qd"), F.col("_nq"), cents).alias("_cid"),
+                _nearest_centroid("_qd", "_nq", cents).alias("_cid"),
             )
             sums = assigned.groupBy("_cid").agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[
-                    F.sum(F.element_at(F.col("_q"), i + 1).cast("long")).alias(
-                        f"_s{i}"
-                    )
-                    for i in range(dim)
-                ],
+                F.count(F.lit(1)).alias("_n"), *sum_cols
             )
             got = {r._cid: r for r in sums.collect()}
             cents = [
@@ -352,7 +384,9 @@ def ivf_build(
         col="_v",
         qcol="_q",
     ).select("_tid", "_q")
-    n_corpus = qz.count()
+    # Row count only — read it off the raw corpus so the sampling
+    # decision doesn't evaluate the quantize HOF pipeline an extra time.
+    n_corpus = corpus.count()
     max_train = max(n_centroids * 100, KMEANS_MAX_TRAIN)
     train = qz
     if n_corpus > max_train:
@@ -368,7 +402,7 @@ def ivf_build(
         .select(
             "neighbor_id",
             "_cv",
-            _nearest_centroid(F.col("_cv"), F.col("_nv"), cents).alias("_list"),
+            _nearest_centroid("_cv", "_nv", cents).alias("_list"),
         )
     )
     if persist:
