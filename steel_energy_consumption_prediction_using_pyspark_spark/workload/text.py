@@ -864,9 +864,129 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring with add-k smoothing — the
+    conditional tier above `unigram_logprob` (CCNet-style perplexity
+    filtering without a vendored KenLM): p(w2|w1) = (c(w1,w2) + k) /
+    (c(w1·) + k·V) from one corpus count pass, each document scored by
+    its mean bigram log-probability, per-lang envelope.
+
+    Scale shape: bigram vocabulary is bounded (Heaps' law on pairs), so
+    the (gram → counts) lookup BROADCASTs against the exploded bigram
+    stream exactly like unigram_logprob/tfidf; the only corpus-sized
+    shuffle is the per-doc aggregation. All smoothing arithmetic is
+    exact (int + 0.5, int + 0.5·V are binary-exact below 2^52), so the
+    engines diverge only by ln/avg ulps — absorbed by the 4-dp round
+    the same way the green unigram twin absorbs them."""
+    k = 0.5
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        X.tokens(X.normalize_text(F.col("text"))).alias("_tk"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(X.shingles_from("_tk", 2)).alias("gram"),
+    ).withColumn("w1", F.element_at(F.split(F.col("gram"), " "), 1))
+    cb = bigrams.groupBy("gram").agg(F.count(F.lit(1)).alias("cb"))
+    cw = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    vocab = (
+        toks.select(F.explode("_tk").alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("vs"))
+    )
+    per_doc = (
+        bigrams.join(F.broadcast(cb), "gram")
+        .join(F.broadcast(cw), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.avg(
+                F.log((F.col("cb") + k) / (F.col("cw") + k * F.col("vs")))
+            ).alias("lp")
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+            F.round(F.min("lp"), 4).alias("min_logprob"),
+            F.round(F.max("lp"), 4).alias("max_logprob"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring boilerplate removal (the *removal* half of Lee
+    et al. 2022 dedup, RefinedWeb/C4 style): word 5-grams shared by ≥3
+    documents are 'boilerplate passages'; every token position covered
+    by an occurrence of one is scrubbed. Reports per-source how much
+    survives — the number a curation pipeline actually acts on.
+
+    Scale shape: the boilerplate gram set is template-bounded, so the
+    positional (gram, pos) stream joins it via BROADCAST — the corpus
+    side never shuffles for the match. Covered-position expansion is a
+    per-row sequence explode (+4 rows per hit), deduped per doc in the
+    same aggregation shuffle that counts it. At 100 TB the gram key
+    would be xxhash64-packed pre-broadcast; the fixture grams are small
+    enough to carry verbatim, keeping the DuckDB twin byte-identical."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        X.tokens(X.normalize_text(F.col("text"))).alias("_tk"),
+    ).withColumn("n_tok", F.size("_tk").cast("bigint"))
+    grams = toks.select(
+        "doc_id", F.posexplode(X.shingles_from("_tk", 5)).alias("p", "gram")
+    )
+    boiler = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("gram")
+    )
+    covered = (
+        grams.join(F.broadcast(boiler), "gram")
+        # posexplode's p is 0-based; gram p covers 1-based tokens
+        # p+1 .. p+5 (shingles_from: gram i = tokens i..i+4, 1-based).
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p") + F.lit(1), F.col("p") + F.lit(5))
+            ).alias("ti"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("removed"))
+    )
+    per_doc = toks.join(covered, "doc_id", "left").withColumn(
+        "removed", F.coalesce(F.col("removed"), F.lit(0)).cast("bigint")
+    )
+    # floor recipe, not round(): integer-count quotients can land on
+    # exact decimal halves where the engines' round() semantics differ.
+    flr6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum("removed").alias("tokens_removed"),
+            flr6(F.sum("removed") / F.sum("n_tok")).alias("removed_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "word_triangles": q_word_triangles,
     "dup_passages": q_dup_passages,
+    "bigram_lm": q_bigram_lm,
+    "passage_scrub": q_passage_scrub,
     "unigram_logprob": q_unigram_logprob,
     "inverted_index": q_inverted_index,
     "skipgram_counts": q_skipgram_counts,
@@ -1686,4 +1806,78 @@ ORACLES["phrase_search"] = f"""
            CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_docs_repeat
     FROM per_doc GROUP BY w1, w2
+"""
+
+
+ORACLES["bigram_lm"] = r"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang,
+               tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)] AS gram,
+               tk[CAST(i AS INT)] AS w1
+        FROM d, UNNEST(range(1, len(tk))) AS r(i)
+        WHERE len(tk) >= 2
+    ),
+    cb AS (SELECT gram, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY gram),
+    cw AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw FROM bg GROUP BY w1),
+    v AS (
+        SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs
+        FROM (SELECT unnest(tk) AS w FROM d)
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               avg(ln((cb + 0.5e0) / (cw + 0.5e0 * v.vs))) AS lp
+        FROM bg JOIN cb USING (gram) JOIN cw USING (w1) CROSS JOIN v
+        GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(lp), 4) AS avg_logprob,
+           round(min(lp), 4) AS min_logprob,
+           round(max(lp), 4) AS max_logprob
+    FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["passage_scrub"] = r"""
+    WITH d AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS p,
+               array_to_string(
+                   list_slice(tk, CAST(i AS INT), CAST(i + 4 AS INT)), ' '
+               ) AS gram
+        FROM d, UNNEST(range(1, len(tk) - 3)) AS r(i)
+        WHERE len(tk) >= 5
+    ),
+    boiler AS (
+        SELECT gram FROM (
+            SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+        ) WHERE df >= 3
+    ),
+    covered AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS removed FROM (
+            SELECT DISTINCT g.doc_id, g.p + o.o AS ti
+            FROM grams g JOIN boiler USING (gram),
+                 UNNEST([0, 1, 2, 3, 4]) AS o(o)
+        ) GROUP BY doc_id
+    ),
+    per_doc AS (
+        SELECT d.source, CAST(len(d.tk) AS BIGINT) AS n_tok,
+               COALESCE(c.removed, 0) AS removed
+        FROM d LEFT JOIN covered c USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(removed) AS BIGINT) AS tokens_removed,
+           floor(CAST(sum(removed) AS DOUBLE) / sum(n_tok) * 1000000
+                 + 0.5e0) / 1000000 AS removed_ratio
+    FROM per_doc GROUP BY source ORDER BY source
 """

@@ -321,3 +321,113 @@ def test_fanout_self_join_preserves_pair_set(spark, sf_dir):
     }
     assert fast == naive
     assert len(fast) > 0
+
+
+def test_bigram_lm_templated_docs_score_higher(spark, sf_dir):
+    """A document of corpus-frequent bigrams must out-score one made of
+    bigrams the corpus has never seen (the axis the filter acts on)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.text import (
+        q_bigram_lm,
+    )
+    import pyspark.sql.functions as F
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        text as X,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    # per-lang envelope sanity: every lang present, min <= avg <= max
+    out = q_bigram_lm(spark, sf_dir).collect()
+    assert out, "no rows"
+    for r in out:
+        assert r.min_logprob <= r.avg_logprob <= r.max_logprob
+        assert r.avg_logprob < 0.0  # log-probabilities
+
+    # direct per-doc check on a controlled corpus
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en") for i in range(9)]
+        + [(9, "zz qq xx yy", "en")],
+        "doc_id long, text string, lang string",
+    )
+    toks = docs.select(
+        "doc_id", X.tokens(X.normalize_text(F.col("text"))).alias("_tk")
+    )
+    big = toks.select(
+        "doc_id", F.explode(X.shingles_from("_tk", 2)).alias("gram")
+    ).withColumn("w1", F.element_at(F.split("gram", " "), 1))
+    cb = big.groupBy("gram").count().withColumnRenamed("count", "cb")
+    scored = (
+        big.join(cb, "gram")
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("cb") + 0.5)).alias("s"))
+        .collect()
+    )
+    s = {r.doc_id: r.s for r in scored}
+    assert s[0] > s[9]  # templated doc beats the gibberish doc
+
+
+def test_passage_scrub_token_accounting(spark, sf_dir):
+    """removed <= total per source, and the planted 3x-duplicated doc
+    drives its 5-grams over the df>=3 boilerplate threshold so its
+    tokens are scrubbed in full (coverage by construction)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.text import (
+        q_passage_scrub,
+    )
+
+    rows = q_passage_scrub(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.tokens_total for r in rows)
+    removed = sum(r.tokens_removed for r in rows)
+    assert 0 <= removed <= total
+    for r in rows:
+        assert 0 <= r.tokens_removed <= r.tokens_total
+        assert abs(r.removed_ratio - round(r.tokens_removed / r.tokens_total, 6)) < 2e-6
+
+
+def test_passage_scrub_planted_boilerplate_fully_removed(spark):
+    """Three docs sharing one long passage (>=5 tokens) plus unique
+    tails: the shared passage's tokens are removed from ALL THREE docs,
+    the unique tails survive."""
+    import pyspark.sql.functions as F
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        text as X,
+    )
+
+    shared = "one two three four five six"  # 6 tokens -> 2 boiler grams
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " tail0a tail0b", "s0"),
+            (1, shared + " tail1a", "s0"),
+            (2, shared, "s1"),
+            (3, "totally different words here now", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        X.tokens(X.normalize_text(F.col("text"))).alias("_tk"),
+    ).withColumn("n_tok", F.size("_tk").cast("bigint"))
+    grams = toks.select(
+        "doc_id", F.posexplode(X.shingles_from("_tk", 5)).alias("p", "gram")
+    )
+    boiler = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("gram")
+    )
+    covered = (
+        grams.join(F.broadcast(boiler), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p") + 1, F.col("p") + 5)).alias("ti"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("removed"))
+    )
+    got = {r.doc_id: r.removed for r in covered.collect()}
+    # the shared 6-token passage yields grams at p=0,1 -> covers 1..6
+    assert got == {0: 6, 1: 6, 2: 6}  # doc 3 untouched (absent)
