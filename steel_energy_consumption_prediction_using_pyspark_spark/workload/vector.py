@@ -271,7 +271,31 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "mmr_rank")
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 4 subspace
+    codebooks of 16 codewords trained by deterministic L2 Lloyd over
+    GLOBAL-scale int8 codes, corpus encoded to 4 small ints per
+    vector, queries ranked by ADC lookup-table sums. FULL SQL oracle:
+    every stage — global scale, quantization, all 4×5 Lloyd
+    iterations, encoding, ADC scoring — unrolls as chained DuckDB
+    CTEs (_pq_oracle_sql), the same doctrine as ann_ivf. Recall vs
+    brute force pinned in pytest (tests/test_similarity.py)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        pq as PQ,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERY)
+    return PQ.pq_topk(
+        corpus, queries, m=4, k_codes=16, dim=64, k=TOP_K
+    ).orderBy("query_id", "rank")
+
+
 QUERIES = {
+    "ann_pq": q_ann_pq,
     "mmr_rerank": q_mmr_rerank,
     "centroids": q_centroids,
     "ann_quantized": q_ann_quantized,
@@ -615,3 +639,118 @@ def _ivf_oracle_sql(
 
 ORACLES["ann_ivf"] = _ivf_oracle_sql()
 ORACLES["ivf_probe"] = _ivf_oracle_sql()
+
+
+# --- PQ oracle: global scale + m×iters Lloyd + encoding + ADC, unrolled ---
+#
+# Mirrors operators/pq.py step for step. The L2 argmin is spelled as
+# the identical inner-product identity the engine uses —
+# dot(sub, c) − 0.5·dot(c, c) — so ties and doubles agree bitwise;
+# centroid updates are exact integer sums / count; the final ADC score
+# multiplies the fixed-order 4-term lut sum by scale/127 exactly like
+# pq_adc_topk.
+
+
+def _pq_oracle_sql(
+    m: int = 4,
+    k: int = 16,
+    iters: int = KMEANS_ITERS,
+    dim: int = 64,
+) -> str:
+    subdim = dim // m
+    max_train = max(k * 100, KMEANS_MAX_TRAIN)
+
+    def ip(sub: str, cv: str) -> str:
+        return (
+            f"(list_dot_product({sub}, {cv})"
+            f" - 0.5e0 * list_dot_product({cv}, {cv}))"
+        )
+
+    slices = ", ".join(
+        f"list_slice(q, {s * subdim + 1}, {(s + 1) * subdim}) AS q{s}"
+        for s in range(m)
+    )
+    ctes = [
+        f"""
+    raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    smax AS (SELECT CASE WHEN max(list_max(list_transform(v, x -> abs(x)))) > 0
+                    THEN max(list_max(list_transform(v, x -> abs(x))))
+                    ELSE 1.0e0 END AS sm
+             FROM raw WHERE vec_id >= {N_QUERY}),
+    codes AS (SELECT vec_id,
+                     list_transform(v, x -> CAST(round(x / sm * 127) AS INT)) AS q
+              FROM raw, smax WHERE vec_id >= {N_QUERY}),
+    train AS (SELECT vec_id, q FROM codes
+              ORDER BY (vec_id * {KMEANS_HASH_A}) % {KMEANS_HASH_M}, vec_id
+              LIMIT {max_train}),
+    tsub AS (SELECT vec_id, {slices} FROM train),
+    csub AS (SELECT vec_id, {slices} FROM codes)"""
+    ]
+    for s in range(m):
+        ctes.append(
+            f"""
+    c{s}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                      CAST(q{s} AS DOUBLE[]) AS cvec
+               FROM (SELECT vec_id, q{s} FROM tsub ORDER BY vec_id LIMIT {k}))"""
+        )
+        for t in range(1, iters + 1):
+            p = t - 1
+            ctes.append(
+                f"""
+    a{s}_{t} AS (SELECT qs, cid FROM (
+        SELECT t.q{s} AS qs, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                   ORDER BY {ip(f"CAST(t.q{s} AS DOUBLE[])", "c.cvec")} DESC,
+                            c.cid) AS rn
+        FROM tsub t CROSS JOIN c{s}_{p} c) WHERE rn = 1),
+    u{s}_{t} AS (SELECT cid, ord,
+                        CAST(sum(CAST(qs[ord] AS BIGINT)) AS DOUBLE)
+                            / count(*) AS val
+                 FROM a{s}_{t} CROSS JOIN
+                      (SELECT unnest(generate_series(1, {subdim})) AS ord) o
+                 GROUP BY cid, ord),
+    c{s}_{t} AS (SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+                 FROM c{s}_{p} p LEFT JOIN (
+                     SELECT cid, list(val ORDER BY ord) AS cvec
+                     FROM u{s}_{t} GROUP BY cid) n USING (cid))"""
+            )
+        ctes.append(
+            f"""
+    asg{s} AS (SELECT vec_id, cid AS cid{s} FROM (
+        SELECT cs.vec_id, c.cid,
+               row_number() OVER (PARTITION BY cs.vec_id
+                   ORDER BY {ip(f"CAST(cs.q{s} AS DOUBLE[])", "c.cvec")} DESC,
+                            c.cid) AS rn
+        FROM csub cs CROSS JOIN c{s}_{iters} c) WHERE rn = 1)"""
+        )
+    asg_joins = " JOIN ".join(
+        [f"asg0"] + [f"asg{s} USING (vec_id)" for s in range(1, m)]
+    )
+    qslices = ", ".join(
+        f"list_slice(v, {s * subdim + 1}, {(s + 1) * subdim}) AS v{s}"
+        for s in range(m)
+    )
+    lut_sum = " + ".join(
+        f"list_dot_product(q.v{s}, c{s}.cvec)" for s in range(m)
+    )
+    code_joins = " ".join(
+        f"JOIN c{s}_{iters} c{s} ON c{s}.cid = a.cid{s}" for s in range(m)
+    )
+    final = f""",
+    asg AS (SELECT * FROM {asg_joins}),
+    qry AS (SELECT vec_id AS query_id, {qslices}
+            FROM raw WHERE vec_id < {N_QUERY}),
+    scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                      ({lut_sum}) * (sm / 127.0e0) AS adc
+               FROM asg a CROSS JOIN qry q {code_joins}, smax),
+    ranked AS (SELECT query_id, neighbor_id, adc,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, round(adc, 4) AS adc_score,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}"""
+    return "WITH " + ",".join(ctes) + final
+
+
+ORACLES["ann_pq"] = _pq_oracle_sql()

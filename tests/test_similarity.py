@@ -303,3 +303,56 @@ def test_ivf_assignment_total(spark, sf_dir):
     assert index.assigned.filter(F.col("_list").isNull()).count() == 0
     assert index.assigned.count() == c.count()
     assert got.count() <= 8
+
+
+def test_pq_recall_and_training_helps(spark, sf_dir):
+    """PQ ADC recall vs brute force >= 20% on the fixture (a 4-byte
+    code retains rank signal), and Lloyd training strictly reduces raw-
+    space reconstruction MSE vs the init codebooks — the quantity PQ
+    optimizes."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        pq as PQ,
+    )
+
+    c, q = _split(spark, sf_dir)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(c, q, k=5).collect()
+    }
+    model = PQ.pq_train(c)
+    enc = PQ.pq_encode(c, model)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in PQ.pq_adc_topk(enc, q, model, k=5).collect()
+    }
+    assert len(approx & truth) / len(truth) >= 0.2
+    mse = PQ.reconstruction_mse(c, model)
+    mse0 = PQ.reconstruction_mse(c, PQ.pq_train(c, iters=0))
+    assert mse < mse0
+
+
+def test_pq_deterministic_under_repartition(spark, sf_dir):
+    """Codebooks and the full ADC ranking are bit-identical whatever
+    the input partitioning (integer-sum centroid updates + associative
+    global scale)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        pq as PQ,
+    )
+
+    c, q = _split(spark, sf_dir)
+    m1 = PQ.pq_train(c)
+    m2 = PQ.pq_train(c.repartition(7))
+    assert m1.scale == m2.scale
+    assert m1.codebooks == m2.codebooks
+    a = sorted(
+        map(tuple, PQ.pq_adc_topk(PQ.pq_encode(c, m1), q, m1, k=5).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            PQ.pq_adc_topk(
+                PQ.pq_encode(c.repartition(3), m2), q, m2, k=5
+            ).collect(),
+        )
+    )
+    assert a == b
