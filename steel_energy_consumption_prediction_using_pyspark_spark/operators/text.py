@@ -326,3 +326,114 @@ def pii_counts(text: Column | str) -> tuple[Column, Column]:
         F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), F.lit(PHONE_RE)
     )
     return emails, phones
+
+
+# --- BPE merge learning -----------------------------------------------------
+
+
+def chars_of(word: Column | str) -> Column:
+    """Character-symbol array of a word (the BPE base alphabet).
+    Spelled as a sequence/substring transform so a SQL twin can
+    reproduce it verbatim (substr is 1-based in both engines)."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.substring(c, i, F.lit(1)),
+    )
+
+
+def merge_pair_greedy(syms: Column | str, a: str, b: str) -> Column:
+    """One BPE merge pass: replace adjacent (a, b) symbol pairs with
+    the merged symbol a||b, greedy left-to-right, non-overlapping —
+    exactly the scan semantics of Sennrich et al. 2016.
+
+    Implemented as a single left fold (aggregate HOF, JVM-side): merge
+    iff the last emitted symbol is `a` and the current one is `b`.
+    This is equivalent to the position scan because a merge emits
+    a||b ≠ a (symbols are non-empty), so a consumed left partner can
+    never be re-used — pinned against a Python reference scan on fuzz
+    words in tests. try_element_at (not element_at): the first fold
+    step probes an empty accumulator, which under ANSI would throw."""
+    s = F.col(syms) if isinstance(syms, str) else syms
+    merged = a + b
+    return F.aggregate(
+        s,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def adjacent_pair_counts(words: DataFrame, syms: str = "s", freq: str = "freq") -> DataFrame:
+    """Corpus-weighted adjacent symbol-pair counts: every adjacent
+    position counts (overlapping runs count length−1 times), weighted
+    by word frequency. Map-side explode + one hash agg on the (tiny,
+    Heaps-bounded) vocabulary relation."""
+    pairs = F.when(
+        F.size(F.col(syms)) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col(syms)) - 1),
+            lambda i: F.struct(
+                F.element_at(F.col(syms), i).alias("a"),
+                F.element_at(F.col(syms), i + F.lit(1)).alias("b"),
+            ),
+        ),
+    ).otherwise(F.expr("cast(array() as array<struct<a:string,b:string>>)"))
+    return (
+        words.select(F.col(freq), F.explode(pairs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.sum(F.col(freq)).alias("cnt"))
+    )
+
+
+def bpe_learn(
+    words: DataFrame,
+    n_merges: int = 10,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> list[tuple[str, str, int]]:
+    """Learn the first ``n_merges`` BPE merges over a (word, freq)
+    vocabulary relation. Fully deterministic: the arg-max pair breaks
+    count ties lexicographically on (a, b), and counts are exact
+    integers, so any engine replaying the same scan learns the same
+    merge table (the round-3 portable doctrine applied to tokenizer
+    training).
+
+    Distribution shape: the vocabulary relation is Heaps-bounded —
+    tiny relative to the corpus — so each Lloyd-like round is one
+    map-side explode + hash agg over it plus a 1-row argmax collect
+    (the same bounded-scalar pattern as k-means/pagerank convergence).
+    The corpus-sized token scan happens ONCE, in the caller's
+    word-count aggregation, never per merge round."""
+    w = words.select(
+        F.col(word_col).alias("word"),
+        F.col(freq_col).cast("bigint").alias("freq"),
+        chars_of(word_col).alias("s"),
+    )
+    # localCheckpoint per round (the pagerank/connected-components
+    # recipe): materializes the vocabulary relation once — the corpus
+    # scan happens exactly one time — and truncates lineage so round t
+    # does not recompile t nested merge folds (measured 13.9 s → ~3 s
+    # for 10 merges; plans stay O(1)).
+    w = w.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            adjacent_pair_counts(w)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merges.append((a, b, cnt))
+        w = w.withColumn(
+            "s", merge_pair_greedy("s", a, b)
+        ).localCheckpoint(eager=True)
+    return merges

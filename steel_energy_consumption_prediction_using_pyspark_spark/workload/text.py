@@ -1881,3 +1881,108 @@ ORACLES["passage_scrub"] = r"""
                  + 0.5e0) / 1000000 AS removed_ratio
     FROM per_doc GROUP BY source ORDER BY source
 """
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 10 BPE merges over the corpus (Sennrich et al.
+    2016 — the tokenizer-training step of an LLM data pipeline):
+    corpus-weighted character-pair counts over the word vocabulary,
+    arg-max with lexicographic tie-break, greedy left-to-right merge,
+    repeat. FULL SQL oracle: operators/text.py::bpe_learn is exact
+    integer arithmetic end to end, so the DuckDB twin unrolls all 10
+    rounds — pair counts, arg-max, and the greedy merge as one
+    recursive scan CTE per round (_bpe_oracle_sql). The corpus-sized
+    token scan happens once (the word-count agg); every merge round
+    touches only the Heaps-bounded vocabulary relation."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        bpe_learn,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_learn(words, n_merges=10)
+    rows = [
+        (t + 1, a, b, a + b, cnt) for t, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count bigint",
+    ).orderBy("merge_rank")
+
+
+QUERIES["bpe_train"] = q_bpe_train
+
+
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    """DuckDB twin of q_bpe_train: w{t} is the vocabulary's symbol
+    lists after t merges; pc{t+1} counts adjacent pairs, best{t+1} is
+    the lexicographic-tie-broken arg-max, rec{t+1} replays the greedy
+    left-to-right merge as a per-word positional scan (recursive CTE:
+    consume 2 symbols on a match, 1 otherwise — the definition
+    operators/text.py::merge_pair_greedy's fold is pinned equivalent
+    to)."""
+    ctes = [
+        r"""
+    w0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq,
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, CAST(i AS INT), 1)) AS s
+        FROM (
+            SELECT unnest(string_split(
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+            FROM documents
+        )
+        WHERE word <> '' GROUP BY word
+    )"""
+    ]
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        ctes.append(
+            f"""
+    pc{t} AS MATERIALIZED (
+        SELECT s[CAST(i AS INT)] AS a, s[CAST(i + 1 AS INT)] AS b,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM w{p}, UNNEST(range(1, len(s))) AS r(i)
+        GROUP BY 1, 2
+    ),
+    best{t} AS MATERIALIZED (
+        SELECT a, b, cnt FROM pc{t} ORDER BY cnt DESC, a, b LIMIT 1),
+    rec{t} AS (
+        SELECT word, freq, s, 1 AS i, CAST([] AS VARCHAR[]) AS out FROM w{p}
+        UNION ALL
+        SELECT r.word, r.freq, r.s,
+               CASE WHEN r.i < len(r.s) AND r.s[CAST(r.i AS INT)] = best{t}.a
+                         AND r.s[CAST(r.i + 1 AS INT)] = best{t}.b
+                    THEN r.i + 2 ELSE r.i + 1 END,
+               list_append(r.out,
+                   CASE WHEN r.i < len(r.s) AND r.s[CAST(r.i AS INT)] = best{t}.a
+                             AND r.s[CAST(r.i + 1 AS INT)] = best{t}.b
+                        THEN best{t}.a || best{t}.b
+                        ELSE r.s[CAST(r.i AS INT)] END)
+        FROM rec{t} r, best{t} WHERE r.i <= len(r.s)
+    ),
+    w{t} AS MATERIALIZED (
+        SELECT word, freq, out AS s FROM rec{t} WHERE i = len(s) + 1)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {t} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged,"
+        f" cnt AS pair_count FROM best{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",".join(ctes)
+        + f" SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs,"
+        f" merged, pair_count FROM ({unions}) ORDER BY merge_rank"
+    )
+
+
+ORACLES["bpe_train"] = _bpe_oracle_sql()

