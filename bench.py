@@ -217,6 +217,11 @@ BENCH_QUERIES = [
     "reconcile",
     "skyline",
     "approx_topk",
+    "bigram_lm",
+    "passage_scrub",
+    "ann_pq",
+    "bpe_train",
+    "bpe_encode",
 ]
 
 
@@ -283,6 +288,7 @@ def main() -> None:
         "winnow_pairs", "phrase_search",            # persisted postings
         "tpch_important_stock", "customer_deciles",  # persisted agg/ranks
         "keyword_pagerank",                          # persisted walk internals
+        "bpe_train", "bpe_encode",                   # shared merge-table cache
     }
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}

@@ -437,3 +437,21 @@ def bpe_learn(
             "s", merge_pair_greedy("s", a, b)
         ).localCheckpoint(eager=True)
     return merges
+
+
+def bpe_apply(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]],
+    word_col: str = "word",
+    out_col: str = "bpe",
+) -> DataFrame:
+    """Encode a word relation with an ordered merge list: start from
+    characters, apply every merge in training order (one nested fold
+    per merge — a single JVM-side projection over the Heaps-bounded
+    vocabulary; documents then join the encoded vocabulary by word,
+    so the corpus-sized side is never re-tokenized per merge)."""
+    df = words.withColumn(out_col, chars_of(word_col))
+    col = F.col(out_col)
+    for a, b, _ in merges:
+        col = merge_pair_greedy(col, a, b)
+    return df.withColumn(out_col, col)

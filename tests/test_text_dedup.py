@@ -506,3 +506,31 @@ def test_bpe_learn_deterministic_and_monotone(spark, sf_dir):
     assert len(m1) == 5
     # every learned merge had a strictly positive weighted count
     assert all(cnt > 0 for _, _, cnt in m1)
+
+
+def test_bpe_encode_token_accounting(spark, sf_dir):
+    """Encoding invariants: merges only ever shrink the symbol count,
+    so words <= subtokens <= chars per lang; and the vocabulary join
+    loses no tokens (sum of n_words == corpus token count)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.text import (
+        q_bpe_encode,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        text as X,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    rows = q_bpe_encode(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_subtokens <= r.n_chars
+        assert 1.0 <= r.chars_per_subtoken
+    d = T(spark, sf_dir, "documents")
+    total_tokens = (
+        d.select(
+            F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .count()
+    )
+    assert sum(r.n_words for r in rows) == total_tokens
