@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "ann_pq",
     "bpe_train",
     "bpe_encode",
+    "stream_left_join",
 ]
 
 

@@ -99,3 +99,64 @@ def funnel_pairs(events: DataFrame, within: str = "30 minutes") -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.sum("b_value"), 2).alias("attributed_value"),
     )
+
+
+def time_bounded_left_join(
+    lead: DataFrame,
+    follow: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`time_bounded_pair_join` — the
+    conversion-funnel shape that also emits NON-converting lead events
+    (b_* columns NULL). On streams this is the join type with the
+    strictest state contract: Spark only allows stream-stream outer
+    joins when the outer side is watermarked AND the join condition
+    time-bounds the match window, because an unmatched left row can
+    only be emitted once the watermark proves no future match can
+    arrive (at watermark > a_ts + within). Until that proof, the row
+    sits in the join state — the time bound is what keeps state (and
+    result latency) finite. Batch mode is the plain left join and is
+    oracle-checked by `stream_left_join`; the emit-on-watermark
+    semantics are pinned in tests/test_streaming.py."""
+    if lead.isStreaming:
+        lead = lead.withWatermark("ts", watermark)
+    if follow.isStreaming:
+        follow = follow.withWatermark("ts", watermark)
+    a = lead.select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_id"),
+    )
+    b = follow.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+        F.col("event_id").alias("b_id"),
+    )
+    cond = (
+        (a.a_user == b.b_user)
+        & (b.b_ts > a.a_ts)
+        & (b.b_ts <= a.a_ts + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond, "left_outer")
+
+
+def conversion_stats(events: DataFrame, within: str = "30 minutes") -> DataFrame:
+    """click→purchase conversion accounting per user over the left
+    funnel join: leads, converted leads, pairs, attributed value —
+    the unmatched rows are the point (inner joins can't see the
+    non-converting clicks a funnel report is about)."""
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    j = time_bounded_left_join(clicks, purchases, within=within)
+    return j.groupBy(F.col("a_user").alias("user_id")).agg(
+        F.count_distinct(F.col("a_id")).alias("n_leads"),
+        F.count_distinct(
+            F.when(F.col("b_id").isNotNull(), F.col("a_id"))
+        ).alias("n_converted_leads"),
+        F.count(F.col("b_id")).alias("n_pairs"),
+        F.round(F.coalesce(F.sum("b_value"), F.lit(0.0)), 2).alias(
+            "attributed_value"
+        ),
+    )

@@ -1551,6 +1551,22 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_pairs(e, within="30 minutes").orderBy("user_id")
 
 
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with NON-converting leads (streaming/joins.py::
+    conversion_stats): stream-stream LEFT OUTER join shape — click
+    leads keep a row even with no purchase inside the 30-min window.
+    Batch mode here (plain left join, oracle-checked);
+    test_streaming.py pins the streaming semantics: matched pairs
+    identical to batch, unmatched leads emitted exactly when the
+    watermark proves no future match can arrive."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.joins import (
+        conversion_stats,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return conversion_stats(e, within="30 minutes").orderBy("user_id")
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (streaming/joins.py::static_enrich):
     events looked up against the broadcast customer dimension,
@@ -1662,6 +1678,7 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_join": q_stream_join,
+    "stream_left_join": q_stream_left_join,
     "stream_enrich": q_stream_enrich,
     "stream_dedup": q_stream_dedup,
     "variant": q_variant,
@@ -1870,6 +1887,31 @@ ORACLES = {
         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                round(sum(value), 2) AS total_value
         FROM d GROUP BY event_type ORDER BY event_type
+    """,
+    "stream_left_join": """
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'click'
+        ),
+        purch AS (
+            SELECT user_id, ts, value, event_id FROM events
+            WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT c.user_id, c.event_id AS a_id,
+                   p.event_id AS b_id, p.value AS b_value
+            FROM clicks c LEFT JOIN purch p
+              ON p.user_id = c.user_id
+             AND p.ts > c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        )
+        SELECT user_id,
+               CAST(count(DISTINCT a_id) AS BIGINT) AS n_leads,
+               CAST(count(DISTINCT CASE WHEN b_id IS NOT NULL THEN a_id END)
+                    AS BIGINT) AS n_converted_leads,
+               CAST(count(b_id) AS BIGINT) AS n_pairs,
+               round(COALESCE(sum(b_value), 0.0e0), 2) AS attributed_value
+        FROM j GROUP BY user_id ORDER BY user_id
     """,
     "stream_join": """
         SELECT a.user_id,

@@ -309,3 +309,81 @@ def test_cdc_merge_sink_stream_equals_batch_and_replays_clean(
     q2.awaitTermination(120)
     again = {(r.k, r.v) for r in spark.read.parquet(snap_dir + "/v1").collect()}
     assert again == want
+
+
+def test_stream_left_join_matches_and_watermark_nulls(spark, sf_dir, batch_events):
+    """Stream-stream LEFT OUTER join (streaming/joins.py::
+    time_bounded_left_join): matched pairs must equal the batch inner
+    pairs exactly; unmatched leads are emitted null-extended only once
+    the watermark proves no future match can arrive — every stream
+    null is a batch unmatched lead, and every unmatched lead safely
+    below the final watermark horizon (window + delay + slack) did
+    emit."""
+    import datetime
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.joins import (
+        time_bounded_left_join,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    out = time_bounded_left_join(
+        *split(read_events_stream(spark, sf_dir)),
+        within="30 minutes",
+        watermark="1 minute",
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssleft_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ssleft_out")
+    batch_left = time_bounded_left_join(*split(batch_events))
+
+    got_pairs = {
+        (r.a_id, r.b_id)
+        for r in got.filter("b_id IS NOT NULL").select("a_id", "b_id").collect()
+    }
+    want_pairs = {
+        (r.a_id, r.b_id)
+        for r in batch_left.filter("b_id IS NOT NULL")
+        .select("a_id", "b_id")
+        .collect()
+    }
+    assert got_pairs == want_pairs and got_pairs
+
+    got_nulls = {r.a_id for r in got.filter("b_id IS NULL").select("a_id").collect()}
+    batch_nulls = {
+        r.a_id for r in batch_left.filter("b_id IS NULL").select("a_id").collect()
+    }
+    assert got_nulls <= batch_nulls
+    # The global watermark is the MIN across both sides' watermarks
+    # (multipleWatermarkPolicy=min), and each side's watermark derives
+    # from ITS OWN max event time — so the emission horizon is bounded
+    # by the CLICK side's max ts (the trailing clicks can never prove
+    # themselves unmatched; observed live: the single max-ts click).
+    mx = (
+        batch_events.filter(F.col("event_type") == "click")
+        .agg(F.max("ts"))
+        .head()[0]
+    )
+    horizon = mx - datetime.timedelta(minutes=33)  # window + delay + slack
+    expected = {
+        r.a_id
+        for r in batch_left.filter("b_id IS NULL")
+        .filter(F.col("a_ts") < F.lit(horizon))
+        .select("a_id")
+        .collect()
+    }
+    assert expected <= got_nulls
