@@ -354,15 +354,28 @@ def _fanout_self_join(sh: DataFrame, cond, fanout: int = PAIR_FANOUT):
     would pick a broadcast-hash join, which runs at the probe side's
     SCAN partitioning (a handful of file splits) — the salt never
     reaches an exchange and the quadratic compare serializes on 2-3
-    tasks regardless (second sf1 finding). Forcing the shuffle join
-    routes both sides through a (block, salt)-keyed exchange whose
-    width AQE sizes (floored by coalescePartitions.minPartitionSize,
-    see session.py) — a few MB of extra shuffle buys full-core pair
-    production."""
+    tasks regardless (second sf1 finding).
+
+    Width is pinned LOCALLY with an explicit repartition on the
+    equality keys (block columns + salt): a user-specified
+    repartition-by-num is exempt from AQE partition coalescing, so
+    this byte-light/CPU-heavy exchange keeps full-core width without
+    globally lowering coalescePartitions.minPartitionSize — the
+    round-4 64k session floor did the same job but taxed every light
+    aggregation in the workload ~10-15% (measured at sf0.1); scoping
+    the width to the one plan that needs it removes that tax. The
+    repartition satisfies the join's ClusteredDistribution, so no
+    second exchange is inserted."""
+    width = max(
+        fanout, sh.sparkSession.sparkContext.defaultParallelism * 2
+    )
     x = sh.withColumn("_salt", F.pmod(F.xxhash64("_id"), F.lit(fanout)))
     y = sh.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(fanout)]))
     )
+    keys = [c for c in sh.columns if c == "_blk"] + ["_salt"]
+    x = x.repartition(width, *keys)
+    y = y.repartition(width, *keys)
     return x.alias("x").join(
         y.alias("y").hint("shuffle_merge"),
         cond & (F.col("x._salt") == F.col("y._salt")),

@@ -29,15 +29,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # AQE coalescing targets max(total/parallelism, minPartitionSize);
-    # the 1M default collapses CPU-heavy-but-byte-light shuffles (the
-    # quadratic compare family: shingle-array intersects, cosine
-    # verifies) to a handful of tasks — observed on the sf1 stress gate
-    # as a 6-task join stage doing minutes of per-row work while 30
-    # cores idled. 64k keeps those at full width; byte-heavy shuffles
-    # still coalesce via the total/parallelism term, so this only
-    # affects plans where bytes badly under-proxy cost.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # NOTE on CPU-heavy-but-byte-light shuffles (the quadratic compare
+    # family): AQE's byte-based coalescing collapses them to a handful
+    # of tasks (observed on the sf1 stress gate as a 6-task join stage
+    # doing minutes of per-row work while 30 cores idled). Round 4
+    # first fixed this with a session-wide
+    # coalescePartitions.minPartitionSize=64k floor, which kept those
+    # joins at full width but taxed EVERY light aggregation ~10-15% at
+    # sf0.1 (more post-shuffle tasks everywhere). The fix now lives
+    # where the problem is: operators/dedup.py::_fanout_self_join pins
+    # its own exchange width with an explicit repartition (exempt from
+    # AQE coalescing); the session keeps Spark's default floor.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # Parquet pushdown knobs are on by default; pinned here as documentation
