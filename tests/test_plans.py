@@ -515,3 +515,66 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bigram_lm_broadcasts_counts(spark, sf_dir):
+    """Both count lookups (bigram + context) and the vocab-size scalar
+    broadcast — the exploded bigram stream must never shuffle for the
+    probability join."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import text
+
+    df = text.q_bigram_lm(spark, sf_dir)
+    assert_broadcast_join(df, count=3)
+
+
+def test_passage_scrub_broadcasts_boiler_grams(spark, sf_dir):
+    """The boilerplate gram set is template-bounded and must reach the
+    positional gram stream as a broadcast; the doc-side coverage join
+    back is also key-bounded. No shuffled join may carry gram rows."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import text
+
+    df = text.q_passage_scrub(spark, sf_dir)
+    assert_broadcast_join(df, count=1)
+
+
+def test_bpe_encode_broadcasts_vocab(spark, sf_dir):
+    """The encoded vocabulary joins the corpus token stream via
+    broadcast — documents are never re-scanned or shuffled per merge."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import text
+
+    df = text.q_bpe_encode(spark, sf_dir)
+    assert_broadcast_join(df, count=1)
+
+
+def test_ann_pq_encoding_is_projection(spark, sf_dir):
+    """PQ corpus encoding must be a pure projection over the scan —
+    no exchange below the ADC scoring join: the codeword argmax is a
+    literal-centroid expression, never a join or window."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        pq as PQ,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") >= 5)
+    model = PQ.pq_train(c)
+    enc = PQ.pq_encode(c, model)
+    plan = physical_plan(enc)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_fanout_self_join_width_pinned(spark, sf_dir):
+    """_fanout_self_join pins its exchange width with an explicit
+    repartition (exempt from AQE coalescing): the executed join must
+    run at >= 2x parallelism partitions even though its shuffled bytes
+    are tiny (the property the round-4 sf1 stress gate needed, now
+    without the session-wide minPartitionSize floor)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        dedup as D,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, block_col="source", threshold=0.5)
+    width = pairs.rdd.getNumPartitions()
+    expect = spark.sparkContext.defaultParallelism * 2
+    assert width >= expect, (width, expect)
