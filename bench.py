@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "bpe_train",
     "bpe_encode",
     "stream_left_join",
+    "conversion_latency",
 ]
 
 

@@ -30,6 +30,7 @@ from steel_energy_consumption_prediction_using_pyspark_spark.operators.scd impor
 )
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
     T,
+    exact_pct_sql,
     ts_str,
 )
 
@@ -718,7 +719,66 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per purchase, the latency from
+    the NEAREST preceding click of the same user inside the 30-min
+    attribution window (max(c_ts) per purchase — last-touch), then
+    exact interpolated p50/p90 of the latency per purchase hour-of-day
+    — the funnel-latency report product teams act on.
+
+    Scale shape: one user-keyed shuffle for the pair join (same as
+    stream_join), one hash agg per purchase, and the percentile pass
+    rides exact_percentiles_ranked — weighted order statistics over
+    the per-hour distinct-latency histogram, no buffer-the-group
+    percentile() aggregate. Latencies are integer-µs differences, so
+    every double is engine-exact; the floor recipe guards the µs-grid
+    interpolation midpoints round() would split on."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.relational import (
+        exact_percentiles_ranked,
+    )
+
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    pairs = purch.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    last_click = pairs.groupBy("event_id", "p_ts").agg(
+        F.max("c_ts").alias("c_last")
+    )
+    lat = last_click.select(
+        F.hour("p_ts").alias("hr"),
+        (
+            (F.unix_micros("p_ts") - F.unix_micros("c_last"))
+            / F.lit(1000000.0)
+        ).alias("latency_s"),
+    )
+    pct = exact_percentiles_ranked(
+        lat, ["hr"], "latency_s", {"p50": 0.5, "p90": 0.9}
+    )
+    cnt = lat.groupBy("hr").agg(F.count(F.lit(1)).alias("n_conversions"))
+    flr6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        cnt.join(pct, "hr")
+        .select(
+            F.col("hr").cast("int").alias("hr"),
+            "n_conversions",
+            flr6(F.col("p50")).alias("p50_s"),
+            flr6(F.col("p90")).alias("p90_s"),
+        )
+        .orderBy("hr")
+    )
+
+
 QUERIES = {
+    "conversion_latency": q_conversion_latency,
     "abandoned_carts": q_abandoned_carts,
     "order_gaps": q_order_gaps,
     "markov_transitions": q_markov_transitions,
@@ -741,7 +801,42 @@ QUERIES = {
     "funnel_strict": q_funnel_strict,
 }
 
+_LAT_PCT = exact_pct_sql(
+    "lat", ["hr"], "latency_s", {"p50": 0.5, "p90": 0.9}
+)
+
 ORACLES = {
+    "conversion_latency": f"""
+        WITH clicks AS (
+            SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+        ),
+        purch AS (
+            SELECT event_id, user_id, ts AS p_ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        last_click AS (
+            SELECT p.event_id, p.p_ts, max(c.c_ts) AS c_last
+            FROM purch p JOIN clicks c
+              ON c.user_id = p.user_id
+             AND c.c_ts < p.p_ts
+             AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+            GROUP BY p.event_id, p.p_ts
+        ),
+        lat AS (
+            SELECT hour(p_ts) AS hr,
+                   (epoch_us(p_ts) - epoch_us(c_last)) / 1000000.0e0
+                       AS latency_s
+            FROM last_click
+        ),
+        pct AS ({_LAT_PCT}),
+        cnt AS (SELECT hr, CAST(count(*) AS BIGINT) AS n_conversions
+                FROM lat GROUP BY hr)
+        SELECT CAST(cnt.hr AS INTEGER) AS hr, n_conversions,
+               floor(p50 * 1000000 + 0.5e0) / 1000000 AS p50_s,
+               floor(p90 * 1000000 + 0.5e0) / 1000000 AS p90_s
+        FROM cnt JOIN pct USING (hr) ORDER BY hr
+    """,
+
     "abandoned_carts": """
         WITH clicks AS (
             SELECT user_id, ts AS c_ts, event_id AS c_id
