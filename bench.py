@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "stream_left_join",
     "conversion_latency",
+    "lsh_quality",
 ]
 
 

@@ -119,30 +119,21 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_stages(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
     persist: bool = True,
-) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash-LSH, then exact-Jaccard
-    verification of the candidates.
-
-    b bands × r rows (r = num_hashes/b) targets the usual S-curve
-    threshold (1/b)^(1/r). Only the banded signature triples shuffle;
-    the exact verification joins shingle sets for candidate pairs only.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
-
-    ``persist`` caches the (id, shingle-set) projection, which feeds
-    the signature pass AND both sides of the verification join —
-    without it the shingling recomputes ~4×. At true 100 TB the same
-    role is played by materializing the signature table to parquet
-    once per corpus snapshot.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """The LSH pipeline up to (but not including) exact verification:
+    returns (shingled, candidates) where shingled = (_id, _sh distinct
+    shingle set) and candidates = distinct (id_a, id_b) bucket-join
+    pairs. Split out so the tier can be EVALUATED (candidate-level
+    recall/precision vs exact ground truth — `lsh_quality`) as well as
+    consumed (:func:`minhash_lsh_pairs` adds the verification)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -212,7 +203,42 @@ def minhash_lsh_pairs(
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .distinct()
     )
+    return shingled, cand
 
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    persist: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, then exact-Jaccard
+    verification of the candidates.
+
+    b bands × r rows (r = num_hashes/b) targets the usual S-curve
+    threshold (1/b)^(1/r). Only the banded signature triples shuffle;
+    the exact verification joins shingle sets for candidate pairs only.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``persist`` caches the (id, shingle-set) projection, which feeds
+    the signature pass AND both sides of the verification join —
+    without it the shingling recomputes ~4×. At true 100 TB the same
+    role is played by materializing the signature table to parquet
+    once per corpus snapshot.
+    """
+    shingled, cand = minhash_stages(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        persist=persist,
+    )
     sh = shingled
     verified = (
         cand.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}), "id_a")

@@ -2088,3 +2088,122 @@ def _bpe_encode_oracle_sql(n_merges: int = 10) -> str:
 
 ORACLES["bpe_train"] = _bpe_oracle_sql()
 ORACLES["bpe_encode"] = _bpe_encode_oracle_sql()
+
+
+EVAL_SAMPLE = 200  # lsh_quality's bounded evaluation sample size
+
+
+def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-level evaluation of the MinHash-LSH tier: banding
+    recall/precision against EXACT 3-shingle Jaccard ground truth on a
+    bounded, deterministic evaluation sample (the EVAL_SAMPLE
+    lowest-id docs + the planted clones). This is how a 100 TB
+    pipeline certifies its dedup tier: ground truth is brute-forced on
+    an O(1)-sized sample — never the corpus — while the banding runs
+    exactly as in production (same signatures, bands, bucket join as
+    `minhash_lsh`). The all-pairs truth join is justified by the
+    fixed sample bound (44k pairs at ANY scale factor).
+
+    Output: one row — truth/candidate/hit counts, recall (how much of
+    the real near-dup mass banding surfaces) and precision (how much
+    of the candidate volume survives verification)."""
+    d = _with_planted_dups(
+        T(spark, sf_dir, "documents").filter(F.col("doc_id") < EVAL_SAMPLE)
+    )
+    shingled, cand = D.minhash_stages(
+        d, "text", "doc_id", num_hashes=32, bands=8
+    )
+    a = shingled.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            >= 0.5
+        )
+        .select("id_a", "id_b", F.lit(1).alias("t"))
+    )
+    c = cand.select("id_a", "id_b", F.lit(1).alias("c"))
+    full = truth.join(c, ["id_a", "id_b"], "full_outer")
+    flr6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return full.agg(
+        F.sum("t").cast("bigint").alias("n_truth"),
+        F.sum("c").cast("bigint").alias("n_candidates"),
+        F.sum(F.col("t") * F.col("c")).cast("bigint").alias("n_hit"),
+        flr6(F.sum(F.col("t") * F.col("c")) / F.sum("t")).alias("recall"),
+        flr6(F.sum(F.col("t") * F.col("c")) / F.sum("c")).alias("precision"),
+    )
+
+
+QUERIES["lsh_quality"] = q_lsh_quality
+
+ORACLES["lsh_quality"] = f"""
+    WITH docs_aug AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < {EVAL_SAMPLE}
+        UNION ALL
+        SELECT doc_id + 10000000, text
+        FROM (SELECT * FROM documents WHERE doc_id < {EVAL_SAMPLE}
+              ORDER BY doc_id LIMIT 10)
+    ),
+    tks AS (
+        SELECT doc_id, {_TK_STAGE} AS tk FROM docs_aug
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, greatest(len(tk) - 1, 1)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   )
+               ) AS sh
+        FROM tks
+    ),
+    nz AS MATERIALIZED (SELECT * FROM sh WHERE len(sh) > 0),
+    hashed AS (
+        SELECT doc_id, sh,
+               list_transform(
+                   sh,
+                   g -> CAST(CAST(concat('0x', substr(md5(g), 1, 8))
+                                  AS UBIGINT) AS BIGINT)
+               ) AS hs
+        FROM nz
+    ),
+    sig AS (
+        SELECT doc_id, sh,
+               [{_MH_SIG_TERMS}] AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, b AS band, {_MH_BAND_KEY} AS bkey
+        FROM sig, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, 1 AS c
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    ),
+    truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS t
+        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+              >= 0.5e0
+    ),
+    full_j AS (
+        SELECT COALESCE(t, 0) AS t, COALESCE(c, 0) AS c
+        FROM truth FULL OUTER JOIN cand USING (id_a, id_b)
+    )
+    SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+           CAST(sum(c) AS BIGINT) AS n_candidates,
+           CAST(sum(t * c) AS BIGINT) AS n_hit,
+           floor(CAST(sum(t * c) AS DOUBLE) / sum(t) * 1000000 + 0.5e0)
+               / 1000000 AS recall,
+           floor(CAST(sum(t * c) AS DOUBLE) / sum(c) * 1000000 + 0.5e0)
+               / 1000000 AS precision
+    FROM full_j
+"""

@@ -534,3 +534,18 @@ def test_bpe_encode_token_accounting(spark, sf_dir):
         .count()
     )
     assert sum(r.n_words for r in rows) == total_tokens
+
+
+def test_lsh_quality_metrics(spark, sf_dir):
+    """The evaluation harness itself: the 10 planted exact clones are
+    truth pairs AND banding candidates (identical signatures collide
+    in every band), so n_hit >= 10; metrics are consistent ratios."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.text import (
+        q_lsh_quality,
+    )
+
+    r = q_lsh_quality(spark, sf_dir).head()
+    assert r.n_truth >= 10 and r.n_hit >= 10
+    assert r.n_hit <= min(r.n_truth, r.n_candidates)
+    assert abs(r.recall - round(r.n_hit / r.n_truth, 6)) < 2e-6
+    assert abs(r.precision - round(r.n_hit / r.n_candidates, 6)) < 2e-6
