@@ -127,6 +127,8 @@ def pq_train(
     and a single (s, cid) hash agg computes every codebook's exact
     integer sums — map-side partials, no per-subspace job fan-out.
     Driver-side state is m·k·(subdim+1) numbers per iteration."""
+    if dim % m:
+        raise ValueError(f"dim={dim} must divide evenly into m={m} subspaces")
     subdim = dim // m
     v = F.col(vec_col).cast("array<double>")
     absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))

@@ -356,3 +356,17 @@ def test_pq_deterministic_under_repartition(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_pq_rejects_indivisible_dim(spark, sf_dir):
+    """dim must split evenly into m subspaces — a silent remainder
+    would drop trailing dimensions from every codebook."""
+    import pytest
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        pq as PQ,
+    )
+
+    c, _ = _split(spark, sf_dir)
+    with pytest.raises(ValueError):
+        PQ.pq_train(c, m=3, dim=64)

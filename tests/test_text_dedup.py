@@ -549,3 +549,27 @@ def test_lsh_quality_metrics(spark, sf_dir):
     assert r.n_hit <= min(r.n_truth, r.n_candidates)
     assert abs(r.recall - round(r.n_hit / r.n_truth, 6)) < 2e-6
     assert abs(r.precision - round(r.n_hit / r.n_candidates, 6)) < 2e-6
+
+
+def test_bpe_learn_stops_when_pairs_exhausted(spark):
+    """A vocabulary that runs out of adjacent pairs before n_merges
+    must stop early (the break path), not loop or error."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        bpe_learn,
+    )
+
+    words = spark.createDataFrame([("ab", 3)], "word string, freq long")
+    merges = bpe_learn(words, n_merges=5)
+    # one merge (a,b) collapses the only word to a single symbol
+    assert merges == [("a", "b", 3)]
+
+
+def test_bpe_learn_single_char_vocab_no_merges(spark):
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        bpe_learn,
+    )
+
+    words = spark.createDataFrame(
+        [("a", 5), ("b", 2)], "word string, freq long"
+    )
+    assert bpe_learn(words, n_merges=3) == []
