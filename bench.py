@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "stream_left_join",
     "conversion_latency",
     "lsh_quality",
+    "ann_recall",
 ]
 
 
@@ -292,6 +293,7 @@ def main() -> None:
         "tpch_important_stock", "customer_deciles",  # persisted agg/ranks
         "keyword_pagerank",                          # persisted walk internals
         "bpe_train", "bpe_encode",                   # shared merge-table cache
+        "ann_pq", "ann_recall",                      # shared PQ/IVF index caches
     }
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}

@@ -272,14 +272,16 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (operators/pq.py): 4 subspace
-    codebooks of 16 codewords trained by deterministic L2 Lloyd over
-    GLOBAL-scale int8 codes, corpus encoded to 4 small ints per
-    vector, queries ranked by ADC lookup-table sums. FULL SQL oracle:
-    every stage — global scale, quantization, all 4×5 Lloyd
-    iterations, encoding, ADC scoring — unrolls as chained DuckDB
-    CTEs (_pq_oracle_sql), the same doctrine as ann_ivf. Recall vs
-    brute force pinned in pytest (tests/test_similarity.py)."""
+    """Product-quantization ANN, production shape (operators/pq.py):
+    8 subspace codebooks of 32 codewords trained by deterministic L2
+    Lloyd over GLOBAL-scale int8 codes, corpus encoded to 8 small ints
+    per vector, ADC lookup-table shortlist (50) then EXACT cosine
+    rerank of the survivors — raw vectors are fetched for
+    shortlist·|queries| rows only. COLD path (rebuilds the codebooks;
+    ann_recall reuses the session index). FULL SQL oracle: global
+    scale, quantization, all 8×5 Lloyd iterations, encoding, ADC
+    shortlist AND the exact rerank unroll as chained DuckDB CTEs
+    (_pq_oracle_sql). Recall vs brute force pinned in pytest."""
     from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
         pq as PQ,
     )
@@ -289,8 +291,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = e.filter(F.col("vec_id") >= N_QUERY)
-    return PQ.pq_topk(
-        corpus, queries, m=4, k_codes=16, dim=64, k=TOP_K
+    model, enc = _pq_index(spark, sf_dir, rebuild=True)
+    return PQ.pq_rerank_topk(
+        enc, queries, corpus, model, k=TOP_K, shortlist=PQ_SHORTLIST
     ).orderBy("query_id", "rank")
 
 
@@ -651,11 +654,15 @@ ORACLES["ivf_probe"] = _ivf_oracle_sql()
 # pq_adc_topk.
 
 
+PQ_SHORTLIST = 50
+
+
 def _pq_oracle_sql(
-    m: int = 4,
-    k: int = 16,
+    m: int = 8,
+    k: int = 32,
     iters: int = KMEANS_ITERS,
     dim: int = 64,
+    shortlist: int = PQ_SHORTLIST,
 ) -> str:
     subdim = dim // m
     max_train = max(k * 100, KMEANS_MAX_TRAIN)
@@ -672,24 +679,24 @@ def _pq_oracle_sql(
     )
     ctes = [
         f"""
-    raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    smax AS (SELECT CASE WHEN max(list_max(list_transform(v, x -> abs(x)))) > 0
+    raw AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    smax AS MATERIALIZED (SELECT CASE WHEN max(list_max(list_transform(v, x -> abs(x)))) > 0
                     THEN max(list_max(list_transform(v, x -> abs(x))))
                     ELSE 1.0e0 END AS sm
              FROM raw WHERE vec_id >= {N_QUERY}),
-    codes AS (SELECT vec_id,
+    codes AS MATERIALIZED (SELECT vec_id,
                      list_transform(v, x -> CAST(round(x / sm * 127) AS INT)) AS q
               FROM raw, smax WHERE vec_id >= {N_QUERY}),
-    train AS (SELECT vec_id, q FROM codes
+    train AS MATERIALIZED (SELECT vec_id, q FROM codes
               ORDER BY (vec_id * {KMEANS_HASH_A}) % {KMEANS_HASH_M}, vec_id
               LIMIT {max_train}),
-    tsub AS (SELECT vec_id, {slices} FROM train),
-    csub AS (SELECT vec_id, {slices} FROM codes)"""
+    tsub AS MATERIALIZED (SELECT vec_id, {slices} FROM train),
+    csub AS MATERIALIZED (SELECT vec_id, {slices} FROM codes)"""
     ]
     for s in range(m):
         ctes.append(
             f"""
-    c{s}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+    c{s}_0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                       CAST(q{s} AS DOUBLE[]) AS cvec
                FROM (SELECT vec_id, q{s} FROM tsub ORDER BY vec_id LIMIT {k}))"""
         )
@@ -697,26 +704,26 @@ def _pq_oracle_sql(
             p = t - 1
             ctes.append(
                 f"""
-    a{s}_{t} AS (SELECT qs, cid FROM (
+    a{s}_{t} AS MATERIALIZED (SELECT qs, cid FROM (
         SELECT t.q{s} AS qs, c.cid,
                row_number() OVER (PARTITION BY t.vec_id
                    ORDER BY {ip(f"CAST(t.q{s} AS DOUBLE[])", "c.cvec")} DESC,
                             c.cid) AS rn
         FROM tsub t CROSS JOIN c{s}_{p} c) WHERE rn = 1),
-    u{s}_{t} AS (SELECT cid, ord,
+    u{s}_{t} AS MATERIALIZED (SELECT cid, ord,
                         CAST(sum(CAST(qs[ord] AS BIGINT)) AS DOUBLE)
                             / count(*) AS val
                  FROM a{s}_{t} CROSS JOIN
                       (SELECT unnest(generate_series(1, {subdim})) AS ord) o
                  GROUP BY cid, ord),
-    c{s}_{t} AS (SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+    c{s}_{t} AS MATERIALIZED (SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
                  FROM c{s}_{p} p LEFT JOIN (
                      SELECT cid, list(val ORDER BY ord) AS cvec
                      FROM u{s}_{t} GROUP BY cid) n USING (cid))"""
             )
         ctes.append(
             f"""
-    asg{s} AS (SELECT vec_id, cid AS cid{s} FROM (
+    asg{s} AS MATERIALIZED (SELECT vec_id, cid AS cid{s} FROM (
         SELECT cs.vec_id, c.cid,
                row_number() OVER (PARTITION BY cs.vec_id
                    ORDER BY {ip(f"CAST(cs.q{s} AS DOUBLE[])", "c.cvec")} DESC,
@@ -736,21 +743,150 @@ def _pq_oracle_sql(
     code_joins = " ".join(
         f"JOIN c{s}_{iters} c{s} ON c{s}.cid = a.cid{s}" for s in range(m)
     )
+    cos = (
+        "list_dot_product(q.v, c.v)"
+        " / (sqrt(list_dot_product(q.v, q.v))"
+        "  * sqrt(list_dot_product(c.v, c.v)))"
+    )
     final = f""",
-    asg AS (SELECT * FROM {asg_joins}),
-    qry AS (SELECT vec_id AS query_id, {qslices}
+    asg AS MATERIALIZED (SELECT * FROM {asg_joins}),
+    qry AS MATERIALIZED (SELECT vec_id AS query_id, v, {qslices}
             FROM raw WHERE vec_id < {N_QUERY}),
-    scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+    scored AS MATERIALIZED (SELECT q.query_id, a.vec_id AS neighbor_id,
                       ({lut_sum}) * (sm / 127.0e0) AS adc
                FROM asg a CROSS JOIN qry q {code_joins}, smax),
-    ranked AS (SELECT query_id, neighbor_id, adc,
+    short AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc DESC, neighbor_id) AS srank
+        FROM scored) WHERE srank <= {shortlist}),
+    rer AS (SELECT s.query_id, s.neighbor_id, {cos} AS cs
+            FROM short s
+            JOIN raw c ON c.vec_id = s.neighbor_id
+            JOIN qry q ON q.query_id = s.query_id),
+    ranked AS (SELECT query_id, neighbor_id, cs,
                       row_number() OVER (PARTITION BY query_id
-                          ORDER BY adc DESC, neighbor_id) AS rank
-               FROM scored)
-    SELECT query_id, neighbor_id, round(adc, 4) AS adc_score,
+                          ORDER BY cs DESC, neighbor_id) AS rank
+               FROM rer)
+    SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
            CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= {TOP_K}"""
     return "WITH " + ",".join(ctes) + final
 
 
 ORACLES["ann_pq"] = _pq_oracle_sql()
+
+
+# One trained PQ index per (session, sf_dir) — the ivf pattern applied
+# to PQ: codebook training + corpus encoding amortize across query
+# batches; at 100 TB the encoded 4-int relation is the persisted
+# serving table.
+_PQ_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str, rebuild: bool = False):
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        pq as PQ,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cur = _PQ_CACHE.get(key)
+    if rebuild and cur is not None:
+        cur[1].unpersist()
+        _PQ_CACHE.pop(key, None)
+        cur = None
+    if cur is None:
+        e = T(spark, sf_dir, "embeddings")
+        corpus = e.filter(F.col("vec_id") >= N_QUERY)
+        model = PQ.pq_train(corpus, m=8, k=32, dim=64)
+        enc = PQ.pq_encode(corpus, model).persist()
+        cur = (model, enc)
+        _PQ_CACHE[key] = cur
+    return cur
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of every ANN tier against the exact brute-force
+    truth — the similarity-search counterpart of `lsh_quality`: the
+    evaluation a 100 TB pipeline runs before trusting an index tier
+    (truth on the bounded query batch, tiers exactly as production
+    runs them: hyperplane LSH, IVF probe from the session index, PQ
+    ADC from the session codebooks). FULL SQL oracle by composition:
+    every tier's complete unrolled oracle (hyperplanes, Lloyd
+    iterations, ADC) embeds as a derived table and joins the
+    brute-force CTE."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERY)
+    truth = S.brute_force_topk(corpus, queries, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = S.lsh_bucket_topk(
+        corpus, queries, k=TOP_K, dim=64, num_planes=LSH_PLANES
+    ).select("query_id", "neighbor_id")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    index = _IVF_CACHE.get(key)
+    if index is None:
+        index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
+        _IVF_CACHE[key] = index
+    ivf = S.ivf_probe(index, queries, k=TOP_K, n_probe=4).select(
+        "query_id", "neighbor_id"
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        pq as PQ,
+    )
+
+    model, enc = _pq_index(spark, sf_dir)
+    pq = PQ.pq_rerank_topk(
+        enc, queries, corpus, model, k=TOP_K, shortlist=PQ_SHORTLIST
+    ).select("query_id", "neighbor_id")
+    flr6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+
+    def tier_row(name: str, t: DataFrame) -> DataFrame:
+        m = t.withColumn("_hit", F.lit(1))
+        agg = truth.join(m, ["query_id", "neighbor_id"], "left").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.count("_hit").cast("bigint").alias("n_hit"),
+            flr6(F.count("_hit") / F.count(F.lit(1))).alias("recall_at_5"),
+        )
+        return agg.select(F.lit(name).alias("tier"), "*")
+
+    return (
+        tier_row("ann_ivf", ivf)
+        .unionByName(tier_row("ann_lsh", lsh))
+        .unionByName(tier_row("ann_pq", pq))
+        .orderBy("tier")
+    )
+
+
+QUERIES["ann_recall"] = q_ann_recall
+
+
+def _ann_recall_oracle_sql() -> str:
+    def tier(name: str, sql: str) -> str:
+        return f"""
+        SELECT '{name}' AS tier,
+               CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(count(x.query_id) AS BIGINT) AS n_hit,
+               floor(CAST(count(x.query_id) AS DOUBLE) / count(*)
+                     * 1000000 + 0.5e0) / 1000000 AS recall_at_5
+        FROM truth t LEFT JOIN ({sql}) x
+          ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id"""
+
+    return f"""
+    WITH truth AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM ({ORACLES["knn_bruteforce"]}) b
+    )
+    SELECT * FROM (
+        {tier("ann_ivf", ORACLES["ann_ivf"])}
+        UNION ALL
+        {tier("ann_lsh", ORACLES["ann_lsh"])}
+        UNION ALL
+        {tier("ann_pq", ORACLES["ann_pq"])}
+    ) ORDER BY tier
+"""
+
+
+ORACLES["ann_recall"] = _ann_recall_oracle_sql()
