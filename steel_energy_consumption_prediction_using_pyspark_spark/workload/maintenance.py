@@ -635,13 +635,15 @@ ORACLES = {
             FROM files
         ),
         binned AS (
+            -- true integer division, mirroring compaction_bins' DIV:
+            -- exact at any byte total, not just below 2^53
             SELECT part, f, bytes,
-                   CAST(floor(
+                   CAST(
                        (sum(bytes) OVER (PARTITION BY part ORDER BY f
                                          ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND CURRENT ROW) - bytes)
-                       / CAST(target AS DOUBLE)
-                   ) AS BIGINT) AS bin
+                       // target
+                   AS BIGINT) AS bin
             FROM files, tgt
         )
         SELECT part, bin,
