@@ -43,9 +43,12 @@ def test_bruteforce_rank_ordering(spark, sf_dir):
 
 
 def test_lsh_bucket_recall(spark, sf_dir):
-    """ANN recall vs brute force ≥ 40% at 4 planes on the fixture (the
-    point is the mechanism and determinism, not SOTA recall; exact
-    bound pinned loose to stay seed-stable)."""
+    """ANN recall vs brute force at the WORKLOAD config (4 planes, 2
+    tables, Hamming-1 probes — workload/vector.py::q_ann_lsh): floor
+    0.5 on the fixture, raised from the single-table 0.4 after the
+    round-5 multi-table lift (measured 0.72 at sf0.1, VERDICT r4 #2;
+    exact bound pinned loose to stay seed-stable). The sf0.1 floor is
+    pinned by test_lsh_multi_table_recall_sf01."""
     c, q = _split(spark, sf_dir)
     truth = {
         (r.query_id, r.neighbor_id)
@@ -53,9 +56,37 @@ def test_lsh_bucket_recall(spark, sf_dir):
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in S.lsh_bucket_topk(c, q, k=5, dim=64, num_planes=4).collect()
+        for r in S.lsh_bucket_topk(
+            c, q, k=5, dim=64, num_planes=4, num_tables=2
+        ).collect()
     }
-    assert len(approx & truth) / len(truth) >= 0.2
+    assert len(approx & truth) / len(truth) >= 0.5
+
+
+def test_lsh_multi_table_recall_sf01(spark):
+    """The VERDICT r4 #2 'done' bound, pinned where it was measured:
+    recall@5 ≥ 0.5 at sf0.1 with the production LSH config, and the
+    second table must strictly improve on one table's candidates
+    (every table-1 candidate is still probed, so recall cannot drop).
+    """
+    c, q = _split(spark, "/root/testdata/sf0.1")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(c, q, k=5).collect()
+    }
+
+    def recall(num_tables):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.lsh_bucket_topk(
+                c, q, k=5, dim=64, num_planes=4, num_tables=num_tables
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= 0.5
+    assert r2 >= r1
 
 
 def test_lsh_deterministic(spark, sf_dir):
