@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     # remainder of the previously-unbenched registry
     "ann_mllib_brp",
     "compaction_plan",
+    "table_maintenance",
     "join_cardinality",
     "ml_feature_pipeline",
     "ml_regression",
@@ -322,6 +323,8 @@ def main() -> None:
         "cluster_representatives", "simhash", "embedding_neardup",
         # MLlib fits: deterministic but expensive; once is the signal
         "ml_regression", "ann_mllib_brp",
+        # physical write scenario: overwrites its scratch table dirs
+        "table_maintenance",
     }
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
