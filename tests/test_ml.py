@@ -280,3 +280,38 @@ def test_pipeline_save_load_roundtrip(spark, split, tmp_path):
     # stage params survive: assembler still skips invalid
     assembler = reloaded.stages[3]
     assert assembler.getHandleInvalid() == "skip"
+
+
+def test_dt_pinned_structure_matches_live(spark):
+    """Drift check for the ml_regression oracle's literal CASE tree
+    (VERDICT r4 #4): refit the deterministic single-partition
+    DecisionTree exactly as q_ml_regression does and assert the fitted
+    structure equals workload/ml.py::_DT_PINNED node for node. If the
+    fixture, the pipeline, the split, or the Spark version changes the
+    tree, this fails with instructions instead of the driver's hash
+    gate failing opaquely. Regenerate with tools/pin_dt_tree.py."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.ml.models import (
+        baseline_regressors,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.ml.pipeline import (
+        build_pipeline,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.sources.steel import (
+        steel_energy,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.ml import (
+        QUERY_ROWS,
+        _DT_PINNED,
+        _portable_split,
+    )
+    from tools.pin_dt_tree import parse_debug_string
+
+    train, _ = _portable_split(steel_energy(spark, QUERY_ROWS))
+    fitted = build_pipeline(baseline_regressors()["DecisionTreeRegressor"]).fit(
+        train.coalesce(1)
+    )
+    live = parse_debug_string(fitted.stages[-1].toDebugString)
+    assert live == _DT_PINNED, (
+        "single-partition DT fit drifted from _DT_PINNED — rerun "
+        "tools/pin_dt_tree.py and update workload/ml.py"
+    )
