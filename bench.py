@@ -363,8 +363,13 @@ def main() -> None:
         "n_queries": len(timings),
     }
     try:
+        # Per-SF detail artifact: bench_detail.json at the driver's
+        # sf0.1, bench_detail_sf{X}.json elsewhere (the scale-ladder
+        # inputs: sf001 / sf1).
+        suffix = "" if sf == "0.1" else "_sf" + sf.replace(".", "")
         detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+            os.path.dirname(os.path.abspath(__file__)),
+            f"bench_detail{suffix}.json",
         )
         with open(detail_path, "w") as fh:
             json.dump(

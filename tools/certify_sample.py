@@ -1,0 +1,86 @@
+"""Seeded certification sample over the NEVER-driver-sampled queries
+(VERDICT r4 #5: driver rotation stalled at 49/50 repeats, so the
+builder certifies a fresh slice of the registry's dark matter every
+round and commits the artifact).
+
+Picks `--n` queries (default 40) with `--seed` from
+DRIVER_SAMPLE_HINT.json's never_driver_sampled list (intersected with
+the live registry), runs the exact driver-replica oracle check
+(tools/check_correctness.py) on them, and writes
+CERTIFY_r{round}.json with the seed, the sample, and the per-query
+sheet — a judge can re-run the identical sample with the same seed.
+
+Usage:
+    python tools/certify_sample.py --round 5 [--seed 5] [--n 40] \
+        [--sf-dir /root/testdata/sf0.01]
+    make certify-sample ROUND=5 [SEED=5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="sample seed (default: the round number)")
+    ap.add_argument("--n", type=int, default=40)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="extra query names to certify beyond the sample")
+    args = ap.parse_args()
+    seed = args.round if args.seed is None else args.seed
+
+    import __spark_entry__ as e
+
+    registry = set(e.queries())
+    hint_path = os.path.join(REPO, "DRIVER_SAMPLE_HINT.json")
+    with open(hint_path) as fh:
+        hint = json.load(fh)
+    pool = sorted(set(hint["never_driver_sampled"]) & registry)
+    rng = random.Random(seed)
+    sample = sorted(rng.sample(pool, min(args.n, len(pool))))
+    sample = sorted(set(sample) | (set(args.extra) & registry))
+    print(f"certifying {len(sample)} queries (seed={seed}) "
+          f"from a pool of {len(pool)} never-driver-sampled")
+
+    out_path = os.path.join(REPO, f"CERTIFY_r{args.round:02d}.json")
+    env = dict(os.environ, CHECK_JSON_OUT=out_path + ".sheet")
+    rc = subprocess.call(
+        [sys.executable, os.path.join(REPO, "tools", "check_correctness.py"),
+         args.sf_dir, *sample],
+        env=env,
+    )
+    with open(out_path + ".sheet") as fh:
+        sheet = json.load(fh)
+    os.unlink(out_path + ".sheet")
+    with open(out_path, "w") as fh:
+        json.dump(
+            {
+                "round": args.round,
+                "seed": seed,
+                "n_requested": args.n,
+                "pool_size": len(pool),
+                "sample": sample,
+                **sheet,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"wrote {out_path} (rc={rc})")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,11 +1,16 @@
-"""Scale-ladder analysis: compare two bench.py JSON outputs taken at
-different scale factors and flag queries whose runtime grew faster
-than the data.
+"""Scale-ladder analysis: compare bench.py outputs taken at different
+scale factors and flag queries whose runtime grew faster than the
+data.
 
-Usage: python tools/scale_ladder.py BENCH_small.json BENCH_big.json
+Usage:
+    python tools/scale_ladder.py BENCH_small.json BENCH_big.json [...]
+    python tools/scale_ladder.py --out SCALE_LADDER_r05.json \
+        bench_detail_sf001.json bench_detail.json bench_detail_sf1.json
 
-The data ratio is inferred from the two files' "sf" fields (e.g.
-sf0.1 -> sf1 = 10x). A query is flagged super-linear when
+Accepts either the bench stdout summary line or bench_detail.json
+(the full per-query map); with 3+ files every consecutive pair becomes
+one ladder rung. The data ratio is inferred from the files' "sf"
+fields (e.g. sf0.1 -> sf1 = 10x). A query is flagged super-linear when
 
     t_big / max(t_small, FLOOR) > data_ratio * SLACK
 
@@ -16,9 +21,9 @@ exact tiers (the O(n^2)-by-design pair generators) are reported in a
 separate section rather than flagged — their growth law is quadratic
 on purpose and their volume path is the LSH/sketch tier.
 
-Output: one human-readable table plus a final JSON line
-{"ratio": R, "flagged": [...], "expected_quadratic": [...]} so round
-artifacts can embed the result.
+Output: one human-readable table per rung plus a final JSON line;
+--out additionally writes the committed round artifact (VERDICT r4
+#6) with every rung's per-query growth ratios and the flag lists.
 """
 
 from __future__ import annotations
@@ -41,24 +46,30 @@ EXPECTED_QUADRATIC = {
 }
 
 
-def main() -> int:
-    small = json.load(open(sys.argv[1]))
-    big = json.load(open(sys.argv[2]))
-    r_small = float(str(small.get("sf", "0.1")).replace("sf", ""))
-    r_big = float(str(big.get("sf", "1")).replace("sf", ""))
-    ratio = r_big / r_small
+def load(path: str) -> tuple[float, dict[str, float]]:
+    d = json.load(open(path))
+    if "summary" in d:  # bench_detail.json shape
+        return float(d["summary"]["sf"]), dict(d["queries"])
+    return float(str(d.get("sf", "0.1")).replace("sf", "")), dict(d["queries"])
 
-    qs = sorted(set(small["queries"]) & set(big["queries"]))
-    missing = sorted(set(small["queries"]) ^ set(big["queries"]))
-    flagged, quad, rows = [], [], []
+
+def rung(small_path: str, big_path: str) -> dict:
+    sf_s, qs_s = load(small_path)
+    sf_b, qs_b = load(big_path)
+    ratio = sf_b / sf_s
+    qs = sorted(set(qs_s) & set(qs_b))
+    missing = sorted(set(qs_s) ^ set(qs_b))
+    flagged, quad, rows, growths = [], [], [], {}
     for q in qs:
-        ts, tb = small["queries"][q], big["queries"][q]
+        ts, tb = qs_s[q], qs_b[q]
         growth = tb / max(ts, FLOOR)
+        growths[q] = round(growth, 3)
         rows.append((growth, q, ts, tb))
         if growth > ratio * SLACK:
             (quad if q in EXPECTED_QUADRATIC else flagged).append(q)
 
     rows.sort(reverse=True)
+    print(f"\n== {small_path} (sf{sf_s:g}) -> {big_path} (sf{sf_b:g}) ==")
     print(f"data ratio {ratio:g}x  |  flag threshold {ratio * SLACK:g}x  "
           f"| floor {FLOOR}s")
     print(f"{'growth':>8}  {'sf_small':>8}  {'sf_big':>8}  query")
@@ -68,8 +79,44 @@ def main() -> int:
         print(f"{growth:8.2f}  {ts:8.2f}  {tb:8.2f}  {q}{mark}")
     if missing:
         print(f"not in both runs ({len(missing)}): {', '.join(missing)}")
-    print(json.dumps({"ratio": ratio, "flagged": flagged,
-                      "expected_quadratic": quad}))
+    return {
+        "sf_small": sf_s,
+        "sf_big": sf_b,
+        "ratio": ratio,
+        "threshold": ratio * SLACK,
+        "n_compared": len(qs),
+        "flagged": flagged,
+        "expected_quadratic": quad,
+        "missing_from_one_side": missing,
+        "growth": growths,
+    }
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    out = None
+    if "--out" in args:
+        i = args.index("--out")
+        out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    if len(args) < 2:
+        print(__doc__)
+        return 2
+    rungs = [rung(a, b) for a, b in zip(args, args[1:])]
+    flagged = sorted({q for r in rungs for q in r["flagged"]})
+    summary = {
+        "floor_sec": FLOOR,
+        "slack": SLACK,
+        "flagged": flagged,
+        "rungs": rungs,
+    }
+    print(json.dumps({"flagged": flagged,
+                      "rungs": [(r["sf_small"], r["sf_big"],
+                                 len(r["flagged"])) for r in rungs]}))
+    if out:
+        with open(out, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {out}")
     return 1 if flagged else 0
 
 
