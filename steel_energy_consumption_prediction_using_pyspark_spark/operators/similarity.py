@@ -356,50 +356,50 @@ def kmeans_cosine_det(
       across runs, partitionings, and engines;
     - empty clusters keep their previous centroid.
 
-    Per iteration: one map-only assignment projection + one k-group
-    hash agg (map-side partials) over the bounded training set; the
-    only driver-side data are the k×(dim+1) centroid sums. Returns the
-    centroids as plain Python doubles (sum/count true division is the
-    same correctly-rounded IEEE op as SQL CAST(sum AS DOUBLE)/count —
-    sums stay far below 2^53)."""
-    base = train.select(F.col(id_col).alias("_tid"), F.col(code_col).alias("_q"))
-    # One materialization of the (possibly sort-limited) quantized
-    # training set: init reads the k lowest-id codes FROM the persisted
-    # block instead of re-evaluating the quantize+sample pipeline —
-    # measured ~2-3.5 s saved per cold build at k=16.
-    staged = base.select(
-        "_tid", "_q", F.col("_q").cast("array<double>").alias("_qd")
-    ).withColumn("_nq", _guarded_norm(F.col("_qd")))
-    staged = staged.persist()
-    init_rows = staged.select("_tid", "_q").orderBy("_tid").limit(k).collect()
-    cents = [[float(v) for v in r._q] for r in init_rows]
-    # The per-dimension sum columns are identical every iteration —
-    # build the Column trees once (reusable across DataFrames) instead
-    # of 64 py4j constructions per Lloyd step.
-    sum_cols = [
-        F.sum(F.element_at(F.col("_q"), i + 1).cast("long")).alias(f"_s{i}")
-        for i in range(dim)
-    ]
-    try:
-        for _ in range(iters):
-            assigned = staged.select(
-                "_q",
-                _nearest_centroid("_qd", "_nq", cents).alias("_cid"),
-            )
-            sums = assigned.groupBy("_cid").agg(
-                F.count(F.lit(1)).alias("_n"), *sum_cols
-            )
-            got = {r._cid: r for r in sums.collect()}
-            cents = [
-                (
-                    [got[cid][f"_s{i}"] / got[cid]._n for i in range(dim)]
-                    if cid in got
-                    else cents[cid]
-                )
-                for cid in range(k)
-            ]
-    finally:
-        staged.unpersist()
+    The training set is BOUNDED by construction (ivf_build caps it at
+    max(100k, KMEANS_MAX_TRAIN) rows — bounded metadata, not data), so
+    since round 5 the codes are collected ONCE and Lloyd runs
+    driver-side in numpy with bit-identical arithmetic: the cosine's
+    dot products fold LEFT TO RIGHT via vectorized sequential adds
+    (the aggregate(zip_with)/list_dot_product association), norms are
+    IEEE sqrt with the 0→1 guard, np.argmax's first-maximum IS the
+    struct-min tie-to-lowest-cid, and centroid updates are exact int64
+    element sums / count in Python true division. Float64 +,*,/,sqrt
+    are IEEE-identical in numpy, the JVM and DuckDB, so moving WHERE
+    the arithmetic runs changes no bit of the result (golden-checked
+    against the former per-iteration Spark jobs at sf0.1). The former
+    loop paid ~1 s/iteration planning the k×dim literal expression
+    tree against ≤2000 rows of actual data."""
+    import math
+
+    import numpy as np
+
+    rows = train.select(F.col(id_col).alias("_tid"), F.col(code_col).alias("_q")).collect()
+    rows.sort(key=lambda r: r._tid)
+    Qi = np.array([r._q for r in rows], dtype=np.int64)
+    X = Qi.astype(np.float64)
+    n = len(Qi)
+    acc = np.zeros(n)
+    for i in range(dim):
+        acc = acc + X[:, i] * X[:, i]
+    nq = np.sqrt(acc)
+    nq[nq == 0.0] = 1.0  # the _guarded_norm 0 -> 1 guard
+    cents = [[float(v) for v in Qi[j]] for j in range(k)]
+    for _ in range(iters):
+        scores = np.empty((n, k))
+        for j in range(k):
+            cv = cents[j]
+            ncent = math.sqrt(_py_dot(cv, cv)) or 1.0
+            a = np.zeros(n)
+            for i in range(dim):
+                a = a + X[:, i] * cv[i]
+            scores[:, j] = a / (nq * ncent)
+        assign = np.argmax(scores, axis=1)
+        for j in range(k):
+            members = Qi[assign == j]
+            if len(members):
+                s = members.sum(axis=0, dtype=np.int64)
+                cents[j] = [int(s[i]) / len(members) for i in range(dim)]
     return cents
 
 
