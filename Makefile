@@ -25,5 +25,5 @@ bench:
 # sf0.01 -> sf0.1 -> sf1 growth ratios -> SCALE_LADDER_r$(ROUND).json
 # (inputs: bench_detail files produced by `SPARK_GRAFT_SF_DIR=... make bench`)
 scale-ladder:
-	python tools/scale_ladder.py --out SCALE_LADDER_r$(ROUND).json \
+	python tools/scale_ladder.py --out $(shell printf 'SCALE_LADDER_r%02d.json' $(ROUND)) \
 	    bench_detail_sf001.json bench_detail.json bench_detail_sf1.json
