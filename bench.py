@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "passage_scrub",
     "ann_pq",
     "pq_probe",
+    "semantic_dedup",
     "bpe_train",
     "bpe_encode",
     "stream_left_join",
@@ -316,6 +317,7 @@ def main() -> None:
         "keyword_pagerank",                          # persisted walk internals
         "bpe_train", "bpe_encode",                   # shared merge-table cache
         "ann_pq", "pq_probe", "ann_recall",          # shared PQ/IVF index caches
+        "semantic_dedup",                            # rides the IVF index cache
         # exact-dedup tier: shingle projections persist / CC labels
         # localCheckpoint inside each call — a rerun would partially
         # reuse blocks and report a number the first run never saw

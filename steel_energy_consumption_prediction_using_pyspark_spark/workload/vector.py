@@ -635,9 +635,16 @@ def _cos_guard_sql(a: str, b: str) -> str:
     return f"list_dot_product({a}, {b}) / ({g(a)} * {g(b)})"
 
 
-def _ivf_oracle_sql(
-    k: int = 16, iters: int = KMEANS_ITERS, dim: int = 64, n_probe: int = 4
+def _ivf_assign_ctes(
+    k: int = 16,
+    iters: int = KMEANS_ITERS,
+    dim: int = 64,
+    materialized_assign: bool = False,
 ) -> str:
+    """The quantizer chain (raw → codes → train → c0..c{iters}) plus
+    the corpus-assignment CTE `assign(neighbor_id, v, cid)` — shared
+    verbatim by the ann_ivf/ivf_probe oracle and semantic_dedup, so
+    all three tiers are provably the SAME index."""
     max_train = max(k * 100, KMEANS_MAX_TRAIN)
     ctes = [
         f"""
@@ -679,15 +686,25 @@ def _ivf_oracle_sql(
                  SELECT cid, list(val ORDER BY ord) AS cvec
                  FROM u{t} GROUP BY cid) n USING (cid))"""
         )
-    final = f""",
-    qry AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings WHERE vec_id < {N_QUERY}),
-    assign AS (SELECT neighbor_id, v, cid FROM (
+    mat = " MATERIALIZED" if materialized_assign else ""
+    ctes.append(
+        f"""
+    assign AS{mat} (SELECT neighbor_id, v, cid FROM (
         SELECT r.vec_id AS neighbor_id, r.v, ce.cid,
                row_number() OVER (PARTITION BY r.vec_id
                    ORDER BY {_cos_guard_sql("r.v", "ce.cvec")} DESC, ce.cid) AS rn
         FROM raw r CROSS JOIN c{iters} ce WHERE r.vec_id >= {N_QUERY})
-        WHERE rn = 1),
+        WHERE rn = 1)"""
+    )
+    return ",".join(ctes)
+
+
+def _ivf_oracle_sql(
+    k: int = 16, iters: int = KMEANS_ITERS, dim: int = 64, n_probe: int = 4
+) -> str:
+    final = f""",
+    qry AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {N_QUERY}),
     probes AS (SELECT query_id, v, cid FROM (
         SELECT qy.query_id, qy.v, ce.cid,
                row_number() OVER (PARTITION BY qy.query_id
@@ -703,7 +720,7 @@ def _ivf_oracle_sql(
     SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
            CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= {TOP_K}"""
-    return "WITH " + ",".join(ctes) + final
+    return "WITH " + _ivf_assign_ctes(k, iters, dim) + final
 
 
 ORACLES["ann_ivf"] = _ivf_oracle_sql()
@@ -960,3 +977,115 @@ def _ann_recall_oracle_sql() -> str:
 
 
 ORACLES["ann_recall"] = _ann_recall_oracle_sql()
+
+
+SEM_TAU = 0.32
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the
+    engine-owned deterministic coarse quantizer, then find cosine
+    near-duplicates ONLY within each cluster and keep the lowest-id
+    survivor of every duplicate pair — the k-means-blocked dedup that
+    makes embedding-level pruning tractable at 100 TB (pair
+    generation is bounded per cluster; nothing global is pairwise).
+
+    Composes three already-verified pieces: the session IVF index
+    (the SAME 16-centroid assignment ann_ivf/ivf_probe use — the
+    oracle reuses the identical unrolled quantizer CTEs via
+    _ivf_assign_ctes, proving index identity), the skew-proof
+    _fanout_self_join from the dedup tier (a 16-cluster equi-join is
+    exactly the hot-block shape it exists for), and the bit-identical
+    cosine family. Output: per-cluster dedup accounting — vectors,
+    qualifying pairs (cos ≥ SEM_TAU on the UNROUNDED value, safe
+    because cosines are bit-identical across engines), removed
+    (= ids appearing as the higher id of any pair), survivors."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.dedup import (
+        _fanout_self_join,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+        cosine,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    index = _IVF_CACHE.get(key)
+    if index is None:
+        corpus = e.filter(F.col("vec_id") >= N_QUERY)
+        index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
+        _IVF_CACHE[key] = index
+    sh = index.assigned.select(
+        F.col("neighbor_id").alias("_id"),
+        F.col("_list").alias("_blk"),
+        "_cv",
+    )
+    cond = (F.col("x._blk") == F.col("y._blk")) & (
+        F.col("x._id") < F.col("y._id")
+    )
+    pairs = (
+        _fanout_self_join(sh, cond)
+        .select(
+            F.col("x._blk").alias("cid"),
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            cosine(F.col("x._cv"), F.col("y._cv")).alias("_cs"),
+        )
+        .filter(F.col("_cs") >= F.lit(SEM_TAU))
+    )
+    base = index.assigned.groupBy(F.col("_list").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    pst = pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_pairs"))
+    rem = (
+        pairs.select("cid", "id_b")
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    return (
+        base.join(pst, "cid", "left")
+        .join(rem, "cid", "left")
+        .fillna(0, ["n_pairs", "n_removed"])
+        .select(
+            "cid",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_removed").cast("bigint").alias("n_removed"),
+            (F.col("n_vecs") - F.col("n_removed"))
+            .cast("bigint")
+            .alias("n_survivors"),
+        )
+        .orderBy("cid")
+    )
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+
+_SEM_COS = (
+    "list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+ORACLES["semantic_dedup"] = f"""
+    WITH {_ivf_assign_ctes(materialized_assign=True)},
+    pairs AS MATERIALIZED (
+        SELECT cid, id_a, id_b FROM (
+            SELECT a.cid, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+                   {_SEM_COS} AS cs
+            FROM assign a JOIN assign b
+              ON a.cid = b.cid AND a.neighbor_id < b.neighbor_id
+        ) WHERE cs >= {SEM_TAU}e0
+    ),
+    base AS (SELECT cid, count(*) AS n_vecs FROM assign GROUP BY cid),
+    pst AS (SELECT cid, count(*) AS n_pairs FROM pairs GROUP BY cid),
+    rem AS (SELECT cid, count(DISTINCT id_b) AS n_removed
+            FROM pairs GROUP BY cid)
+    SELECT base.cid,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(n_vecs - coalesce(n_removed, 0) AS BIGINT) AS n_survivors
+    FROM base LEFT JOIN pst USING (cid) LEFT JOIN rem USING (cid)
+    ORDER BY base.cid
+"""

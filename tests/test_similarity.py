@@ -409,3 +409,40 @@ def test_pq_rejects_indivisible_dim(spark, sf_dir):
     c, _ = _split(spark, sf_dir)
     with pytest.raises(ValueError):
         PQ.pq_train(c, m=3, dim=64)
+
+
+def test_semantic_dedup_accounting_and_blocking(spark, sf_dir):
+    """SemDeDup composition pins: per-cluster accounting is
+    self-consistent (survivors = vecs − removed, removed ≤ vecs,
+    removed > 0 somewhere on the clustered fixture), cluster ids come
+    from the 16-centroid index, and the pair set is cluster-blocked —
+    re-deriving the same pairs WITHOUT blocking over the full corpus
+    must find at least as many (blocking only drops cross-cluster
+    pairs, never invents any)."""
+    from pyspark.sql import functions as F
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.vector import (
+        SEM_TAU,
+        q_semantic_dedup,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+        cosine,
+    )
+
+    rows = q_semantic_dedup(spark, sf_dir).collect()
+    assert rows and all(0 <= r.cid < 16 for r in rows)
+    for r in rows:
+        assert r.n_survivors == r.n_vecs - r.n_removed
+        assert 0 <= r.n_removed <= r.n_vecs
+    assert sum(r.n_removed for r in rows) > 0  # fixture has near-dups
+
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 5)
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").cast("array<double>").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").cast("array<double>").alias("vb"))
+    unblocked = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= SEM_TAU)
+        .count()
+    )
+    blocked = sum(r.n_pairs for r in rows)
+    assert blocked <= unblocked
