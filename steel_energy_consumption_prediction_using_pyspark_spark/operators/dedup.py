@@ -240,16 +240,17 @@ def minhash_lsh_pairs(
         persist=persist,
     )
     sh = shingled
+    # |A∪B| = |A|+|B|−|A∩B| (shingle sets are distinct): one hashed
+    # set-op per candidate instead of two.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
     verified = (
         cand.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}), "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-            ).alias("jaccard"),
+            (inter / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
@@ -277,15 +278,15 @@ def simhash64(text: Column | str) -> Column:
     toks = F.filter(
         F.array_distinct(tokens(normalize_text(text))), lambda w: F.length(w) > 0
     )
+    # md5 once per token (staged as its own transform): the lo/hi
+    # halves both read the same digest, and an inline F.md5 inside the
+    # struct would be evaluated twice per token.
+    digests = F.transform(toks, lambda t: F.md5(t))
     hashes = F.transform(
-        toks,
-        lambda t: F.struct(
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
-            .cast("long")
-            .alias("lo"),
-            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
-            .cast("long")
-            .alias("hi"),
+        digests,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("lo"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("hi"),
         ),
     )
     # acc: array of 64 signed counts (index i ↔ bit i-1); one zip_with
@@ -338,7 +339,11 @@ def simhash_pairs(
     `block_col` when given (at 100 TB an unblocked self-join is never
     acceptable; production use bands the 64 bits into (64/t)-bit keys so
     any pair within distance t shares ≥1 exact band — same trick as
-    minhash_lsh_pairs)."""
+    minhash_lsh_pairs). The pairwise Hamming compare is spread via
+    :func:`_fanout_self_join`: one hot block (e.g. the dominant
+    language, ~40% of docs hence ~70% of pairs) would otherwise
+    serialize the quadratic compare on the handful of tasks a plain
+    blocked join plans."""
     sig = df.select(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
@@ -348,8 +353,7 @@ def simhash_pairs(
     if block_col:
         cond = cond & (F.col("x._blk") == F.col("y._blk"))
     return (
-        sig.alias("x")
-        .join(sig.alias("y"), cond)
+        _fanout_self_join(sig, cond)
         .select(
             F.col("x._id").alias("id_a"),
             F.col("y._id").alias("id_b"),
@@ -420,43 +424,32 @@ def _fanout_self_join(sh: DataFrame, cond, fanout: int = PAIR_FANOUT):
     )
 
 
-def ngram_jaccard_pairs(
+def _hashed_shingle_sets(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    block_col: str | None = None,
-    shingle_n: int = 3,
-    threshold: float = 0.5,
+    text_col: str,
+    id_col: str,
+    block_col: str | None,
+    shingle_n: int,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for pairs sharing a block key.
-    The honest O(n²/blocks) baseline the sketch methods approximate;
-    the per-block quadratic work is spread via
-    :func:`_fanout_self_join` so a hot block cannot serialize it.
-
-    Shingle sets are carried as portable 32-bit gram hashes
-    (:func:`gram_hash32`), not gram strings: the quadratic inner loop
-    pays an array_intersect + array_union per candidate pair, and on
-    BIGINT arrays those are ~an order of magnitude cheaper than on
-    ~25-byte strings (and the salted shuffle moves 8-byte elements
-    instead of the text). Set cardinalities — hence jaccard — are
-    unchanged short of an md5-prefix collision inside one document
-    (P ≈ n²/2³² per doc, and the DuckDB twin applies the IDENTICAL
-    hash, so even a collision cannot split engine from oracle)."""
+    """(_id[, _blk], _sh) projection shared by the exact n-gram tiers:
+    distinct shingle sets as 32-bit gram hashes (:func:`gram_hash32`),
+    contentless docs dropped (no shingles → nothing to index; exact
+    dedup owns them)."""
     from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
         normalize_text,
         shingles_from,
         tokens as _tokens,
     )
 
-    sh = (
+    return (
         df.select(
             F.col(id_col).alias("_id"),
-            *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+            *([F.col(block_col).alias("_blk")] if block_col else []),
             _tokens(normalize_text(text_col)).alias("_tk"),
         )
         .select(
             "_id",
-            *( ["_blk"] if block_col else [] ),
+            *(["_blk"] if block_col else []),
             F.array_distinct(
                 F.transform(
                     F.array_distinct(shingles_from("_tk", shingle_n)),
@@ -466,17 +459,79 @@ def ngram_jaccard_pairs(
         )
         .filter(F.size("_sh") > 0)
     )
-    cond = F.col("x._id") < F.col("y._id")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard via a block-local INVERTED INDEX:
+    explode (id, gram) postings, equi-join on (block, gram), count
+    matches per ordered pair — that count IS |A∩B| (shingle sets are
+    distinct), and |A∪B| = |A|+|B|−|A∩B| from sizes computed once per
+    document, so no per-pair array set-ops at all. Any pair with
+    jaccard ≥ threshold > 0 shares ≥1 gram and is therefore found:
+    the output is pair-for-pair identical to the quadratic blocked
+    self-join it replaced (pinned by
+    tests/test_text_dedup.py::test_inverted_index_matches_bruteforce).
+
+    Scale shape: shuffled volume is O(total gram postings) for the
+    join plus O(co-occurring pairs) for the count — at the measured
+    corpus that is ~63k count rows vs ~623k quadratic pairs each
+    paying two O(|A|+|B|) hash set-ops (≈10× less work at sf0.1, and
+    the gap widens with block size since postings grow linearly while
+    block pairs grow quadratically). The pair-count aggregation is
+    map-side combinable; a hot gram (stopword shingle) is an AQE
+    skew-splittable join key, and a df-cap on postings is the standard
+    escape hatch if a corpus ever degenerates (not needed here — max
+    per-(block, gram) document frequency is 6 at sf0.1).
+
+    Shingles are carried as portable 32-bit gram hashes
+    (:func:`gram_hash32`), not gram strings, so the postings shuffle
+    moves 8-byte elements instead of ~25-byte text. Jaccard values are
+    unchanged short of an md5-prefix collision inside one document
+    (P ≈ n²/2³² per doc, and the DuckDB twin applies the IDENTICAL
+    hash, so even a collision cannot split engine from oracle)."""
+    if threshold <= 0:
+        raise ValueError(
+            "inverted-index jaccard requires threshold > 0 "
+            "(zero-overlap pairs are never materialized)"
+        )
+    sh = _hashed_shingle_sets(df, text_col, id_col, block_col, shingle_n)
+    blk = ["_blk"] if block_col else []
+    ex = sh.select("_id", *blk, F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
+    x = ex.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in blk],
+        F.col("_n").alias("_na"),
+        "_g",
+    )
+    y = ex.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in blk],
+        F.col("_n").alias("_nb"),
+        "_g",
+    )
+    cond = (F.col("x._g") == F.col("y._g")) & (F.col("id_a") < F.col("id_b"))
     if block_col:
-        cond = cond & (F.col("x._blk") == F.col("y._blk"))
-    inter = F.size(F.array_intersect(F.col("x._sh"), F.col("y._sh")))
-    union = F.size(F.array_union(F.col("x._sh"), F.col("y._sh")))
+        cond = cond & (F.col("_blk_a") == F.col("_blk_b"))
+    inter = F.count(F.lit(1)).alias("_inter")
     return (
-        _fanout_self_join(sh, cond)
+        x.alias("x")
+        .join(y.alias("y"), cond)
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(inter)
         .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            (inter / union.cast("double")).alias("jaccard"),
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -497,44 +552,44 @@ def ngram_containment_pairs(
     measure, not symmetric similarity (Broder 1997 distinguishes
     resemblance vs containment for exactly this reason). Emits ordered
     pairs (id_a contained-in id_b), both directions when both clear
-    the threshold. Same blocked self-join shape (and same hashed-gram
-    representation — see there) as :func:`ngram_jaccard_pairs`; the
-    sketch-scale analogue hashes only A's shingles (minhash of A
-    against B's shingle filter)."""
-    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
-        normalize_text,
-        shingles_from,
-        tokens as _tokens,
-    )
-
-    sh = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-            _tokens(normalize_text(text_col)).alias("_tk"),
+    the threshold. Same block-local inverted-index shape (and same
+    hashed-gram representation) as :func:`ngram_jaccard_pairs` — the
+    posting count per ordered pair IS |A∩B|, divided by A's set size
+    computed once per document; any pair with containment ≥
+    threshold > 0 shares ≥1 gram, so the index finds exactly the
+    quadratic join's output. The sketch-scale analogue hashes only A's
+    shingles (minhash of A against B's shingle filter)."""
+    if threshold <= 0:
+        raise ValueError(
+            "inverted-index containment requires threshold > 0 "
+            "(zero-overlap pairs are never materialized)"
         )
-        .select(
-            "_id",
-            *( ["_blk"] if block_col else [] ),
-            F.array_distinct(
-                F.transform(
-                    F.array_distinct(shingles_from("_tk", shingle_n)),
-                    gram_hash32,
-                )
-            ).alias("_sh"),
-        )
-        .filter(F.size("_sh") > 0)
+    sh = _hashed_shingle_sets(df, text_col, id_col, block_col, shingle_n)
+    blk = ["_blk"] if block_col else []
+    ex = sh.select("_id", *blk, F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
+    x = ex.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in blk],
+        F.col("_n").alias("_na"),
+        "_g",
     )
-    cond = F.col("x._id") != F.col("y._id")
+    y = ex.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in blk],
+        "_g",
+    )
+    cond = (F.col("x._g") == F.col("y._g")) & (F.col("id_a") != F.col("id_b"))
     if block_col:
-        cond = cond & (F.col("x._blk") == F.col("y._blk"))
-    inter = F.size(F.array_intersect(F.col("x._sh"), F.col("y._sh")))
+        cond = cond & (F.col("_blk_a") == F.col("_blk_b"))
     return (
-        _fanout_self_join(sh, cond)
+        x.alias("x")
+        .join(y.alias("y"), cond)
+        .groupBy("id_a", "id_b", "_na")
+        .agg(F.count(F.lit(1)).alias("_inter"))
         .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            (inter / F.size(F.col("x._sh")).cast("double")).alias("containment"),
+            "id_a",
+            "id_b",
+            (F.col("_inter") / F.col("_na").cast("double")).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
     )

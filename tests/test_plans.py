@@ -564,17 +564,18 @@ def test_ann_pq_encoding_is_projection(spark, sf_dir):
 
 
 def test_fanout_self_join_width_pinned(spark, sf_dir):
-    """_fanout_self_join pins its exchange width with an explicit
-    repartition (exempt from AQE coalescing): the executed join must
-    run at >= 2x parallelism partitions even though its shuffled bytes
-    are tiny (the property the round-4 sf1 stress gate needed, now
-    without the session-wide minPartitionSize floor)."""
+    """_fanout_self_join (the simhash pair path) pins its exchange
+    width with an explicit repartition (exempt from AQE coalescing):
+    the executed join must run at >= 2x parallelism partitions even
+    though its shuffled bytes are tiny (the property the round-4 sf1
+    stress gate needed, now without the session-wide minPartitionSize
+    floor)."""
     from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
         dedup as D,
     )
 
     d = T(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, block_col="source", threshold=0.5)
+    pairs = D.simhash_pairs(d, "text", "doc_id", max_hamming=4, block_col="lang")
     width = pairs.rdd.getNumPartitions()
     expect = spark.sparkContext.defaultParallelism * 2
     assert width >= expect, (width, expect)

@@ -261,14 +261,16 @@ def test_prefix_jaccard_matches_bruteforce(spark, sf_dir):
     assert sum(1 for (_, b, j) in fast if b >= 10_000_000 and j == 1.0) >= 5
 
 
-def test_fanout_self_join_preserves_pair_set(spark, sf_dir):
-    """The 8-way salted self-join (_fanout_self_join) is a pure plan
-    rewrite: every candidate pair is produced exactly once, at the x
-    row's salt. Pin pair-for-pair equality (ids AND jaccard) against a
-    naive unsalted blocked join on the same inputs, including the
-    blocked (block_col) shape the sf1 hot-block fix targets. Clones
-    are planted so the pair set is guaranteed non-empty at every
-    fixture SF (clone pairs land at J=1.0 in the clone's block)."""
+def test_inverted_index_matches_bruteforce(spark, sf_dir):
+    """The block-local inverted-index Jaccard (explode postings →
+    gram equi-join → pair count) is a pure plan rewrite of the
+    quadratic blocked self-join: any pair with jaccard ≥ threshold > 0
+    shares ≥1 gram, so the index finds it, and |A∪B| = |A|+|B|−|A∩B|
+    reproduces the same double. Pin pair-for-pair equality (ids AND
+    jaccard) against a naive unsalted blocked join on the same inputs.
+    Clones are planted so the pair set is guaranteed non-empty at
+    every fixture SF (clone pairs land at J=1.0 in the clone's
+    block)."""
     d, _ = _planted(spark, sf_dir, n=5)
     d = d.filter((F.col("doc_id") % 10_000_000) < 300)
     fast = {
@@ -317,6 +319,45 @@ def test_fanout_self_join_preserves_pair_set(spark, sf_dir):
             (inter / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.03)
+        .collect()
+    }
+    assert fast == naive
+    assert len(fast) > 0
+
+
+def test_fanout_self_join_preserves_pair_set(spark, sf_dir):
+    """The salted self-join (_fanout_self_join, now the simhash pair
+    path) is a pure plan rewrite: every candidate pair is produced
+    exactly once, at the x row's salt — pinned pair-for-pair against
+    a naive unsalted blocked join over the same simhash signatures,
+    with planted clones guaranteeing Hamming-0 pairs at every SF."""
+    d, _ = _planted(spark, sf_dir, n=5)
+    d = d.filter((F.col("doc_id") % 10_000_000) < 300)
+    fast = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_pairs(
+            d, "text", "doc_id", max_hamming=4, block_col="lang"
+        ).collect()
+    }
+    sig = d.select(
+        F.col("doc_id").alias("_id"),
+        F.col("lang").alias("_blk"),
+        D.simhash64("text").alias("_sh"),
+    )
+    naive = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in sig.alias("x")
+        .join(
+            sig.alias("y"),
+            (F.col("x._id") < F.col("y._id"))
+            & (F.col("x._blk") == F.col("y._blk")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            D.hamming64(F.col("x._sh"), F.col("y._sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 4)
         .collect()
     }
     assert fast == naive
