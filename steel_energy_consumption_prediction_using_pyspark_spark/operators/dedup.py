@@ -152,12 +152,16 @@ def minhash_stages(
 
     shingled = (
         df.select(F.col(id_col).alias("_id"), _tokens(normalize_text(text_col)).alias("_tk"))
+        .filter(F.size("_tk") >= shingle_n)
         .select("_id", F.array_distinct(shingles_from("_tk", shingle_n)).alias("_sh"))
-        .filter(F.size("_sh") > 0)
     )
     # Contentless docs (no shingles) are excluded: their sentinel
     # signatures would band-match each other and the Jaccard union
     # would be empty (ANSI divide-by-zero). Exact-dedup handles them.
+    # The filter tests the TOKEN count (≥ shingle_n ⟺ ≥1 shingle) so
+    # predicate pushdown substitutes only the cheap split — a filter
+    # on size(_sh) would re-evaluate the interpreted (no-CSE)
+    # shingle+distinct chain per occurrence; see _hashed_shingle_sets.
     if persist:
         shingled = shingled.persist()
     # Stage the gram hashes as a NAMED column: 32 affine permutations
@@ -349,6 +353,11 @@ def simhash_pairs(
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
         simhash64(text_col).alias("_sh"),
     )
+    # Materialize the signatures once: the self-join would otherwise
+    # evaluate the interpreted O(tokens×64) signature fold on BOTH
+    # sides (same lesson as _materialized_postings; one int64 per doc,
+    # so the checkpoint is tiny).
+    sig = sig.localCheckpoint(eager=True)
     cond = F.col("x._id") < F.col("y._id")
     if block_col:
         cond = cond & (F.col("x._blk") == F.col("y._blk"))
@@ -434,7 +443,18 @@ def _hashed_shingle_sets(
     """(_id[, _blk], _sh) projection shared by the exact n-gram tiers:
     distinct shingle sets as 32-bit gram hashes (:func:`gram_hash32`),
     contentless docs dropped (no shingles → nothing to index; exact
-    dedup owns them)."""
+    dedup owns them).
+
+    The emptiness filter tests ``size(_tk) >= shingle_n`` on the TOKEN
+    array — exactly equivalent to ``size(_sh) > 0`` (shingles_from
+    emits n_tok−n+1 non-null grams iff n_tok ≥ n, and distinct+hash
+    preserve non-emptiness) but pushdown-safe: Catalyst pushes filters
+    through projects by SUBSTITUTING the alias, and higher-order
+    functions run interpreted with no common-subexpression
+    elimination, so a filter on _sh re-evaluates the whole
+    tokenize→shingle→md5 chain per occurrence (measured ~10× the
+    single-eval cost at sf0.1). Filtering on the token count only
+    duplicates the cheap split."""
     from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
         normalize_text,
         shingles_from,
@@ -447,6 +467,7 @@ def _hashed_shingle_sets(
             *([F.col(block_col).alias("_blk")] if block_col else []),
             _tokens(normalize_text(text_col)).alias("_tk"),
         )
+        .filter(F.size("_tk") >= shingle_n)
         .select(
             "_id",
             *(["_blk"] if block_col else []),
@@ -457,7 +478,31 @@ def _hashed_shingle_sets(
                 )
             ).alias("_sh"),
         )
-        .filter(F.size("_sh") > 0)
+    )
+
+
+def _materialized_postings(sh: DataFrame, blk: list[str]) -> DataFrame:
+    """(_id[, _blk], _n, _g) postings, MATERIALIZED once via eager
+    localCheckpoint before the self-join consumes them twice.
+
+    Two Catalyst behaviors make the lazy plan pay the interpreted
+    (no-CSE) shingle chain ~6-8×: InferFiltersFromGenerate plants
+    ``size(_sh) > 0 AND isnotnull(_sh)`` beneath the explode and
+    predicate pushdown substitutes the full expression into each
+    conjunct, and the self-join evaluates the whole lineage once per
+    side. Measured at sf0.1: explode-from-lineage 13 s vs 0.3 s from a
+    materialized relation. The checkpoint therefore sits BELOW the
+    explode — the set projection's plan contains no Generate, so
+    materializing it evaluates the chain exactly once, and both the
+    inferred filter and the two join sides then read materialized
+    arrays. It is the local-mode stand-in for what a 100 TB pipeline
+    does anyway — materialize the postings / signature table once per
+    corpus snapshot — and (unlike a bare persist) truncates lineage so
+    the ContextCleaner can reclaim it when the result goes out of
+    scope."""
+    sh = sh.localCheckpoint(eager=True)
+    return sh.select(
+        "_id", *blk, F.size("_sh").alias("_n"), F.explode("_sh").alias("_g")
     )
 
 
@@ -503,7 +548,7 @@ def ngram_jaccard_pairs(
         )
     sh = _hashed_shingle_sets(df, text_col, id_col, block_col, shingle_n)
     blk = ["_blk"] if block_col else []
-    ex = sh.select("_id", *blk, F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
+    ex = _materialized_postings(sh, blk)
     x = ex.select(
         F.col("_id").alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in blk],
@@ -566,7 +611,7 @@ def ngram_containment_pairs(
         )
     sh = _hashed_shingle_sets(df, text_col, id_col, block_col, shingle_n)
     blk = ["_blk"] if block_col else []
-    ex = sh.select("_id", *blk, F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
+    ex = _materialized_postings(sh, blk)
     x = ex.select(
         F.col("_id").alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in blk],
@@ -748,16 +793,20 @@ def prefix_jaccard_pairs(
         tokens as _tokens,
     )
 
+    # Emptiness is tested on the TOKEN array (≥ shingle_n tokens ⟺
+    # ≥1 shingle) so predicate pushdown substitutes only the split —
+    # a filter on the shingled column would re-evaluate the
+    # interpreted shingle chain per occurrence (see
+    # _hashed_shingle_sets).
     base = df.select(
         F.col(id_col).alias("_id"), _tokens(normalize_text(text_col)).alias("_w")
-    )
+    ).filter(F.size("_w") >= max(shingle_n, 1))
     if shingle_n >= 2:
         base = base.select(
             "_id", F.array_distinct(shingles_from("_w", shingle_n)).alias("_tk")
         )
     else:
         base = base.select("_id", F.array_distinct("_w").alias("_tk"))
-    base = base.filter(F.size("_tk") > 0)
     if persist:
         # The (id, set) projection feeds three consumers (explode for
         # the prefix join, both verify sides) and sits under an
