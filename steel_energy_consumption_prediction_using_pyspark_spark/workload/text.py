@@ -695,7 +695,18 @@ def _content_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     words (alphabetic, length ≥ 5) within a ±2-token window — the
     word-graph edge builder shared by keyword_pagerank and
     word_triangles. Pair generation is per-row zip_with over sliced
-    token arrays (no positional self-join)."""
+    token arrays (no positional self-join).
+
+    The content-word projection is materialized (eager
+    localCheckpoint) BEFORE the ≥3-word filter and the slice/zip_with
+    consumers: filters and multiple column references over an
+    interpreted HOF projection are substituted by Catalyst, so the
+    lazy plan would re-run the per-token regexp chain once per slice /
+    size / inferred-explode-filter occurrence (~8×) — the
+    dedup-postings lesson (operators/dedup.py::_materialized_postings)
+    applied to the word graph. The distinct pair set is checkpointed
+    too: keyword_pagerank reads it twice (symmetrization) and
+    word_triangles three times (wedge join)."""
     d = T(spark, sf_dir, "documents").select(
         X.tokens(X.normalize_text("text")).alias("tk")
     )
@@ -703,7 +714,11 @@ def _content_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("tk"), lambda t: F.regexp_replace(t, "[^a-z]", "")),
         lambda t: F.length(t) >= 5,
     )
-    docs = d.select(wcol.alias("w")).filter(F.size("w") >= 3)
+    docs = (
+        d.select(wcol.alias("w"))
+        .localCheckpoint(eager=True)
+        .filter(F.size("w") >= 3)
+    )
     n = F.size("w")
 
     def off_pairs(k: int):
@@ -720,6 +735,7 @@ def _content_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.src", "p.dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
 
