@@ -651,9 +651,16 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Pairs whose embedding cosine ≥ threshold. Blocked self-join;
     for unblocked scale use similarity.lsh_bucket_topk's hyperplane
-    buckets as the block key."""
+    buckets as the block key.
+
+    Self-norms are computed ONCE per row (sqrt(dot(v,v)) staged in the
+    projection, which is then eagerly checkpointed so both join sides
+    read materialized rows): the interpreted per-pair HOF work drops
+    from three dot products to one, with bit-identical results —
+    sqrt(dot(x,x))·sqrt(dot(y,y)) is the same fp expression whether
+    the factors are computed per pair or per row."""
     from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
-        cosine,
+        dot,
     )
 
     v = df.select(
@@ -661,6 +668,8 @@ def embedding_neardup_pairs(
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    v = v.withColumn("_nrm", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+    v = v.localCheckpoint(eager=True)
     cond = F.col("x._id") < F.col("y._id")
     if block_col:
         cond = cond & (F.col("x._blk") == F.col("y._blk"))
@@ -670,7 +679,10 @@ def embedding_neardup_pairs(
         .select(
             F.col("x._id").alias("id_a"),
             F.col("y._id").alias("id_b"),
-            cosine(F.col("x._v"), F.col("y._v")).alias("cos_sim"),
+            (
+                dot(F.col("x._v"), F.col("y._v"))
+                / (F.col("x._nrm") * F.col("y._nrm"))
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

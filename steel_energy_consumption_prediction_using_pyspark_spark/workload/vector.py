@@ -1005,7 +1005,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fanout_self_join,
     )
     from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
-        cosine,
+        dot,
     )
 
     e = T(spark, sf_dir, "embeddings")
@@ -1015,10 +1015,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus = e.filter(F.col("vec_id") >= N_QUERY)
         index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
         _IVF_CACHE[key] = index
+    # Self-norms staged once per row (sqrt(dot(v,v)) is the identical
+    # fp factor whether computed per row or per pair), so the
+    # quadratic inner loop pays ONE interpreted dot product per pair
+    # instead of three — the embedding_neardup_pairs lesson.
     sh = index.assigned.select(
         F.col("neighbor_id").alias("_id"),
         F.col("_list").alias("_blk"),
         "_cv",
+        F.sqrt(dot(F.col("_cv"), F.col("_cv"))).alias("_nrm"),
     )
     cond = (F.col("x._blk") == F.col("y._blk")) & (
         F.col("x._id") < F.col("y._id")
@@ -1029,7 +1034,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x._blk").alias("cid"),
             F.col("x._id").alias("id_a"),
             F.col("y._id").alias("id_b"),
-            cosine(F.col("x._cv"), F.col("y._cv")).alias("_cs"),
+            (
+                dot(F.col("x._cv"), F.col("y._cv"))
+                / (F.col("x._nrm") * F.col("y._nrm"))
+            ).alias("_cs"),
         )
         .filter(F.col("_cs") >= F.lit(SEM_TAU))
     )
