@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     # exact-dedup tier — the heaviest family; measured once per run
     # (NO_RERUN) because their internals persist/localCheckpoint
+    "stream_full_join",
     "ngram_jaccard",
     "containment_pairs",
     "dedup_clusters",

@@ -142,6 +142,79 @@ def time_bounded_left_join(
     return a.join(b, cond, "left_outer")
 
 
+def time_bounded_full_join(
+    lead: DataFrame,
+    follow: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER variant completing the stream-stream join matrix
+    (inner → :func:`time_bounded_pair_join`, left →
+    :func:`time_bounded_left_join`): the two-feed RECONCILIATION
+    shape, where unmatched rows on BOTH sides are the signal —
+    lead-only rows are lost conversions, follow-only rows are orphan
+    attributions (a purchase with no qualifying lead). Spark supports
+    stream-stream full outer joins (3.1+) under the same contract as
+    left outer, applied to both sides: each side watermarked and the
+    join condition time-bounding the match window, so either side's
+    unmatched row is emitted null-extended exactly when the watermark
+    proves no future partner can arrive. State on each side is
+    bounded by watermark + `within` — identical eviction math to the
+    one-sided case, just enforced symmetrically."""
+    if lead.isStreaming:
+        lead = lead.withWatermark("ts", watermark)
+    if follow.isStreaming:
+        follow = follow.withWatermark("ts", watermark)
+    a = lead.select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_id"),
+    )
+    b = follow.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+        F.col("event_id").alias("b_id"),
+    )
+    cond = (
+        (a.a_user == b.b_user)
+        & (b.b_ts > a.a_ts)
+        & (b.b_ts <= a.a_ts + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond, "full_outer")
+
+
+def reconciliation_stats(events: DataFrame, within: str = "30 minutes") -> DataFrame:
+    """Two-feed reconciliation accounting per user over the full
+    funnel join: matched pairs, lead-only clicks (no purchase inside
+    the window), follow-only purchases (no qualifying click — the
+    attribution leak an inner or left join cannot see) and the orphan
+    value they carry."""
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    j = time_bounded_full_join(clicks, purchases, within=within)
+    return j.groupBy(
+        F.coalesce(F.col("a_user"), F.col("b_user")).alias("user_id")
+    ).agg(
+        F.count(
+            F.when(F.col("a_id").isNotNull() & F.col("b_id").isNotNull(), 1)
+        ).alias("n_pairs"),
+        F.count_distinct(
+            F.when(F.col("b_id").isNull(), F.col("a_id"))
+        ).alias("n_lead_only"),
+        F.count_distinct(
+            F.when(F.col("a_id").isNull(), F.col("b_id"))
+        ).alias("n_follow_only"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("a_id").isNull(), F.col("b_value"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("orphan_value"),
+    )
+
+
 def conversion_stats(events: DataFrame, within: str = "30 minutes") -> DataFrame:
     """click→purchase conversion accounting per user over the left
     funnel join: leads, converted leads, pairs, attributed value —

@@ -1567,6 +1567,25 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_stats(e, within="30 minutes").orderBy("user_id")
 
 
+def q_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feed reconciliation (streaming/joins.py::
+    reconciliation_stats): stream-stream FULL OUTER join shape —
+    completes the join matrix (inner `stream_join`, left outer
+    `stream_left_join`). Unmatched rows on BOTH sides are the
+    deliverable: lead-only clicks are lost conversions, follow-only
+    purchases are attribution leaks invisible to the other two join
+    types. Batch mode here (plain full join, oracle-checked);
+    test_streaming.py pins the streaming semantics — matched pairs
+    identical to batch, each side's unmatched rows emitted
+    null-extended once the watermark proves no partner can arrive."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.joins import (
+        reconciliation_stats,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return reconciliation_stats(e, within="30 minutes").orderBy("user_id")
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (streaming/joins.py::static_enrich):
     events looked up against the broadcast customer dimension,
@@ -1679,6 +1698,7 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_join": q_stream_join,
     "stream_left_join": q_stream_left_join,
+    "stream_full_join": q_stream_full_join,
     "stream_enrich": q_stream_enrich,
     "stream_dedup": q_stream_dedup,
     "variant": q_variant,
@@ -1911,6 +1931,35 @@ ORACLES = {
                     AS BIGINT) AS n_converted_leads,
                CAST(count(b_id) AS BIGINT) AS n_pairs,
                round(COALESCE(sum(b_value), 0.0e0), 2) AS attributed_value
+        FROM j GROUP BY user_id ORDER BY user_id
+    """,
+    "stream_full_join": """
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'click'
+        ),
+        purch AS (
+            SELECT user_id, ts, value, event_id FROM events
+            WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                   c.event_id AS a_id,
+                   p.event_id AS b_id, p.value AS b_value
+            FROM clicks c FULL JOIN purch p
+              ON p.user_id = c.user_id
+             AND p.ts > c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        )
+        SELECT user_id,
+               CAST(count(CASE WHEN a_id IS NOT NULL AND b_id IS NOT NULL
+                          THEN 1 END) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT CASE WHEN b_id IS NULL THEN a_id END)
+                    AS BIGINT) AS n_lead_only,
+               CAST(count(DISTINCT CASE WHEN a_id IS NULL THEN b_id END)
+                    AS BIGINT) AS n_follow_only,
+               round(COALESCE(sum(CASE WHEN a_id IS NULL THEN b_value END),
+                              0.0e0), 2) AS orphan_value
         FROM j GROUP BY user_id ORDER BY user_id
     """,
     "stream_join": """

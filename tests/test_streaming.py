@@ -387,3 +387,107 @@ def test_stream_left_join_matches_and_watermark_nulls(spark, sf_dir, batch_event
         .collect()
     }
     assert expected <= got_nulls
+
+
+def test_stream_full_join_matches_and_both_side_nulls(spark, sf_dir, batch_events):
+    """Stream-stream FULL OUTER join (streaming/joins.py::
+    time_bounded_full_join): matched pairs must equal the batch
+    matched pairs exactly; null-extended rows may appear on EITHER
+    side, every one must correspond to a batch unmatched row of that
+    side, and every unmatched row safely below the global-watermark
+    horizon (min over both sides' watermarks) did emit."""
+    import datetime
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.joins import (
+        time_bounded_full_join,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    out = time_bounded_full_join(
+        *split(read_events_stream(spark, sf_dir)),
+        within="30 minutes",
+        watermark="1 minute",
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssfull_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ssfull_out")
+    batch_full = time_bounded_full_join(*split(batch_events))
+
+    got_pairs = {
+        (r.a_id, r.b_id)
+        for r in got.filter("a_id IS NOT NULL AND b_id IS NOT NULL")
+        .select("a_id", "b_id")
+        .collect()
+    }
+    want_pairs = {
+        (r.a_id, r.b_id)
+        for r in batch_full.filter("a_id IS NOT NULL AND b_id IS NOT NULL")
+        .select("a_id", "b_id")
+        .collect()
+    }
+    assert got_pairs == want_pairs and got_pairs
+
+    got_a_nulls = {
+        r.a_id for r in got.filter("b_id IS NULL").select("a_id").collect()
+    }
+    batch_a_nulls = {
+        r.a_id
+        for r in batch_full.filter("b_id IS NULL").select("a_id").collect()
+    }
+    assert got_a_nulls <= batch_a_nulls
+
+    got_b_nulls = {
+        r.b_id for r in got.filter("a_id IS NULL").select("b_id").collect()
+    }
+    batch_b_nulls = {
+        r.b_id
+        for r in batch_full.filter("a_id IS NULL").select("b_id").collect()
+    }
+    assert got_b_nulls <= batch_b_nulls
+
+    # Emission-horizon lower bounds. The global watermark is the MIN
+    # across both sides (multipleWatermarkPolicy=min), each derived
+    # from its own max event time minus the 1-minute delay. A lead is
+    # provably unmatched once watermark > a_ts + 30min; a follow once
+    # watermark > b_ts (its candidate leads all carry earlier ts).
+    gw = min(
+        batch_events.filter(F.col("event_type") == "click")
+        .agg(F.max("ts"))
+        .head()[0],
+        batch_events.filter(F.col("event_type") == "purchase")
+        .agg(F.max("ts"))
+        .head()[0],
+    )
+    horizon_a = gw - datetime.timedelta(minutes=33)  # window + delay + slack
+    horizon_b = gw - datetime.timedelta(minutes=3)  # delay + slack
+    expected_a = {
+        r.a_id
+        for r in batch_full.filter("b_id IS NULL")
+        .filter(F.col("a_ts") < F.lit(horizon_a))
+        .select("a_id")
+        .collect()
+    }
+    assert expected_a <= got_a_nulls
+    expected_b = {
+        r.b_id
+        for r in batch_full.filter("a_id IS NULL")
+        .filter(F.col("b_ts") < F.lit(horizon_b))
+        .select("b_id")
+        .collect()
+    }
+    assert expected_b <= got_b_nulls
