@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     # exact-dedup tier — the heaviest family; measured once per run
     # (NO_RERUN) because their internals persist/localCheckpoint
     "stream_full_join",
+    "dsir_select",
     "ngram_jaccard",
     "containment_pairs",
     "dedup_clusters",

@@ -287,3 +287,100 @@ def slice_packs(
         (seg_start_g - F.col("_start")).alias("seg_off"),
         (seg_end_g - seg_start_g).alias("seg_len"),
     )
+
+
+def dsir_scores(
+    train: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance scores for data selection (Xie et al.
+    2023, arXiv:2302.03169 "Data Selection for Language Models via
+    Importance Resampling"): score every training document by how much
+    more likely its hashed-bigram profile is under the TARGET domain's
+    bucket distribution than under the training pool's own —
+    log p̂_target(doc) − log p̂_train(doc) over a hashed feature space.
+    High scorers read like the target domain; selecting them shifts
+    the training mixture toward it without any model in the loop.
+
+    Mechanics (all relational, no UDFs):
+    - features: raw word-bigram OCCURRENCES (split on single spaces —
+      module convention), hashed into `n_buckets` buckets via the
+      portable md5-based gram_hash32 (both engines reproduce the
+      bucket id bit-for-bit);
+    - per-bucket add-one-smoothed log ratio, computed over the FULL
+      bucket spine (range join, so buckets unseen on either side get
+      the smoothing mass) as ONE ln of an exact-integer ratio:
+      λ[b] = ln( (c_t[b]+1)·(S_s+K) / ((c_s[b]+1)·(S_t+K)) ),
+      every factor an exact int63 (< 2⁵³, exact as doubles) — a
+      single cross-engine ln per bucket instead of four, same
+      precedent as tfidf/pmi/bm25;
+    - doc score = Σ over gram occurrences λ[bucket(g)], i.e. the
+      log importance weight of the doc under the two bucket models.
+
+    Scale shape: the only per-corpus state is TWO ≤ n_buckets-row
+    count tables — broadcast λ to the postings scan, one groupBy(doc)
+    shuffle of (doc, partial-sum) pairs. The target side is typically
+    tiny (a quality domain sample); the train side streams. Docs with
+    fewer than 2 tokens carry no bigram evidence and are excluded
+    (they would score an uninformative 0).
+
+    Returns (id_col, n_grams, score) for every scorable training doc.
+    """
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.dedup import (
+        gram_hash32,
+    )
+
+    def postings(d: DataFrame) -> DataFrame:
+        staged = d.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
+        ).filter(F.size("_t") >= 2)
+        return staged.select(
+            F.col(id_col),
+            F.explode(shingles_from("_t", n=2)).alias("gram"),
+        ).select(
+            F.col(id_col),
+            F.pmod(gram_hash32(F.col("gram")), F.lit(n_buckets)).alias("_b"),
+        )
+
+    spark = train.sparkSession
+    t_cnt = (
+        postings(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    )
+    s_cnt = (
+        postings(train).groupBy("_b").agg(F.count(F.lit(1)).alias("_cs"))
+    )
+    spine = spark.range(n_buckets).select(F.col("id").alias("_b"))
+    tot = (
+        t_cnt.agg(F.sum("_ct").alias("_st"))
+        .crossJoin(s_cnt.agg(F.sum("_cs").alias("_ss")))
+    )
+    lam = (
+        spine.join(t_cnt, "_b", "left")
+        .join(s_cnt, "_b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            F.log(
+                (
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1))
+                    * (F.col("_ss") + F.lit(n_buckets))
+                ).cast("double")
+                / (
+                    (F.coalesce(F.col("_cs"), F.lit(0)) + F.lit(1))
+                    * (F.col("_st") + F.lit(n_buckets))
+                ).cast("double")
+            ).alias("_lam"),
+        )
+    )
+    return (
+        postings(train)
+        .join(F.broadcast(lam), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("_lam").alias("score"),
+        )
+    )

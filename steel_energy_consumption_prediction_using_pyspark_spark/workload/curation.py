@@ -347,7 +347,34 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/curation.py::dsir_scores; Xie
+    et al. 2023): 'src0' documents play the target domain, the rest
+    the raw pool; every pool document gets the hashed-bigram
+    log-importance-ratio score and the top-20 (rounded score desc,
+    doc_id tiebreak — both engines sort the ROUNDED value) are the
+    documents importance resampling would pull toward the target
+    mixture. The per-bucket λ table (≤256 rows) is broadcast; the
+    pool side streams through one scan + one groupBy(doc) shuffle."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    scores = C.dsir_scores(train, target, "text", "doc_id", n_buckets=256)
+    return (
+        scores.join(train.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "dsir_select": q_dsir_select,
     "weighted_reservoir": q_weighted_reservoir,
     "budget_select": q_budget_select,
     "temperature_mix": q_temperature_mix,
@@ -396,6 +423,45 @@ _QUALITY_SQL = f"""(
 )"""
 
 ORACLES = {
+    "dsir_select": """
+        WITH w AS (
+            SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        g AS (
+            SELECT doc_id, source,
+                   CAST(CAST(concat('0x', substr(md5(
+                       ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]
+                   ), 1, 8)) AS UBIGINT) AS BIGINT) % 256 AS b
+            FROM w, UNNEST(range(1, len(ws))) AS t(i)
+        ),
+        tc AS (SELECT b, count(*) AS ct FROM g WHERE source = 'src0'
+               GROUP BY b),
+        sc AS (SELECT b, count(*) AS cs FROM g WHERE source <> 'src0'
+               GROUP BY b),
+        tot AS (SELECT (SELECT sum(ct) FROM tc) AS st,
+                       (SELECT sum(cs) FROM sc) AS ss),
+        spine AS (SELECT CAST(b AS BIGINT) AS b FROM range(0, 256) AS r(b)),
+        lam AS (
+            SELECT spine.b,
+                   ln(CAST((COALESCE(tc.ct, 0) + 1) * (tot.ss + 256)
+                           AS DOUBLE)
+                      / CAST((COALESCE(sc.cs, 0) + 1) * (tot.st + 256)
+                             AS DOUBLE)) AS lam
+            FROM spine LEFT JOIN tc USING (b) LEFT JOIN sc USING (b), tot
+        ),
+        sel AS (
+            SELECT g.doc_id, g.source,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   sum(lam.lam) AS score
+            FROM g JOIN lam ON g.b = lam.b
+            WHERE g.source <> 'src0'
+            GROUP BY 1, 2
+        )
+        SELECT doc_id, source, n_grams, round(score, 6) AS score
+        FROM sel ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 20
+    """,
     "budget_select": f"""
         WITH t AS (
             SELECT doc_id, lang, n_chars, {_QUALITY_SQL} AS q

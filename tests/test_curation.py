@@ -184,3 +184,35 @@ def test_slice_packs_conservation_and_straddle(spark):
         (4, 2): (0, 3),        # tokens 22-24
     }
     assert sum(l for _, l in got.values()) == 25  # conservation
+
+
+def test_dsir_scores_rank_target_alike_above_disjoint(spark):
+    """DSIR importance scores (operators/curation.py::dsir_scores):
+    a pool document written in the target domain's bigram vocabulary
+    must outscore one with disjoint vocabulary — and the
+    target-vocabulary doc's score is positive (its buckets carry
+    target mass) while the disjoint doc's is negative (its buckets
+    carry pool-only mass). Counts are pinned too: n_grams is the raw
+    bigram occurrence count."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.curation import (
+        dsir_scores,
+    )
+
+    target_text = "solar flux telemetry beacon " * 6
+    disjoint_text = "gravel permit invoice ledger " * 6
+    target = spark.createDataFrame(
+        [(100 + i, target_text.strip()) for i in range(4)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, target_text.strip()), (2, disjoint_text.strip())],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r for r in dsir_scores(train, target, "text", "doc_id").collect()
+    }
+    assert set(got) == {1, 2}
+    # 24 tokens -> 23 bigram occurrences per doc
+    assert got[1].n_grams == 23 and got[2].n_grams == 23
+    assert got[1].score > got[2].score
+    assert got[1].score > 0 > got[2].score
