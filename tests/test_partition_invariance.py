@@ -30,6 +30,10 @@ REPRESENTATIVE = [
     "quantile_normalize",  # spine-derived global grid + percent_rank
     "customer_deciles",    # distributed_ntile partition-offset ranks
     "stream_dedup",        # dropDuplicates keep-arbitrary on unique keys
+    "ngram_jaccard",       # inverted-index pair counts + checkpointed postings
+    "dsir_select",         # bucket-model log ratios + per-doc fp sums
+    "stream_full_join",    # full-outer time-bounded join accounting
+    "semantic_dedup",      # cluster-blocked cosine pairs + survivor counts
 ]
 
 
