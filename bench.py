@@ -320,9 +320,10 @@ def main() -> None:
         "bpe_train", "bpe_encode",                   # shared merge-table cache
         "ann_pq", "pq_probe", "ann_recall",          # shared PQ/IVF index caches
         "semantic_dedup",                            # rides the IVF index cache
-        # exact-dedup tier: shingle projections persist / CC labels
-        # localCheckpoint inside each call — a rerun would partially
-        # reuse blocks and report a number the first run never saw
+        # exact-dedup tier: each call eagerly localCheckpoints its
+        # postings/signatures (honest to re-run — checkpoints are not
+        # CacheManager-plan-matched — but 3 reps of a 3-5 s family
+        # buys little median stability for ~60 s of bench wall)
         "ngram_jaccard", "containment_pairs",
         "cluster_representatives", "simhash", "embedding_neardup",
         # MLlib fits: deterministic but expensive; once is the signal
