@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     # (NO_RERUN) because their internals persist/localCheckpoint
     "stream_full_join",
     "dsir_select",
+    "rag_retrieve",
     "ngram_jaccard",
     "containment_pairs",
     "dedup_clusters",
@@ -320,6 +321,7 @@ def main() -> None:
         "bpe_train", "bpe_encode",                   # shared merge-table cache
         "ann_pq", "pq_probe", "ann_recall",          # shared PQ/IVF index caches
         "semantic_dedup",                            # rides the IVF index cache
+        "rag_retrieve",                              # rides the IVF index cache
         # exact-dedup tier: each call eagerly localCheckpoints its
         # postings/signatures (honest to re-run — checkpoints are not
         # CacheManager-plan-matched — but 3 reps of a 3-5 s family

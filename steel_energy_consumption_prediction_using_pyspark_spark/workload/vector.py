@@ -279,6 +279,55 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "mmr_rank")
 
 
+def q_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval pipeline a RAG/pretraining consumer runs,
+    composed end to end from already-verified tiers and verified AS A
+    WHOLE: IVF-probe shortlist (the session index — provably the same
+    quantizer as ann_ivf/ivf_probe/semantic_dedup via the shared
+    oracle CTEs) → top-50 exact-cosine candidates → MMR diversify to
+    10 (λ=0.7) → join document metadata (source, lang) for the
+    consumer. The oracle unrolls every stage in one statement: the
+    deterministic quantizer chain, probe selection, candidate
+    ranking, all ten greedy MMR iterations, and the metadata join —
+    so a drift ANYWHERE in the composition (not just in a tier
+    tested alone) breaks the hash.
+
+    Scale shape: identical to its parts — centroids broadcast, probe
+    is one equi-join on the list id, MMR is Arrow-batched per query
+    over a bounded candidate set, metadata join broadcasts the 10·|Q|
+    selected ids against documents."""
+    e = T(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    index = _IVF_CACHE.get(key)
+    if index is None:
+        corpus = e.filter(F.col("vec_id") >= N_QUERY)
+        index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
+        _IVF_CACHE[key] = index
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = S.ivf_probe(index, queries, k=50, n_probe=4).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    picked = S.mmr_rerank(cand, k=10, lamb=0.7)
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id"), "source", "lang"
+    )
+    return (
+        picked.join(docs, picked.neighbor_id == docs.doc_id)
+        .select(
+            "query_id",
+            "mmr_rank",
+            "doc_id",
+            "source",
+            "lang",
+            F.col("mmr_score").alias("score"),
+        )
+        .orderBy("query_id", "mmr_rank")
+    )
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, production shape (operators/pq.py):
     8 subspace codebooks of 32 codewords trained by deterministic L2
@@ -725,6 +774,49 @@ def _ivf_oracle_sql(
 
 ORACLES["ann_ivf"] = _ivf_oracle_sql()
 ORACLES["ivf_probe"] = _ivf_oracle_sql()
+
+# rag_retrieve: the COMPOSED pipeline oracle — the shared quantizer
+# chain (same CTEs as ann_ivf/ivf_probe/semantic_dedup), a 50-deep
+# probe shortlist as the MMR candidate CTE, the ten greedy MMR
+# iterations verbatim (_MMR_STEPS — same names, no collision with the
+# quantizer's a{t}/u{t}/c{t}), and the document-metadata join, all in
+# one statement so drift anywhere in the composition breaks the hash.
+QUERIES["rag_retrieve"] = q_rag_retrieve
+ORACLES["rag_retrieve"] = f"""
+    WITH {_ivf_assign_ctes(materialized_assign=True)},
+    qry AS MATERIALIZED (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < {N_QUERY}),
+    probes AS (SELECT query_id, v, cid FROM (
+        SELECT qy.query_id, qy.v, ce.cid,
+               row_number() OVER (PARTITION BY qy.query_id
+                   ORDER BY {_cos_sql("qy.v", "ce.cvec")} DESC, ce.cid) AS rn
+        FROM qry qy CROSS JOIN c{KMEANS_ITERS} ce) WHERE rn <= 4),
+    ivf_scored AS (SELECT p.query_id, a.neighbor_id,
+                          {_cos_sql("p.v", "a.v")} AS cs
+                   FROM assign a JOIN probes p USING (cid)),
+    cand AS MATERIALIZED (
+        SELECT query_id, neighbor_id, round(cs, 4) AS rel FROM (
+        SELECT query_id, neighbor_id, cs,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cs DESC, neighbor_id) AS rank
+        FROM ivf_scored) WHERE rank <= 50),
+    nv AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / (CASE WHEN nrm = 0 THEN 1.0e0 ELSE nrm END)) AS v
+        FROM (SELECT vec_id, embedding,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings WHERE vec_id >= {N_QUERY})
+    ),
+    s0 AS (SELECT query_id, neighbor_id, rel, 0.0e0 AS ms FROM cand),{",".join(_MMR_STEPS)}
+    SELECT m.query_id, CAST(m.r AS INTEGER) AS mmr_rank,
+           d.doc_id, d.source, d.lang, round(m.score, 6) AS score
+    FROM ({" UNION ALL ".join(_MMR_UNIONS)}) m
+    JOIN documents d ON d.doc_id = m.neighbor_id
+    ORDER BY m.query_id, mmr_rank
+"""
 
 
 # --- PQ oracle: global scale + m×iters Lloyd + encoding + ADC, unrolled ---
