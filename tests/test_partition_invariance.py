@@ -34,6 +34,7 @@ REPRESENTATIVE = [
     "dsir_select",         # bucket-model log ratios + per-doc fp sums
     "stream_full_join",    # full-outer time-bounded join accounting
     "semantic_dedup",      # cluster-blocked cosine pairs + survivor counts
+    "rag_retrieve",        # composed probe→rerank→diversify→join pipeline
 ]
 
 
