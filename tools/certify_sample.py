@@ -61,13 +61,27 @@ def main() -> int:
          args.sf_dir, *sample],
         env=env,
     )
-    with open(out_path + ".sheet") as fh:
-        sheet = json.load(fh)
-    os.unlink(out_path + ".sheet")
+    # The gate subprocess can die before writing its sheet (OOM, JVM
+    # crash); still emit a CERTIFY artifact recording the rc and the
+    # attempted sample instead of losing the run to an unhandled
+    # FileNotFoundError (judge advice r5).
+    if os.path.exists(out_path + ".sheet"):
+        with open(out_path + ".sheet") as fh:
+            sheet = json.load(fh)
+        os.unlink(out_path + ".sheet")
+    else:
+        sheet = {
+            "error": (
+                f"check_correctness.py exited rc={rc} without writing "
+                "its sheet — gate run aborted early"
+            )
+        }
+        rc = rc or 1
     with open(out_path, "w") as fh:
         json.dump(
             {
                 "round": args.round,
+                "rc": rc,
                 "seed": seed,
                 "n_requested": args.n,
                 "pool_size": len(pool),
