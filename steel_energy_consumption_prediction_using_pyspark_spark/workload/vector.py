@@ -832,13 +832,21 @@ ORACLES["rag_retrieve"] = f"""
 PQ_SHORTLIST = 50
 
 
-def _pq_oracle_sql(
+def _pq_assign_ctes(
     m: int = 8,
     k: int = 32,
     iters: int = KMEANS_ITERS,
     dim: int = 64,
-    shortlist: int = PQ_SHORTLIST,
+    pfx: str = "",
 ) -> str:
+    """The PQ quantizer chain as chained CTEs — raw → global scale →
+    codes → bounded train sample → m×iters Lloyd ({pfx}c{{s}}_{{t}}) →
+    per-subspace assignments ({pfx}asg{{s}}: vec_id, cid{{s}}) → the
+    joined code relation {pfx}asg. Shared by the ranking oracle
+    (:func:`_pq_oracle_sql`, pfx="") and the persisted-index summary
+    oracle (``ann_index_build``), whose single statement must also hold
+    the IVF chain — the ``pfx`` namespaces the clashing base names
+    (raw/codes/train)."""
     subdim = dim // m
     max_train = max(k * 100, KMEANS_MAX_TRAIN)
 
@@ -854,60 +862,75 @@ def _pq_oracle_sql(
     )
     ctes = [
         f"""
-    raw AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    smax AS MATERIALIZED (SELECT CASE WHEN max(list_max(list_transform(v, x -> abs(x)))) > 0
+    {pfx}raw AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {pfx}smax AS MATERIALIZED (SELECT CASE WHEN max(list_max(list_transform(v, x -> abs(x)))) > 0
                     THEN max(list_max(list_transform(v, x -> abs(x))))
                     ELSE 1.0e0 END AS sm
-             FROM raw WHERE vec_id >= {N_QUERY}),
-    codes AS MATERIALIZED (SELECT vec_id,
+             FROM {pfx}raw WHERE vec_id >= {N_QUERY}),
+    {pfx}codes AS MATERIALIZED (SELECT vec_id,
                      list_transform(v, x -> CAST(round(x / sm * 127) AS INT)) AS q
-              FROM raw, smax WHERE vec_id >= {N_QUERY}),
-    train AS MATERIALIZED (SELECT vec_id, q FROM codes
+              FROM {pfx}raw, {pfx}smax WHERE vec_id >= {N_QUERY}),
+    {pfx}train AS MATERIALIZED (SELECT vec_id, q FROM {pfx}codes
               ORDER BY (vec_id * {KMEANS_HASH_A}) % {KMEANS_HASH_M}, vec_id
               LIMIT {max_train}),
-    tsub AS MATERIALIZED (SELECT vec_id, {slices} FROM train),
-    csub AS MATERIALIZED (SELECT vec_id, {slices} FROM codes)"""
+    {pfx}tsub AS MATERIALIZED (SELECT vec_id, {slices} FROM {pfx}train),
+    {pfx}csub AS MATERIALIZED (SELECT vec_id, {slices} FROM {pfx}codes)"""
     ]
     for s in range(m):
         ctes.append(
             f"""
-    c{s}_0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+    {pfx}c{s}_0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                       CAST(q{s} AS DOUBLE[]) AS cvec
-               FROM (SELECT vec_id, q{s} FROM tsub ORDER BY vec_id LIMIT {k}))"""
+               FROM (SELECT vec_id, q{s} FROM {pfx}tsub ORDER BY vec_id LIMIT {k}))"""
         )
         for t in range(1, iters + 1):
             p = t - 1
             ctes.append(
                 f"""
-    a{s}_{t} AS MATERIALIZED (SELECT qs, cid FROM (
+    {pfx}a{s}_{t} AS MATERIALIZED (SELECT qs, cid FROM (
         SELECT t.q{s} AS qs, c.cid,
                row_number() OVER (PARTITION BY t.vec_id
                    ORDER BY {ip(f"CAST(t.q{s} AS DOUBLE[])", "c.cvec")} DESC,
                             c.cid) AS rn
-        FROM tsub t CROSS JOIN c{s}_{p} c) WHERE rn = 1),
-    u{s}_{t} AS MATERIALIZED (SELECT cid, ord,
+        FROM {pfx}tsub t CROSS JOIN {pfx}c{s}_{p} c) WHERE rn = 1),
+    {pfx}u{s}_{t} AS MATERIALIZED (SELECT cid, ord,
                         CAST(sum(CAST(qs[ord] AS BIGINT)) AS DOUBLE)
                             / count(*) AS val
-                 FROM a{s}_{t} CROSS JOIN
+                 FROM {pfx}a{s}_{t} CROSS JOIN
                       (SELECT unnest(generate_series(1, {subdim})) AS ord) o
                  GROUP BY cid, ord),
-    c{s}_{t} AS MATERIALIZED (SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
-                 FROM c{s}_{p} p LEFT JOIN (
+    {pfx}c{s}_{t} AS MATERIALIZED (SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+                 FROM {pfx}c{s}_{p} p LEFT JOIN (
                      SELECT cid, list(val ORDER BY ord) AS cvec
-                     FROM u{s}_{t} GROUP BY cid) n USING (cid))"""
+                     FROM {pfx}u{s}_{t} GROUP BY cid) n USING (cid))"""
             )
         ctes.append(
             f"""
-    asg{s} AS MATERIALIZED (SELECT vec_id, cid AS cid{s} FROM (
+    {pfx}asg{s} AS MATERIALIZED (SELECT vec_id, cid AS cid{s} FROM (
         SELECT cs.vec_id, c.cid,
                row_number() OVER (PARTITION BY cs.vec_id
                    ORDER BY {ip(f"CAST(cs.q{s} AS DOUBLE[])", "c.cvec")} DESC,
                             c.cid) AS rn
-        FROM csub cs CROSS JOIN c{s}_{iters} c) WHERE rn = 1)"""
+        FROM {pfx}csub cs CROSS JOIN {pfx}c{s}_{iters} c) WHERE rn = 1)"""
         )
     asg_joins = " JOIN ".join(
-        [f"asg0"] + [f"asg{s} USING (vec_id)" for s in range(1, m)]
+        [f"{pfx}asg0"] + [f"{pfx}asg{s} USING (vec_id)" for s in range(1, m)]
     )
+    ctes.append(
+        f"""
+    {pfx}asg AS MATERIALIZED (SELECT * FROM {asg_joins})"""
+    )
+    return ",".join(ctes)
+
+
+def _pq_oracle_sql(
+    m: int = 8,
+    k: int = 32,
+    iters: int = KMEANS_ITERS,
+    dim: int = 64,
+    shortlist: int = PQ_SHORTLIST,
+) -> str:
+    subdim = dim // m
     qslices = ", ".join(
         f"list_slice(v, {s * subdim + 1}, {(s + 1) * subdim}) AS v{s}"
         for s in range(m)
@@ -924,7 +947,6 @@ def _pq_oracle_sql(
         "  * sqrt(list_dot_product(c.v, c.v)))"
     )
     final = f""",
-    asg AS MATERIALIZED (SELECT * FROM {asg_joins}),
     qry AS MATERIALIZED (SELECT vec_id AS query_id, v, {qslices}
             FROM raw WHERE vec_id < {N_QUERY}),
     scored AS MATERIALIZED (SELECT q.query_id, a.vec_id AS neighbor_id,
@@ -946,7 +968,7 @@ def _pq_oracle_sql(
     SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
            CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= {TOP_K}"""
-    return "WITH " + ",".join(ctes) + final
+    return "WITH " + _pq_assign_ctes(m, k, iters, dim) + final
 
 
 ORACLES["ann_pq"] = _pq_oracle_sql()
@@ -1188,4 +1210,331 @@ ORACLES["semantic_dedup"] = f"""
            CAST(n_vecs - coalesce(n_removed, 0) AS BIGINT) AS n_survivors
     FROM base LEFT JOIN pst USING (cid) LEFT JOIN rem USING (cid)
     ORDER BY base.cid
+"""
+
+
+# --- persisted ANN index: build once, probe from ANY session ---------------
+#
+# Round 6 (VERDICT r5 #1): the graph family's materialize-to-parquet
+# pattern (workload/graph.py::materialized_edges) applied to the
+# vector tier. The session caches (_IVF_CACHE/_PQ_CACHE) amortize the
+# quantizer within ONE application; a real 100 TB deployment builds
+# the index once, WRITES it, and every later job probes from disk —
+# the assigned corpus partitioned by inverted-list id (partition
+# pruning turns each probe into an n_probe-partition scan), the
+# centroids/codebooks as tiny broadcastable side tables, and the PQ
+# codes as the 16×-smaller serving relation. All artifacts are
+# deterministic functions of the embeddings table, so the EXISTING
+# unrolled quantizer oracles verify the on-disk bytes: drift between
+# what was persisted and what the twin derives breaks the hash.
+
+_DISK_INDEX: set[tuple[str, str]] = set()
+
+
+def _index_base(sf_dir: str) -> str:
+    import os
+    import re
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    suffix = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/")).strip("_")
+    return os.path.join(repo_root, ".scratch", "ann_index", suffix)
+
+
+def _write_ann_index(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """Train IVF + PQ on the embeddings corpus and persist every
+    artifact as parquet: ivf_assigned (partitioned by _list — the
+    inverted lists), ivf_centroids, pq_codes, pq_codebooks, pq_meta.
+    repartition(_list) before the partitioned write keeps it to one
+    file per inverted list (the graph_edges_build small-files lesson);
+    doubles round-trip parquet bit-exactly, so probes from disk score
+    the identical cosines."""
+    import os
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        pq as PQ,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= N_QUERY)
+
+    index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=False)
+    (
+        index.assigned.repartition(F.col("_list"))
+        .write.mode("overwrite")
+        .partitionBy("_list")
+        .parquet(os.path.join(base, "ivf_assigned"))
+    )
+    index.centroids_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "ivf_centroids")
+    )
+
+    model = PQ.pq_train(corpus, m=8, k=32, dim=64)
+    enc = PQ.pq_encode(corpus, model)
+    enc.write.mode("overwrite").parquet(os.path.join(base, "pq_codes"))
+    book_rows = [
+        (s, cid, model.codebooks[s][cid])
+        for s in range(model.m)
+        for cid in range(model.k)
+    ]
+    spark.createDataFrame(
+        book_rows, "s int, cid int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "pq_codebooks")
+    )
+    spark.createDataFrame(
+        [(float(model.scale), int(model.m), int(model.subdim))],
+        "scale double, m int, subdim int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "pq_meta")
+    )
+
+
+def materialized_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing accessor (the materialized_edges contract):
+    the first call per (application, sf) trains and writes the index;
+    every later call — and every probe query — only reads parquet."""
+    import os
+
+    base = _index_base(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DISK_INDEX or not os.path.exists(
+        os.path.join(base, "ivf_centroids")
+    ):
+        _write_ann_index(spark, sf_dir, base)
+        _DISK_INDEX.add(key)
+    return base
+
+
+def _load_ivf_disk(spark: SparkSession, base: str) -> "S.IvfIndex":
+    import os
+
+    assigned = spark.read.parquet(os.path.join(base, "ivf_assigned")).select(
+        "neighbor_id", "_cv", F.col("_list").cast("int").alias("_list")
+    )
+    cents = spark.read.parquet(os.path.join(base, "ivf_centroids"))
+    return S.IvfIndex(assigned, cents)
+
+
+def _load_pq_disk(spark: SparkSession, base: str):
+    """PqModel from the persisted codebooks (256 tiny rows — bounded
+    metadata) plus the encoded corpus as a plain parquet scan."""
+    import os
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        pq as PQ,
+    )
+
+    meta = spark.read.parquet(os.path.join(base, "pq_meta")).head()
+    rows = spark.read.parquet(os.path.join(base, "pq_codebooks")).collect()
+    books: list[list[list[float]]] = [
+        [None] * (len(rows) // int(meta.m)) for _ in range(int(meta.m))
+    ]
+    for r in rows:
+        books[r.s][r.cid] = list(r.cvec)
+    model = PQ.PqModel(float(meta.scale), books, int(meta.subdim))
+    enc = spark.read.parquet(os.path.join(base, "pq_codes"))
+    return model, enc
+
+
+def _veci_chk(col) -> "F.Column":
+    """Order-independent integer checksum of a double vector:
+    sum of round(x·1e6) as longs — integer adds, so any partitioning
+    or evaluation order yields the same value, and round() is
+    half-away-from-zero in both engines over bit-identical doubles."""
+    return F.aggregate(
+        F.transform(col, lambda x: F.round(x * F.lit(1e6), 0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build/refresh the persisted ANN index and emit its summary —
+    aggregated over the JUST-WRITTEN parquet (re-read, not the
+    in-memory frames), so the oracle hash certifies the bytes on disk:
+    per IVF list (n vectors, id sum, centroid checksum), per PQ
+    subspace (code count, code-id sum, codebook checksum), plus the
+    global PQ scale. The DuckDB twin re-derives every number from the
+    embeddings table through the full unrolled IVF + PQ quantizer
+    chains in one statement."""
+    import os
+
+    base = materialized_ann_index(spark, sf_dir)
+    ivf = _load_ivf_disk(spark, base)
+
+    g = ivf.assigned.groupBy("_list").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("neighbor_id").alias("_ids")
+    )
+    ivf_rows = (
+        ivf.centroids_df.join(g, ivf.centroids_df.cid == g._list, "left")
+        .select(
+            F.lit("ivf").alias("tier"),
+            F.col("cid").alias("grp"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_vectors"),
+            F.coalesce(F.col("_ids"), F.lit(0)).cast("long").alias("id_sum"),
+            _veci_chk(F.col("cvec")).alias("chk"),
+        )
+    )
+
+    model, enc = _load_pq_disk(spark, base)
+    m = model.m
+    stacked = enc.selectExpr(
+        "stack({}, {}) as (grp, code)".format(
+            m, ", ".join(f"{s}, c{s}" for s in range(m))
+        )
+    )
+    pq_g = stacked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("code").cast("long").alias("_ids"),
+    )
+    books = spark.read.parquet(os.path.join(base, "pq_codebooks"))
+    pq_chk = books.groupBy("s").agg(
+        F.sum(_veci_chk(F.col("cvec"))).cast("long").alias("_chk")
+    )
+    pq_rows = pq_g.join(pq_chk, pq_g.grp == pq_chk.s).select(
+        F.lit("pq").alias("tier"),
+        F.col("grp").cast("int").alias("grp"),
+        F.col("_n").cast("long").alias("n_vectors"),
+        F.col("_ids").alias("id_sum"),
+        F.col("_chk").alias("chk"),
+    )
+
+    meta_row = (
+        spark.read.parquet(os.path.join(base, "pq_meta"))
+        .select(
+            F.lit("pq_scale").alias("tier"),
+            F.lit(-1).alias("grp"),
+            F.lit(1).cast("long").alias("n_vectors"),
+            F.lit(0).cast("long").alias("id_sum"),
+            F.round(F.col("scale") * F.lit(1e6), 0).cast("long").alias("chk"),
+        )
+    )
+    return ivf_rows.unionAll(pq_rows).unionAll(meta_row).orderBy(
+        "tier", "grp"
+    )
+
+
+def q_ivf_probe_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against the PERSISTED index — zero quantizer work in
+    this plan (no k-means, no corpus assignment: plan-pinned in
+    tests/test_plans.py — the only embeddings scan is the vec_id<5
+    query side; the corpus arrives from the _list-partitioned parquet,
+    probe-pruned at 100 TB). Shares the full unrolled quantizer oracle
+    with ann_ivf/ivf_probe: the hash proves the on-disk index IS the
+    index the twin derives."""
+    base = materialized_ann_index(spark, sf_dir)
+    index = _load_ivf_disk(spark, base)
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_probe(index, queries, k=TOP_K, n_probe=4)
+
+
+def q_pq_probe_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC shortlist + exact rerank from the PERSISTED codebooks and
+    code relation — no training, no encoding in this plan; the code
+    scan is the 16×-smaller serving table. Shares ann_pq's full
+    unrolled oracle."""
+    base = materialized_ann_index(spark, sf_dir)
+    model, enc = _load_pq_disk(spark, base)
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        pq as PQ,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERY)
+    return PQ.pq_rerank_topk(
+        enc, queries, corpus, model, k=TOP_K, shortlist=PQ_SHORTLIST
+    ).orderBy("query_id", "rank")
+
+
+def q_rag_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rag_retrieve's steady-state twin: the identical composed
+    pipeline (IVF shortlist → top-50 exact cosine → 10-step MMR →
+    metadata join) but probing the PERSISTED index — the path every
+    later session takes once ann_index_build has run. Zero training
+    work in this plan (plan-pinned); shares rag_retrieve's whole-
+    pipeline unrolled oracle, so the persisted index must reproduce
+    the session-built retrieval bit for bit."""
+    base = materialized_ann_index(spark, sf_dir)
+    index = _load_ivf_disk(spark, base)
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = S.ivf_probe(index, queries, k=50, n_probe=4).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    picked = S.mmr_rerank(cand, k=10, lamb=0.7)
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id"), "source", "lang"
+    )
+    return (
+        picked.join(docs, picked.neighbor_id == docs.doc_id)
+        .select(
+            "query_id",
+            "mmr_rank",
+            "doc_id",
+            "source",
+            "lang",
+            F.col("mmr_score").alias("score"),
+        )
+        .orderBy("query_id", "mmr_rank")
+    )
+
+
+QUERIES["ann_index_build"] = q_ann_index_build
+QUERIES["ivf_probe_materialized"] = q_ivf_probe_materialized
+QUERIES["pq_probe_materialized"] = q_pq_probe_materialized
+QUERIES["rag_probe"] = q_rag_probe
+
+# The probes return the identical rankings to their session-index
+# twins (parquet round-trips doubles bit-exactly), so they share the
+# full unrolled quantizer oracles — which is precisely the claim:
+# the index ON DISK is the index the twin derives from raw data.
+ORACLES["ivf_probe_materialized"] = _ivf_oracle_sql()
+ORACLES["pq_probe_materialized"] = _pq_oracle_sql()
+ORACLES["rag_probe"] = ORACLES["rag_retrieve"]
+
+_PQ_SUMMARY_ROWS = " UNION ALL ".join(
+    f"""
+    SELECT 'pq' AS tier, {s} AS grp,
+           (SELECT CAST(count(*) AS BIGINT) FROM pq_asg{s}) AS n_vectors,
+           (SELECT CAST(sum(cid{s}) AS BIGINT) FROM pq_asg{s}) AS id_sum,
+           (SELECT CAST(sum(list_aggregate(list_transform(cvec,
+                x -> CAST(round(x * 1e6) AS BIGINT)), 'sum')) AS BIGINT)
+            FROM pq_c{s}_{KMEANS_ITERS}) AS chk"""
+    for s in range(8)
+)
+
+ORACLES["ann_index_build"] = f"""
+    WITH {_ivf_assign_ctes(materialized_assign=True)},
+    {_pq_assign_ctes(pfx="pq_")},
+    ivf_g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(neighbor_id) AS BIGINT) AS ids
+              FROM assign GROUP BY cid),
+    ivf_rows AS (
+        SELECT 'ivf' AS tier, CAST(c.cid AS INTEGER) AS grp,
+               COALESCE(g.n, 0) AS n_vectors,
+               COALESCE(g.ids, 0) AS id_sum,
+               CAST(list_aggregate(list_transform(c.cvec,
+                    x -> CAST(round(x * 1e6) AS BIGINT)), 'sum') AS BIGINT)
+                   AS chk
+        FROM c{KMEANS_ITERS} c LEFT JOIN ivf_g g USING (cid)),
+    meta_row AS (
+        SELECT 'pq_scale' AS tier, -1 AS grp,
+               CAST(1 AS BIGINT) AS n_vectors, CAST(0 AS BIGINT) AS id_sum,
+               CAST(round(sm * 1e6) AS BIGINT) AS chk
+        FROM pq_smax)
+    SELECT * FROM ivf_rows
+    UNION ALL SELECT * FROM ({_PQ_SUMMARY_ROWS})
+    UNION ALL SELECT * FROM meta_row
+    ORDER BY tier, grp
 """

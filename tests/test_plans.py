@@ -579,3 +579,53 @@ def test_fanout_self_join_width_pinned(spark, sf_dir):
     width = pairs.rdd.getNumPartitions()
     expect = spark.sparkContext.defaultParallelism * 2
     assert width >= expect, (width, expect)
+
+
+def test_ivf_probe_materialized_no_training_work(spark, sf_dir):
+    """The persisted-index probe (round 6, VERDICT r5 #1) must do ZERO
+    quantizer work in its plan: the corpus arrives from the
+    _list-partitioned ann_index parquet (probe-pruned at scale), and
+    the ONLY embeddings scans are the pushed-down vec_id<5 query side
+    — no corpus assignment projection (the `negcos` argmax-cosine
+    expression), no k-means, mirroring the graph family's
+    zero-edge-build pin. q_ann_ivf is the positive control: its cold
+    plan DOES contain the assignment expression."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.vector import (
+        q_ann_ivf,
+        q_ivf_probe_materialized,
+    )
+
+    plan = physical_plan(q_ivf_probe_materialized(spark, sf_dir))
+    assert "ann_index" in plan, plan
+    assert "negcos" not in plan, plan
+    # every embeddings scan is the bounded query side
+    import re
+
+    scan_blocks = re.findall(
+        r"embeddings\.parquet.*?PushedFilters: \[([^\]]*)\]", plan, re.S
+    )
+    assert scan_blocks, plan
+    for filters in scan_blocks:
+        assert "LessThan(vec_id,5)" in filters, plan
+
+    control = physical_plan(q_ann_ivf(spark, sf_dir))
+    assert "negcos" in control, "positive control lost its assignment expr"
+
+
+def test_rag_probe_and_pq_probe_materialized_read_only_index(spark, sf_dir):
+    """rag_probe composes retrieval from the persisted index: its plan
+    must read ann_index parquet and contain no assignment/training
+    expression; pq_probe_materialized likewise scores from the
+    persisted pq_codes relation (the 16x-smaller serving table)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.vector import (
+        q_pq_probe_materialized,
+        q_rag_probe,
+    )
+
+    plan = physical_plan(q_rag_probe(spark, sf_dir))
+    assert "ann_index" in plan, plan
+    assert "negcos" not in plan, plan
+
+    plan_pq = physical_plan(q_pq_probe_materialized(spark, sf_dir))
+    assert "pq_codes" in plan_pq, plan_pq
+    assert "negcos" not in plan_pq, plan_pq
