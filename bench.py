@@ -258,6 +258,10 @@ BENCH_QUERIES = [
     "ivf_probe_materialized",
     "pq_probe_materialized",
     "rag_probe",
+    # persisted signature store (round 6): build writes parquet once;
+    # incremental_dedup is the steady-state new-batch-vs-corpus path
+    "signature_store_build",
+    "incremental_dedup",
 ]
 
 
@@ -340,6 +344,8 @@ def main() -> None:
         "table_maintenance",
         # writes the persisted ANN index (train + parquet write once)
         "ann_index_build",
+        # writes the signature store; the probe persists batch shingles
+        "signature_store_build", "incremental_dedup",
     }
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}

@@ -16,6 +16,11 @@ Design for 100 TB:
 - SimHash is one 64-bit signature per doc computed in-place;
   near-dup = Hamming distance ≤ t via banded equality on nibbles or
   direct xor-popcount on the (much smaller) candidate set.
+- Incremental operation: persist the signature store once per corpus
+  snapshot (:func:`shingled_sets` + :func:`minhash_banded` → parquet)
+  and dedup each new batch against it WITHOUT re-signing the corpus —
+  realized as workload/text.py::q_incremental_dedup (round 6), whose
+  oracle proves incremental ≡ full recompute on batch-touching pairs.
 """
 
 from __future__ import annotations
@@ -119,51 +124,52 @@ def minhash_signature(
     )
 
 
-def minhash_stages(
+def shingled_sets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
     shingle_n: int = 3,
-    persist: bool = True,
-) -> tuple[DataFrame, DataFrame]:
-    """The LSH pipeline up to (but not including) exact verification:
-    returns (shingled, candidates) where shingled = (_id, _sh distinct
-    shingle set) and candidates = distinct (id_a, id_b) bucket-join
-    pairs. Split out so the tier can be EVALUATED (candidate-level
-    recall/precision vs exact ground truth — `lsh_quality`) as well as
-    consumed (:func:`minhash_lsh_pairs` adds the verification)."""
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
+) -> DataFrame:
+    """(_id, _sh): the distinct word-shingle set per document — the
+    input relation of every MinHash stage AND the exact-Jaccard
+    verification, split out (round 6) so a signature STORE can persist
+    it once per corpus snapshot and incremental dedup runs can read it
+    back instead of re-shingling the corpus.
 
-    # Materialize tokens, then the distinct shingle set, each as a
-    # named column: the gram lambda reads the token array n times per
-    # gram and the k min-hash folds + exact-Jaccard verification all
-    # read the shingle array — inline subtrees would re-evaluate per
-    # reference (CollapseProject keeps multiply-referenced non-trivial
-    # projections staged).
+    Tokens are materialized as a named column first: the gram lambda
+    reads the token array n times per gram and inline subtrees would
+    re-evaluate per reference (CollapseProject keeps multiply-
+    referenced non-trivial projections staged). Contentless docs (no
+    shingles) are excluded: their sentinel signatures would band-match
+    each other and the Jaccard union would be empty (ANSI divide-by-
+    zero); exact-dedup handles them. The filter tests the TOKEN count
+    (≥ shingle_n ⟺ ≥1 shingle) so predicate pushdown substitutes only
+    the cheap split — a filter on size(_sh) would re-evaluate the
+    interpreted (no-CSE) shingle+distinct chain per occurrence; see
+    _hashed_shingle_sets."""
     from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
         normalize_text,
         shingles_from,
         tokens as _tokens,
     )
 
-    shingled = (
+    return (
         df.select(F.col(id_col).alias("_id"), _tokens(normalize_text(text_col)).alias("_tk"))
         .filter(F.size("_tk") >= shingle_n)
         .select("_id", F.array_distinct(shingles_from("_tk", shingle_n)).alias("_sh"))
     )
-    # Contentless docs (no shingles) are excluded: their sentinel
-    # signatures would band-match each other and the Jaccard union
-    # would be empty (ANSI divide-by-zero). Exact-dedup handles them.
-    # The filter tests the TOKEN count (≥ shingle_n ⟺ ≥1 shingle) so
-    # predicate pushdown substitutes only the cheap split — a filter
-    # on size(_sh) would re-evaluate the interpreted (no-CSE)
-    # shingle+distinct chain per occurrence; see _hashed_shingle_sets.
-    if persist:
-        shingled = shingled.persist()
+
+
+def minhash_banded(
+    shingled: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(_id, band, bhash) from a (_id, _sh) relation: the banded
+    MinHash signature triples — the ONLY rows the LSH bucket join
+    shuffles, and the second table a persisted signature store keeps
+    (alongside the shingle sets for verification)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
     # Stage the gram hashes as a NAMED column: 32 affine permutations
     # all read it, and an inline subtree would re-md5 every shingle per
     # permutation (the winnowing O(n²) lesson).
@@ -179,7 +185,7 @@ def minhash_stages(
     # band key = the band's signature slice itself (comma-joined) —
     # an exact, engine-portable join key; hashing it again would only
     # narrow the shuffle rows at the cost of oracle opacity.
-    banded = sig.select(
+    return sig.select(
         "_id",
         F.explode(
             F.array(
@@ -195,6 +201,29 @@ def minhash_stages(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bhash")
+
+
+def minhash_stages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The LSH pipeline up to (but not including) exact verification:
+    returns (shingled, candidates) where shingled = (_id, _sh distinct
+    shingle set) and candidates = distinct (id_a, id_b) bucket-join
+    pairs. Split out so the tier can be EVALUATED (candidate-level
+    recall/precision vs exact ground truth — `lsh_quality`) as well as
+    consumed (:func:`minhash_lsh_pairs` adds the verification)."""
+    shingled = shingled_sets(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    )
+    if persist:
+        shingled = shingled.persist()
+    banded = minhash_banded(shingled, num_hashes=num_hashes, bands=bands)
 
     cand = (
         banded.alias("x")

@@ -2223,3 +2223,279 @@ ORACLES["lsh_quality"] = f"""
                / 1000000 AS precision
     FROM full_j
 """
+
+
+# --- incremental dedup against a persisted signature store (round 6) -------
+#
+# VERDICT r5 #2 / operators/dedup.py's own 100 TB doctrine made
+# executable: the corpus signs ONCE (shingle sets + banded MinHash
+# triples written to parquet — the signature store); each new ingest
+# batch signs only itself and dedups against store + batch with zero
+# corpus re-shingling (plan-pinned: the incremental query's plan
+# contains NO documents scan at all — corpus signatures arrive from
+# the store, the batch from its own parquet file, exactly the
+# daily-ingest reality). The oracle is the FULL recompute over
+# corpus ∪ batch filtered to pairs touching the batch — a hash match
+# PROVES incremental ≡ full.
+
+_SIG_STORE: set[tuple[str, str]] = set()
+_BATCH_OFF_A = 10_000_000
+_BATCH_OFF_B = 20_000_000
+
+
+def _sig_store_base(sf_dir: str) -> str:
+    import os
+    import re
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    suffix = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/")).strip("_")
+    return os.path.join(repo_root, ".scratch", "sig_store", suffix)
+
+
+def materialized_sig_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing (the materialized_edges contract): write the
+    corpus signature store — corpus_shingled (_id, _sh) and
+    corpus_banded (_id, band, bhash), the banded triples derived from
+    the RE-READ shingled parquet so the store certifies its own
+    derivation chain — plus the new-ingest batch fixture: clones of
+    the 10 lowest-id docs (+1e7) and of the 3 lowest (+2e7), which
+    guarantee corpus×batch AND batch×batch near-dup pairs at any SF."""
+    import os
+
+    base = _sig_store_base(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIG_STORE or not os.path.exists(
+        os.path.join(base, "corpus_banded")
+    ):
+        d = T(spark, sf_dir, "documents").select("doc_id", "text")
+        D.shingled_sets(d).write.mode("overwrite").parquet(
+            os.path.join(base, "corpus_shingled")
+        )
+        D.minhash_banded(
+            spark.read.parquet(os.path.join(base, "corpus_shingled"))
+        ).write.mode("overwrite").parquet(os.path.join(base, "corpus_banded"))
+        c10 = (
+            d.orderBy("doc_id")
+            .limit(10)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(_BATCH_OFF_A))
+        )
+        c3 = (
+            d.orderBy("doc_id")
+            .limit(3)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(_BATCH_OFF_B))
+        )
+        c10.unionByName(c3).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "batch_docs")
+        )
+        _SIG_STORE.add(key)
+    return base
+
+
+def q_signature_store_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build/refresh the signature store and emit its summary,
+    aggregated over the JUST-WRITTEN parquet so the oracle hash
+    certifies the persisted bytes: per band (row count, distinct
+    bucket keys, doc-id sum) plus a band=-1 row for the shingle-set
+    table (docs signed, total distinct shingles, doc-id sum). The
+    DuckDB twin re-derives all of it from the documents table through
+    the identical md5-gram → 32-permutation → 8-band chain."""
+    import os
+
+    base = materialized_sig_store(spark, sf_dir)
+    sh = spark.read.parquet(os.path.join(base, "corpus_shingled"))
+    banded = spark.read.parquet(os.path.join(base, "corpus_banded"))
+    band_rows = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("bhash").alias("n_distinct"),
+        F.sum("_id").alias("id_sum"),
+    )
+    sh_row = sh.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.size("_sh")).cast("long").alias("n_distinct"),
+        F.sum("_id").alias("id_sum"),
+    ).select(F.lit(-1).alias("band"), "n_rows", "n_distinct", "id_sum")
+    return (
+        band_rows.select("band", "n_rows", "n_distinct", "id_sum")
+        .unionByName(sh_row)
+        .orderBy("band")
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a new ingest batch against the persisted corpus WITHOUT
+    re-signing the corpus: batch docs (their own parquet file) are
+    shingled and banded; candidates come from the batch-banded ⋈
+    store-banded bucket join plus the batch self-join; exact-Jaccard
+    verification joins shingle sets from the STORE on the corpus side.
+    Zero documents-table scans in this plan (plan-pinned). Output
+    matches minhash_lsh: (id_a, id_b, jaccard ≥ 0.5), id_a < id_b —
+    and the oracle's full recompute over corpus ∪ batch filtered to
+    batch-touching pairs must hash-match it exactly."""
+    import os
+
+    base = materialized_sig_store(spark, sf_dir)
+    store_sh = spark.read.parquet(os.path.join(base, "corpus_shingled"))
+    store_banded = spark.read.parquet(os.path.join(base, "corpus_banded"))
+    batch = spark.read.parquet(os.path.join(base, "batch_docs"))
+
+    b_sh = D.shingled_sets(batch).persist()
+    b_banded = D.minhash_banded(b_sh)
+
+    # corpus ids < 1e7 ≤ batch ids, so corpus×batch pairs are already
+    # (id_a, id_b)-ordered; only the banded triples of the BATCH join
+    # against the store — the corpus side is a bucket-key scan.
+    cross = (
+        store_banded.alias("x")
+        .join(
+            b_banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bhash") == F.col("y.bhash")),
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+    )
+    bb = (
+        b_banded.alias("x")
+        .join(
+            b_banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bhash") == F.col("y.bhash"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+    )
+    cand = cross.unionByName(bb).distinct()
+
+    all_sh = store_sh.unionByName(b_sh)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+    return (
+        cand.join(all_sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}), "id_a")
+        .join(all_sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}), "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+QUERIES["signature_store_build"] = q_signature_store_build
+QUERIES["incremental_dedup"] = q_incremental_dedup
+
+_INC_DOCS = f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_BATCH_OFF_A}, text
+        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+        UNION ALL
+        SELECT doc_id + {_BATCH_OFF_B}, text
+        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 3)"""
+
+# Full recompute over corpus ∪ batch, filtered to batch-touching
+# pairs (batch ids are the only ids ≥ 1e7 and pairs are id-ordered,
+# so `id_b >= offset` selects exactly corpus×batch ∪ batch×batch):
+# a hash match proves the incremental path ≡ the full recompute.
+ORACLES["incremental_dedup"] = f"""
+    WITH docs_aug AS ({_INC_DOCS}
+    ),
+    tks AS (
+        SELECT doc_id, {_TK_STAGE} AS tk FROM docs_aug
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, greatest(len(tk) - 1, 1)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   )
+               ) AS sh
+        FROM tks
+    ),
+    nz AS (SELECT * FROM sh WHERE len(sh) > 0),
+    hashed AS (
+        SELECT doc_id, sh,
+               list_transform(
+                   sh,
+                   g -> CAST(CAST(concat('0x', substr(md5(g), 1, 8))
+                                  AS UBIGINT) AS BIGINT)
+               ) AS hs
+        FROM nz
+    ),
+    sig AS (
+        SELECT doc_id, sh,
+               [{_MH_SIG_TERMS}] AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, sh, b AS band, {_MH_BAND_KEY} AS bkey
+        FROM sig, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    ),
+    ver AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(a.sh, b.sh))
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                   AS j
+        FROM cand c
+        JOIN nz a ON a.doc_id = c.id_a
+        JOIN nz b ON b.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, round(j, 4) AS jaccard FROM ver
+    WHERE j >= 0.5e0 AND id_b >= {_BATCH_OFF_A}
+"""
+
+# The store summary re-derived from raw documents through the same
+# chain (no batch union — the store holds the CORPUS only).
+ORACLES["signature_store_build"] = f"""
+    WITH tks AS (
+        SELECT doc_id, {_TK_STAGE} AS tk FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, greatest(len(tk) - 1, 1)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   )
+               ) AS sh
+        FROM tks
+    ),
+    nz AS (SELECT * FROM sh WHERE len(sh) > 0),
+    hashed AS (
+        SELECT doc_id, sh,
+               list_transform(
+                   sh,
+                   g -> CAST(CAST(concat('0x', substr(md5(g), 1, 8))
+                                  AS UBIGINT) AS BIGINT)
+               ) AS hs
+        FROM nz
+    ),
+    sig AS (
+        SELECT doc_id,
+               [{_MH_SIG_TERMS}] AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, b AS band, {_MH_BAND_KEY} AS bkey
+        FROM sig, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(b)
+    ),
+    band_rows AS (
+        SELECT CAST(band AS INTEGER) AS band,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT bkey) AS BIGINT) AS n_distinct,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM banded GROUP BY band
+    ),
+    sh_row AS (
+        SELECT -1 AS band, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(len(sh)) AS BIGINT) AS n_distinct,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM nz
+    )
+    SELECT * FROM band_rows UNION ALL SELECT * FROM sh_row
+    ORDER BY band
+"""

@@ -614,3 +614,45 @@ def test_bpe_learn_single_char_vocab_no_merges(spark):
         [("a", 5), ("b", 2)], "word string, freq long"
     )
     assert bpe_learn(words, n_merges=3) == []
+
+
+def test_incremental_dedup_equals_full_recompute(spark, sf_dir):
+    """The incremental path (batch signed fresh, corpus from the
+    persisted store) must return EXACTLY the full-recompute pairs that
+    touch the batch — the functional half of the oracle's claim."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
+        dedup as D,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.text import (
+        _BATCH_OFF_A,
+        _BATCH_OFF_B,
+        q_incremental_dedup,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+
+    inc = sorted(map(tuple, q_incremental_dedup(spark, sf_dir).collect()))
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    c10 = d.orderBy("doc_id").limit(10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_BATCH_OFF_A)
+    )
+    c3 = d.orderBy("doc_id").limit(3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_BATCH_OFF_B)
+    )
+    full = D.minhash_lsh_pairs(
+        d.unionByName(c10).unionByName(c3), "text", "doc_id",
+        num_hashes=32, bands=8, jaccard_threshold=0.5,
+    )
+    full_touching = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 4))
+        for r in full.collect()
+        if r.id_b >= _BATCH_OFF_A
+    )
+    assert inc == full_touching
+    # the planted clones guarantee recall floors at any SF:
+    pairs = {(a, b) for a, b, _ in inc}
+    lowest = [r.doc_id for r in d.orderBy("doc_id").limit(10).collect()]
+    for k in lowest:
+        assert (k, k + _BATCH_OFF_A) in pairs
+    for k in lowest[:3]:
+        assert (k + _BATCH_OFF_A, k + _BATCH_OFF_B) in pairs
