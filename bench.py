@@ -262,6 +262,9 @@ BENCH_QUERIES = [
     # incremental_dedup is the steady-state new-batch-vs-corpus path
     "signature_store_build",
     "incremental_dedup",
+    # dirty-record PERMISSIVE ingestion (round 6)
+    "csv_dirty",
+    "jsonl_corrupt",
 ]
 
 
@@ -323,6 +326,7 @@ def main() -> None:
         "graph_edges_build",                         # writes the bucketed table
         "ann_ivf", "ivf_probe", "csv_ingest",       # session caches
         "orc_ingest", "jsonl_ingest",               # export caches
+        "csv_dirty", "jsonl_corrupt",               # dirty-export caches
         "dedup_clusters", "minhash_lsh",            # persisted shingles/labels
         "prefix_jaccard", "winnowing",              # persisted projections
         "winnow_pairs", "phrase_search",            # persisted postings

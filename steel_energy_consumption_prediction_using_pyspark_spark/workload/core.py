@@ -185,6 +185,129 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dirty-record ingestion (round 6, VERDICT r5 #3) ------------------------
+#
+# 100 TB crawl data is never clean. These two queries materialize
+# deterministically-corrupted raw text (keyed on o_orderkey, so the
+# DuckDB twin re-derives the exact same partition from the parquet
+# table with string ops) and read it back PERMISSIVE with
+# columnNameOfCorruptRecord — the accounting a production ingest runs:
+# clean aggregate + corrupt counts + a deterministic sample of the bad
+# lines. Spark's PERMISSIVE semantics (pinned in tests/test_sources.py
+# against these exact shapes):
+#   CSV : short row / bad numeric → _corrupt = raw line, the
+#         unparseable field null, PARSED fields kept;
+#   JSON: truncated record → ALL fields null + _corrupt;
+#         type-mismatched field → that field null, others kept.
+
+_DIRTY_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _dirty_export(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Write the corrupted raw-text fixture once per (session, sf,
+    kind). Lines are BUILT as strings (never to_json/csv writers) so
+    every corrupt line is reproducible by the oracle's concatenation;
+    corruption truncates BEFORE the price value, so no double→string
+    formatting ever needs cross-engine agreement."""
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    path = _DIRTY_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        repo_root,
+        ".scratch",
+        f"{kind}_orders_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_totalprice").alias("v"),
+    )
+    ks = F.col("k").cast("string")
+    vs = F.col("v").cast("string")
+    if kind == "csv_dirty":
+        line = (
+            F.when(F.col("k") % 7 == 3, F.concat(ks, F.lit(","), F.col("p")))
+            .when(
+                F.col("k") % 7 == 5,
+                F.concat(ks, F.lit(","), F.col("p"), F.lit(",N/A")),
+            )
+            .otherwise(F.concat(ks, F.lit(","), F.col("p"), F.lit(","), vs))
+        )
+    else:  # jsonl_corrupt
+        head = F.concat(F.lit('{"k":'), ks, F.lit(',"p":"'), F.col("p"), F.lit('","v":'))
+        line = (
+            F.when(F.col("k") % 11 == 7, head)  # truncated mid-record
+            .when(F.col("k") % 11 == 3, F.concat(head, F.lit('"oops"}')))
+            .otherwise(F.concat(head, vs, F.lit("}")))
+        )
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    _DIRTY_CACHE[key] = path
+    return path
+
+
+_DIRTY_SCHEMA = "k long, p string, v double, _corrupt string"
+
+
+def _dirty_accounting(df: DataFrame, group: "F.Column") -> DataFrame:
+    # clean_key_sum also serves a PARSER purpose: referencing k keeps
+    # every schema column required, which disables CSV column pruning
+    # for this plan — WITH pruning the parser never sees the missing
+    # trailing field of a short row and silently under-reports
+    # corruption (measured: 36 vs 75 corrupt rows at sf0.001). The
+    # PERMISSIVE accounting must observe the FULL schema.
+    corrupt = F.col("_corrupt").isNotNull()
+    return (
+        df.groupBy(group.alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(corrupt.cast("long")).alias("n_corrupt"),
+            F.sum((~corrupt).cast("long")).alias("n_clean"),
+            F.sum(F.when(~corrupt, F.col("k"))).cast("long").alias("clean_key_sum"),
+            F.round(F.sum(F.when(~corrupt, F.col("v"))), 2).alias("sum_clean"),
+            F.min("_corrupt").alias("sample_bad"),
+        )
+        .orderBy(F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+def q_csv_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingest over a deterministically-corrupted export
+    (o_orderkey%7==3 → wrong arity, %7==5 → unparseable numeric):
+    per-priority row/corrupt/clean counts, the clean-row price sum,
+    and min(_corrupt) as the deterministic bad-line sample. The oracle
+    re-derives every column — including the exact corrupt line strings
+    — from the orders table."""
+    df = (
+        spark.read.schema(_DIRTY_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(_dirty_export(spark, sf_dir, "csv_dirty"))
+    )
+    # CSV keeps parsed fields on corrupt rows → group by the real p
+    return _dirty_accounting(df, F.col("p"))
+
+
+def q_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON-lines ingest over a corrupted export
+    (o_orderkey%11==7 → record truncated mid-value, %11==3 → v has the
+    wrong type): truncated records lose every field and land in the
+    NULL-priority group; type mismatches keep their parsed fields. Same
+    accounting and full oracle as csv_dirty."""
+    df = (
+        spark.read.schema(_DIRTY_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(_dirty_export(spark, sf_dir, "jsonl_corrupt"))
+    )
+    return _dirty_accounting(df, F.col("p"))
+
+
 def q_union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution union: a v1 feed (no priority column) unioned
     with a v2 feed via unionByName(allowMissingColumns=True) — the
@@ -1764,6 +1887,8 @@ QUERIES = {
     "csv_ingest": q_csv_ingest,
     "orc_ingest": q_orc_ingest,
     "jsonl_ingest": q_jsonl_ingest,
+    "csv_dirty": q_csv_dirty,
+    "jsonl_corrupt": q_jsonl_corrupt,
     "union_evolution": q_union_evolution,
     "equidepth_histogram": q_equidepth_histogram,
     "decimal_exact": q_decimal_exact,
@@ -2057,6 +2182,60 @@ ORACLES = {
                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
                floor(avg(o_totalprice) * 10000 + 0.5e0) / 10000 AS avg_price
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    # dirty ingestion twins: the corruption is keyed on o_orderkey, so
+    # the oracle re-derives the PERMISSIVE partition — including the
+    # exact corrupt line strings (no double→string formatting appears
+    # in them by construction) — from the parquet table.
+    "csv_dirty": """
+        WITH cls AS (
+            SELECT o_orderpriority AS p, o_totalprice AS v,
+                   o_orderkey AS k,
+                   CASE WHEN o_orderkey % 7 = 3
+                        THEN CAST(o_orderkey AS VARCHAR) || ',' || o_orderpriority
+                        WHEN o_orderkey % 7 = 5
+                        THEN CAST(o_orderkey AS VARCHAR) || ',' || o_orderpriority || ',N/A'
+                   END AS corrupt
+            FROM orders)
+        SELECT p AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN corrupt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corrupt,
+               CAST(sum(CASE WHEN corrupt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clean,
+               CAST(sum(CASE WHEN corrupt IS NULL THEN k END) AS BIGINT)
+                   AS clean_key_sum,
+               round(sum(CASE WHEN corrupt IS NULL THEN v END), 2) AS sum_clean,
+               min(corrupt) AS sample_bad
+        FROM cls GROUP BY p ORDER BY p NULLS FIRST
+    """,
+    "jsonl_corrupt": """
+        WITH cls AS (
+            SELECT CASE WHEN o_orderkey % 11 = 7 THEN NULL
+                        ELSE o_orderpriority END AS p,
+                   CASE WHEN o_orderkey % 11 IN (7, 3) THEN NULL
+                        ELSE o_totalprice END AS v,
+                   CASE WHEN o_orderkey % 11 = 7 THEN NULL
+                        ELSE o_orderkey END AS k,
+                   CASE WHEN o_orderkey % 11 = 7
+                        THEN '{"k":' || CAST(o_orderkey AS VARCHAR)
+                             || ',"p":"' || o_orderpriority || '","v":'
+                        WHEN o_orderkey % 11 = 3
+                        THEN '{"k":' || CAST(o_orderkey AS VARCHAR)
+                             || ',"p":"' || o_orderpriority || '","v":"oops"}'
+                   END AS corrupt
+            FROM orders)
+        SELECT p AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN corrupt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corrupt,
+               CAST(sum(CASE WHEN corrupt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clean,
+               CAST(sum(CASE WHEN corrupt IS NULL THEN k END) AS BIGINT)
+                   AS clean_key_sum,
+               round(sum(CASE WHEN corrupt IS NULL THEN v END), 2) AS sum_clean,
+               min(corrupt) AS sample_bad
+        FROM cls GROUP BY p ORDER BY p NULLS FIRST
     """,
     # edges via exact_pct_sql, not quantile_cont: bucket assignment is
     # a strict comparison against each edge, so quantile_cont's ulp
