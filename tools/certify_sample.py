@@ -29,6 +29,55 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _refresh_hint(registry: set, hint_path: str, rnd: int) -> dict:
+    """Recompute DRIVER_SAMPLE_HINT.json from the committed artifacts:
+    ever_driver_sampled = union of every CORRECTNESS_r*.json sheet's
+    keys; ever_certified = union of every CERTIFY_r*.json sample (the
+    builder's own seeded gate runs); never_touched = registry minus
+    both — the dark-matter count that must visibly converge to zero
+    across rounds (VERDICT r5 #8)."""
+    import glob
+
+    sampled: set = set()
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        try:
+            with open(f) as fh:
+                sheet = json.load(fh)
+            if isinstance(sheet, dict):
+                sampled |= set(sheet) & registry
+        except (OSError, ValueError):
+            continue
+    certified: set = set()
+    for f in glob.glob(os.path.join(REPO, "CERTIFY_r*.json")):
+        try:
+            with open(f) as fh:
+                art = json.load(fh)
+            certified |= set(art.get("sample", [])) & registry
+        except (OSError, ValueError):
+            continue
+    hint = {
+        "purpose": (
+            "Driver sampling rotation hint (VERDICT r3 #8, cumulative "
+            "certification since r6): never_driver_sampled queries have "
+            "never appeared in any CORRECTNESS_r*.json driver sheet; "
+            "ever_certified is the union of the builder's seeded "
+            "CERTIFY_r*.json gate runs; never_touched is the remaining "
+            "dark matter (neither driver-sampled nor certified) and "
+            "must shrink every round. All registered queries are green "
+            "in the committed full-gate artifacts (CORRECTNESS_FULL_sf*)."
+        ),
+        "round_written": rnd,
+        "registered": len(registry),
+        "ever_driver_sampled": len(sampled),
+        "ever_certified": sorted(certified),
+        "never_driver_sampled": sorted(registry - sampled),
+        "never_touched": sorted(registry - sampled - certified),
+    }
+    with open(hint_path, "w") as fh:
+        json.dump(hint, fh, indent=1, sort_keys=True)
+    return hint
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
@@ -45,14 +94,22 @@ def main() -> int:
 
     registry = set(e.queries())
     hint_path = os.path.join(REPO, "DRIVER_SAMPLE_HINT.json")
-    with open(hint_path) as fh:
-        hint = json.load(fh)
-    pool = sorted(set(hint["never_driver_sampled"]) & registry)
+    hint = _refresh_hint(registry, hint_path, args.round)
+    # Rotation that CONVERGES (VERDICT r5 #8): prefer queries never
+    # driver-sampled AND never certified by a previous CERTIFY round;
+    # top up from the never-driver-sampled remainder once exhausted.
+    never_touched = sorted(set(hint["never_touched"]) & registry)
+    backfill = sorted(
+        (set(hint["never_driver_sampled"]) & registry) - set(never_touched)
+    )
     rng = random.Random(seed)
-    sample = sorted(rng.sample(pool, min(args.n, len(pool))))
+    sample = sorted(rng.sample(never_touched, min(args.n, len(never_touched))))
+    if len(sample) < args.n and backfill:
+        sample += rng.sample(backfill, min(args.n - len(sample), len(backfill)))
     sample = sorted(set(sample) | (set(args.extra) & registry))
-    print(f"certifying {len(sample)} queries (seed={seed}) "
-          f"from a pool of {len(pool)} never-driver-sampled")
+    print(f"certifying {len(sample)} queries (seed={seed}) from a pool of "
+          f"{len(never_touched)} never-touched "
+          f"(+{len(backfill)} never-driver-sampled backfill)")
 
     out_path = os.path.join(REPO, f"CERTIFY_r{args.round:02d}.json")
     env = dict(os.environ, CHECK_JSON_OUT=out_path + ".sheet")
@@ -84,7 +141,8 @@ def main() -> int:
                 "rc": rc,
                 "seed": seed,
                 "n_requested": args.n,
-                "pool_size": len(pool),
+                "pool_never_touched": len(never_touched),
+                "pool_backfill": len(backfill),
                 "sample": sample,
                 **sheet,
             },
@@ -93,6 +151,14 @@ def main() -> int:
             sort_keys=True,
         )
     print(f"wrote {out_path} (rc={rc})")
+    # fold this round's certification into the cumulative hint so the
+    # dark-matter count converges visibly across rounds
+    hint = _refresh_hint(registry, hint_path, args.round)
+    print(
+        f"dark matter after this round: {len(hint['never_touched'])} "
+        f"never-touched of {hint['registered']} registered "
+        f"({len(hint['ever_certified'])} ever certified)"
+    )
     return rc
 
 
