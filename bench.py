@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     # dirty-record PERMISSIVE ingestion (round 6)
     "csv_dirty",
     "jsonl_corrupt",
+    # incremental index append: base-trained quantizer, delta assigned
+    "ann_index_update",
 ]
 
 
@@ -350,6 +352,8 @@ def main() -> None:
         "ann_index_build",
         # writes the signature store; the probe persists batch shingles
         "signature_store_build", "incremental_dedup",
+        # cold base-index build + delta assign each call; once is the signal
+        "ann_index_update",
     }
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}

@@ -248,9 +248,18 @@ class IvfIndex:
     written to parquet partitioned by `_list` and every later query
     batch becomes a pure partition-pruned scan."""
 
-    def __init__(self, assigned: DataFrame, centroids_df: DataFrame):
+    def __init__(
+        self,
+        assigned: DataFrame,
+        centroids_df: DataFrame,
+        centroids: list[list[float]] | None = None,
+    ):
         self.assigned = assigned          # (neighbor_id, _cv, _list)
         self.centroids_df = centroids_df  # (cid, cvec)
+        # the trained centroid vectors as driver-side doubles (present
+        # when built in-session; ivf_assign collects centroids_df —
+        # 16 bounded rows — when absent, e.g. an index read from disk)
+        self.centroids = centroids
 
     def unpersist(self) -> None:
         self.assigned.unpersist()
@@ -472,7 +481,38 @@ def ivf_build(
     cent_df = corpus.sparkSession.createDataFrame(
         cent_rows, "cid int, cvec array<double>"
     )
-    return IvfIndex(c_assigned, cent_df)
+    return IvfIndex(c_assigned, cent_df, centroids=cents)
+
+
+def ivf_assign(
+    index: IvfIndex,
+    delta: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign NEW vectors to an EXISTING index's inverted lists — the
+    incremental-ingest path (round 6): a daily embedding batch joins
+    the serving index without retraining the coarse quantizer, exactly
+    how IVF systems operate (the quantizer is retrained on drift
+    schedules, not per batch). Map-only argmax-cosine projection
+    against the index's centroids (driver-side doubles; collected from
+    centroids_df — 16 bounded rows — when the index came from disk);
+    returns (neighbor_id, _cv, _list) rows union-compatible with
+    ``index.assigned``. At 100 TB this is an appended partition per
+    inverted list, zero shuffle."""
+    cents = index.centroids
+    if cents is None:
+        rows = sorted(index.centroids_df.collect(), key=lambda r: r.cid)
+        cents = [list(r.cvec) for r in rows]
+    d = delta.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_nv", _guarded_norm(F.col("_cv")))
+    return d.select(
+        "neighbor_id",
+        "_cv",
+        _nearest_centroid("_cv", "_nv", cents).alias("_list"),
+    )
 
 
 def ivf_probe(

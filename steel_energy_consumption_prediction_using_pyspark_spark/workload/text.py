@@ -2286,7 +2286,8 @@ def materialized_sig_store(spark: SparkSession, sf_dir: str) -> str:
             .limit(3)
             .withColumn("doc_id", F.col("doc_id") + F.lit(_BATCH_OFF_B))
         )
-        c10.unionByName(c3).coalesce(1).write.mode("overwrite").parquet(
+        # repartition(1) not coalesce(1): see _write_ann_index
+        c10.unionByName(c3).repartition(1).write.mode("overwrite").parquet(
             os.path.join(base, "batch_docs")
         )
         _SIG_STORE.add(key)

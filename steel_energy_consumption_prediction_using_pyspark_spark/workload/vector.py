@@ -788,11 +788,19 @@ def _ivf_assign_ctes(
     iters: int = KMEANS_ITERS,
     dim: int = 64,
     materialized_assign: bool = False,
+    train_filter: str | None = None,
 ) -> str:
     """The quantizer chain (raw → codes → train → c0..c{iters}) plus
     the corpus-assignment CTE `assign(neighbor_id, v, cid)` — shared
     verbatim by the ann_ivf/ivf_probe oracle and semantic_dedup, so
-    all three tiers are provably the SAME index."""
+    all three tiers are provably the SAME index.
+
+    ``train_filter`` restricts the TRAINING corpus only (default: the
+    whole non-query corpus); assignment always covers the whole
+    corpus — the split that makes ann_index_update's oracle prove the
+    quantizer was NOT retrained on the delta (round 6)."""
+    if train_filter is None:
+        train_filter = f"vec_id >= {N_QUERY}"
     max_train = max(k * 100, KMEANS_MAX_TRAIN)
     ctes = [
         f"""
@@ -801,7 +809,7 @@ def _ivf_assign_ctes(
                   CASE WHEN m > 0 THEN m ELSE 1.0 END AS scale_d
            FROM (SELECT vec_id, v,
                         list_max(list_transform(v, x -> abs(x))) AS m
-                 FROM raw WHERE vec_id >= {N_QUERY})),
+                 FROM raw WHERE {train_filter})),
     codes AS (SELECT vec_id,
                      list_transform(
                          v, x -> CAST(round(x / scale_d * 127) AS TINYINT)
@@ -848,7 +856,11 @@ def _ivf_assign_ctes(
 
 
 def _ivf_oracle_sql(
-    k: int = 16, iters: int = KMEANS_ITERS, dim: int = 64, n_probe: int = 4
+    k: int = 16,
+    iters: int = KMEANS_ITERS,
+    dim: int = 64,
+    n_probe: int = 4,
+    train_filter: str | None = None,
 ) -> str:
     final = f""",
     qry AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
@@ -868,7 +880,11 @@ def _ivf_oracle_sql(
     SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
            CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= {TOP_K}"""
-    return "WITH " + _ivf_assign_ctes(k, iters, dim) + final
+    return (
+        "WITH "
+        + _ivf_assign_ctes(k, iters, dim, train_filter=train_filter)
+        + final
+    )
 
 
 ORACLES["ann_ivf"] = _ivf_oracle_sql()
@@ -1365,7 +1381,11 @@ def _write_ann_index(spark: SparkSession, sf_dir: str, base: str) -> None:
         .partitionBy("_list")
         .parquet(os.path.join(base, "ivf_assigned"))
     )
-    index.centroids_df.coalesce(1).write.mode("overwrite").parquet(
+    # repartition(1), NEVER coalesce(1), for tiny local-relation
+    # writes: coalesce(1) over a LocalTableScan drops the plan onto the
+    # slow Python-parallelize path (~4-5 s per write, measured); the
+    # one-partition shuffle is ~0.45 s and still yields a single file.
+    index.centroids_df.repartition(1).write.mode("overwrite").parquet(
         os.path.join(base, "ivf_centroids")
     )
 
@@ -1379,13 +1399,13 @@ def _write_ann_index(spark: SparkSession, sf_dir: str, base: str) -> None:
     ]
     spark.createDataFrame(
         book_rows, "s int, cid int, cvec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).repartition(1).write.mode("overwrite").parquet(
         os.path.join(base, "pq_codebooks")
     )
     spark.createDataFrame(
         [(float(model.scale), int(model.m), int(model.subdim))],
         "scale double, m int, subdim int",
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).repartition(1).write.mode("overwrite").parquet(
         os.path.join(base, "pq_meta")
     )
 
@@ -1637,3 +1657,40 @@ ORACLES["ann_index_build"] = f"""
     UNION ALL SELECT * FROM meta_row
     ORDER BY tier, grp
 """
+
+
+def q_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index UPDATE (round 6 — the vector-tier analog of
+    incremental_dedup): the quantizer is trained on the BASE corpus
+    only (vec_id%10 != 8); the delta batch (vec_id%10 == 8, the daily
+    embedding ingest) is assigned to the EXISTING inverted lists by
+    operators/similarity.py::ivf_assign — a map-only argmax-cosine
+    projection, no retraining, no shuffle — and the probe runs over
+    base ∪ delta. The oracle trains its unrolled Lloyd chain on the
+    base slice ONLY and assigns the full corpus: if the engine had
+    retrained on base+delta (or dropped/misassigned any delta vector)
+    the centroids or lists would differ and the hash breaks — the
+    not-retrained property is proved by value, not by plan."""
+    e = T(spark, sf_dir, "embeddings")
+    base_corpus = e.filter(
+        (F.col("vec_id") >= N_QUERY) & (F.pmod("vec_id", F.lit(10)) != 8)
+    )
+    delta = e.filter(
+        (F.col("vec_id") >= N_QUERY) & (F.pmod("vec_id", F.lit(10)) == 8)
+    )
+    index = S.ivf_build(base_corpus, n_centroids=16, seed=42, persist=False)
+    updated = S.IvfIndex(
+        index.assigned.unionByName(S.ivf_assign(index, delta)),
+        index.centroids_df,
+        centroids=index.centroids,
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_probe(updated, queries, k=TOP_K, n_probe=4)
+
+
+QUERIES["ann_index_update"] = q_ann_index_update
+ORACLES["ann_index_update"] = _ivf_oracle_sql(
+    train_filter=f"vec_id >= {N_QUERY} AND vec_id % 10 != 8"
+)

@@ -492,3 +492,28 @@ def test_ann_index_build_summary_covers_all_tiers(spark, sf_dir):
     assert len(by_tier["pq"]) == 8
     assert all(r.n_vectors == n_corpus for r in by_tier["pq"])
     assert len(by_tier["pq_scale"]) == 1 and by_tier["pq_scale"][0].chk > 0
+
+
+def test_ivf_incremental_update_equals_assign_all(spark, sf_dir):
+    """ivf_assign of a delta batch against a base-trained index must
+    land every delta vector in exactly the list a fresh assignment
+    pass with the same centroids would choose — i.e. the incremental
+    union equals assigning the full corpus against the base-trained
+    quantizer in one go (the identity q_ann_index_update's oracle
+    checks by value)."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+        T,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    base = e.filter((F.col("vec_id") >= 5) & (F.pmod("vec_id", F.lit(10)) != 8))
+    delta = e.filter((F.col("vec_id") >= 5) & (F.pmod("vec_id", F.lit(10)) == 8))
+    assert delta.count() > 0
+
+    index = S.ivf_build(base, n_centroids=16, seed=42, persist=False)
+    inc = index.assigned.unionByName(S.ivf_assign(index, delta))
+    full = S.ivf_assign(index, e.filter(F.col("vec_id") >= 5))
+
+    a = sorted((r.neighbor_id, r._list) for r in inc.collect())
+    b = sorted((r.neighbor_id, r._list) for r in full.collect())
+    assert a == b
