@@ -87,6 +87,12 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--extra", nargs="*", default=[],
                     help="extra query names to certify beyond the sample")
+    ap.add_argument("--part", default="",
+                    help="artifact suffix (e.g. 'b') so multiple "
+                         "certification batches within one round keep "
+                         "separate CERTIFY_r{NN}{part}.json files — the "
+                         "cumulative hint globs CERTIFY_r*.json, so every "
+                         "batch counts toward ever_certified")
     args = ap.parse_args()
     seed = args.round if args.seed is None else args.seed
 
@@ -111,7 +117,7 @@ def main() -> int:
           f"{len(never_touched)} never-touched "
           f"(+{len(backfill)} never-driver-sampled backfill)")
 
-    out_path = os.path.join(REPO, f"CERTIFY_r{args.round:02d}.json")
+    out_path = os.path.join(REPO, f"CERTIFY_r{args.round:02d}{args.part}.json")
     env = dict(os.environ, CHECK_JSON_OUT=out_path + ".sheet")
     rc = subprocess.call(
         [sys.executable, os.path.join(REPO, "tools", "check_correctness.py"),
