@@ -27,6 +27,7 @@ from steel_energy_consumption_prediction_using_pyspark_spark.operators.relationa
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
     T,
     exact_pct_sql,
+    key_lock,
     register,
     ts_str,
 )
@@ -60,27 +61,33 @@ def _orders_csv(spark: SparkSession, sf_dir: str) -> str:
     path = _CSV_EXPORT_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    path = os.path.join(
-        repo_root, ".scratch", "csv_orders_" + os.path.basename(sf_dir.rstrip("/"))
-    )
-    # Reference-style unsafe headers (dots + parens, SteelPred.py:139-146)
-    # so the normalization path is genuinely exercised by the read-back.
-    (
-        T(spark, sf_dir, "orders")
-        .select(
-            F.col("o_orderkey").alias("Order_Key"),
-            F.col("o_orderpriority").alias("Order.Priority"),
-            F.col("o_totalprice").alias("Total(Price)"),
+    with key_lock("csv_export", key):
+        path = _CSV_EXPORT_CACHE.get(key)
+        if path is not None and os.path.isdir(path):
+            return path
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-        .write.mode("overwrite")
-        .option("header", True)
-        .csv(path)
-    )
-    _CSV_EXPORT_CACHE[key] = path
-    return path
+        path = os.path.join(
+            repo_root, ".scratch",
+            "csv_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        )
+        # Reference-style unsafe headers (dots + parens,
+        # SteelPred.py:139-146) so the normalization path is genuinely
+        # exercised by the read-back.
+        (
+            T(spark, sf_dir, "orders")
+            .select(
+                F.col("o_orderkey").alias("Order_Key"),
+                F.col("o_orderpriority").alias("Order.Priority"),
+                F.col("o_totalprice").alias("Total(Price)"),
+            )
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(path)
+        )
+        _CSV_EXPORT_CACHE[key] = path
+        return path
 
 
 def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,23 +132,27 @@ def _orders_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     path = _FMT_EXPORT_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    path = os.path.join(
-        repo_root,
-        ".scratch",
-        f"{fmt}_orders_" + os.path.basename(sf_dir.rstrip("/")),
-    )
-    (
-        T(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .write.mode("overwrite")
-        .format(fmt)
-        .save(path)
-    )
-    _FMT_EXPORT_CACHE[key] = path
-    return path
+    with key_lock("fmt_export", key):
+        path = _FMT_EXPORT_CACHE.get(key)
+        if path is not None and os.path.isdir(path):
+            return path
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        path = os.path.join(
+            repo_root,
+            ".scratch",
+            f"{fmt}_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        )
+        (
+            T(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .write.mode("overwrite")
+            .format(fmt)
+            .save(path)
+        )
+        _FMT_EXPORT_CACHE[key] = path
+        return path
 
 
 def q_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,6 +226,18 @@ def _dirty_export(spark: SparkSession, sf_dir: str, kind: str) -> str:
     path = _DIRTY_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
+    with key_lock("dirty_export", key):
+        path = _DIRTY_CACHE.get(key)
+        if path is not None and os.path.isdir(path):
+            return path
+        return _dirty_export_build(spark, sf_dir, kind, key)
+
+
+def _dirty_export_build(
+    spark: SparkSession, sf_dir: str, kind: str, key: tuple
+) -> str:
+    import os
+
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )

@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
     graph as G,
 )
-from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+    T,
+    key_lock,
+)
 
 PR_ITERATIONS = 5
 PR_DAMPING = 0.85
@@ -76,28 +79,39 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached
-    # Evict this session's entries for OTHER sf_dirs before building:
-    # a session that walks multiple scale factors (the local gate does)
-    # would otherwise accumulate one persisted edge table per sf_dir.
-    for stale_key in [k for k in _EDGE_CACHE if k[0] == key[0] and k != key]:
-        _EDGE_CACHE.pop(stale_key).unpersist()
-    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # Node ids are packed longs — 2·custkey for customers, 2·suppkey+1
-    # for suppliers (the bipartite sides can't collide). See _node_str.
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    # One lock per SESSION (not per key): the stale-sf eviction below
+    # mutates other keys' entries, so builders for different sf_dirs of
+    # one session must serialize against each other too.
+    with key_lock("copurchase_edges", key[0]):
+        cached = _EDGE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        # Evict this session's entries for OTHER sf_dirs before
+        # building: a session that walks multiple scale factors (the
+        # local gate does) would otherwise accumulate one persisted
+        # edge table per sf_dir.
+        for stale_key in [
+            k for k in _EDGE_CACHE if k[0] == key[0] and k != key
+        ]:
+            _EDGE_CACHE.pop(stale_key).unpersist()
+        o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        # Node ids are packed longs — 2·custkey for customers,
+        # 2·suppkey+1 for suppliers (the bipartite sides can't
+        # collide). See _node_str.
+        pairs = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    _EDGE_CACHE[key] = edges
-    return edges
+        edges = pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).persist()
+        _EDGE_CACHE[key] = edges
+        return edges
 
 
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,28 +198,32 @@ def materialized_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _MATERIALIZED and spark.catalog.tableExists(name):
         return spark.table(name)
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    path = os.path.join(repo_root, ".scratch", "graph_edges", name)
-    (
-        _copurchase_edges(spark, sf_dir)
-        # ONE file per bucket: without this pre-shuffle on the bucket
-        # key, every writing task emits its own file per bucket
-        # (tasks × buckets small files — measured 13 s/walk at sf0.1
-        # from file-open overhead alone vs ~1 s after). repartition's
-        # Murmur3 hash is the same function the bucket spec uses, so
-        # each task holds exactly one whole bucket.
-        .repartition(EDGE_BUCKETS, F.col("src"))
-        .write.mode("overwrite")
-        .bucketBy(EDGE_BUCKETS, "src")
-        .sortBy("src")
-        .option("path", path)
-        .format("parquet")
-        .saveAsTable(name)
-    )
-    _MATERIALIZED.add(key)
-    return spark.table(name)
+    with key_lock("graph_edges_table", key):
+        if key in _MATERIALIZED and spark.catalog.tableExists(name):
+            return spark.table(name)
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        path = os.path.join(repo_root, ".scratch", "graph_edges", name)
+        (
+            _copurchase_edges(spark, sf_dir)
+            # ONE file per bucket: without this pre-shuffle on the
+            # bucket key, every writing task emits its own file per
+            # bucket (tasks × buckets small files — measured 13 s/walk
+            # at sf0.1 from file-open overhead alone vs ~1 s after).
+            # repartition's Murmur3 hash is the same function the
+            # bucket spec uses, so each task holds exactly one whole
+            # bucket.
+            .repartition(EDGE_BUCKETS, F.col("src"))
+            .write.mode("overwrite")
+            .bucketBy(EDGE_BUCKETS, "src")
+            .sortBy("src")
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        _MATERIALIZED.add(key)
+        return spark.table(name)
 
 
 def q_graph_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,7 +22,11 @@ from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
 from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
     text as X,
 )
-from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import T
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+    T,
+    key_lock,
+    once_per_key,
+)
 
 STOPWORDS = X.DEFAULT_STOPWORDS
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1948,11 +1952,10 @@ def _bpe_merges(
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    merges = _BPE_CACHE.get(key)
-    if merges is None:
-        merges = bpe_learn(_corpus_word_freqs(spark, sf_dir), n_merges=10)
-        _BPE_CACHE[key] = merges
-    return merges
+    return once_per_key(
+        _BPE_CACHE, "bpe_merges", key,
+        lambda: bpe_learn(_corpus_word_freqs(spark, sf_dir), n_merges=10),
+    )
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2266,9 +2269,17 @@ def materialized_sig_store(spark: SparkSession, sf_dir: str) -> str:
 
     base = _sig_store_base(sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SIG_STORE or not os.path.exists(
-        os.path.join(base, "corpus_banded")
-    ):
+
+    def _built() -> bool:
+        return key in _SIG_STORE and os.path.exists(
+            os.path.join(base, "corpus_banded")
+        )
+
+    if _built():
+        return base
+    with key_lock("sig_store", key):
+        if _built():
+            return base
         d = T(spark, sf_dir, "documents").select("doc_id", "text")
         D.shingled_sets(d).write.mode("overwrite").parquet(
             os.path.join(base, "corpus_shingled")

@@ -3,12 +3,60 @@
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# --- Thread-safe build-once session caches ----------------------------------
+#
+# A deployed engine serves CONCURRENT queries from one SparkSession
+# (Spark's scheduler is thread-safe; FAIR pools exist for exactly
+# this). The workload's build-once session caches (_IVF_CACHE,
+# _EDGE_CACHE, _BPE_CACHE, the .scratch export/materialization paths)
+# were get-then-set: two threads could double-build — at best wasted
+# work, at worst two overlapping mode("overwrite") writes into the
+# SAME scratch directory (delete-while-write ⇒ read-back failure) or
+# a leaked persisted DataFrame whose cache entry got overwritten.
+# Every cache site now funnels through a per-(namespace, key) lock:
+# exactly one thread builds, the rest wait and reuse. Correctness
+# never depended on this (builds are deterministic, so a double build
+# yields identical values); single-build and write-integrity do.
+# Scope: in-process threads. Cross-process .scratch sharing is out of
+# scope — scratch paths embed no PID on purpose so one HOST reuses
+# them across driver/bench invocations, which never overlap in time.
+
+_KEY_LOCKS: dict[tuple, threading.Lock] = {}
+_KEY_LOCKS_GUARD = threading.Lock()
+
+
+def key_lock(namespace: str, key) -> threading.Lock:
+    """The lock serializing builders of (namespace, key). For cache
+    sites with bespoke validity checks (filesystem existence, staleness
+    eviction): re-check the condition AFTER acquiring (double-checked
+    locking); plain value caches can use :func:`once_per_key`."""
+    with _KEY_LOCKS_GUARD:
+        return _KEY_LOCKS.setdefault((namespace, key), threading.Lock())
+
+
+def once_per_key(cache: dict, namespace: str, key, build):
+    """Memoize ``build()`` into ``cache[key]``, thread-safe: the first
+    caller builds under the per-key lock, concurrent callers block and
+    reuse. The fast path is lock-free (dict reads are atomic under the
+    GIL, and entries are only ever replaced by their builder)."""
+    val = cache.get(key)
+    if val is not None:
+        return val
+    with key_lock(namespace, key):
+        val = cache.get(key)
+        if val is None:
+            val = build()
+            cache[key] = val
+        return val
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -23,6 +23,8 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload.util impor
     KMEANS_ITERS,
     KMEANS_MAX_TRAIN,
     T,
+    key_lock,
+    once_per_key,
 )
 
 N_QUERY = 5
@@ -127,12 +129,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     # Cold-build semantics: always rebuild — but unpersist the
     # superseded index first so repeated ann_ivf (or ivf_probe-then-
-    # ann_ivf) calls in one session don't leak executor cache.
-    old = _IVF_CACHE.pop(key, None)
-    if old is not None:
-        old.unpersist()
-    index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
-    _IVF_CACHE[key] = index
+    # ann_ivf) calls in one session don't leak executor cache. Takes
+    # the SAME per-key lock as _ivf_index so a concurrent probe never
+    # interleaves with the swap (worst case it rebuilds from lineage,
+    # never reads a half-replaced entry).
+    with key_lock("ivf_index", key):
+        old = _IVF_CACHE.pop(key, None)
+        if old is not None:
+            old.unpersist()
+        index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
+        _IVF_CACHE[key] = index
     return S.ivf_probe(index, queries, k=TOP_K, n_probe=4)
 
 
@@ -145,6 +151,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CACHE: dict[tuple[str, str], "S.IvfIndex"] = {}
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str) -> "S.IvfIndex":
+    """The session IVF index, built at most once per (session, sf)
+    even under CONCURRENT queries (util.once_per_key): ivf_probe /
+    rag / recall callers racing each other would otherwise each pay
+    the k-means build and leak the losers' persisted assignments."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def build() -> "S.IvfIndex":
+        corpus = T(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") >= N_QUERY
+        )
+        return S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
+
+    return once_per_key(_IVF_CACHE, "ivf_index", key, build)
+
+
 def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The amortized IVF path: build (k-means + assign, cached per
     session/sf) once, probe per query batch. Bench-wise this is the
@@ -153,12 +175,7 @@ def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer oracle, see q_ann_ivf); probe≡build-probe equality and
     recall are pinned in tests/test_similarity.py."""
     e = T(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    index = _IVF_CACHE.get(key)
-    if index is None:
-        corpus = e.filter(F.col("vec_id") >= N_QUERY)
-        index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
-        _IVF_CACHE[key] = index
+    index = _ivf_index(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -369,12 +386,7 @@ def q_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a bounded candidate set, metadata join broadcasts the 10·|Q|
     selected ids against documents."""
     e = T(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    index = _IVF_CACHE.get(key)
-    if index is None:
-        corpus = e.filter(F.col("vec_id") >= N_QUERY)
-        index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
-        _IVF_CACHE[key] = index
+    index = _ivf_index(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1106,18 +1118,22 @@ def _pq_index(spark: SparkSession, sf_dir: str, rebuild: bool = False):
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cur = _PQ_CACHE.get(key)
-    if rebuild and cur is not None:
-        cur[1].unpersist()
-        _PQ_CACHE.pop(key, None)
-        cur = None
-    if cur is None:
-        e = T(spark, sf_dir, "embeddings")
-        corpus = e.filter(F.col("vec_id") >= N_QUERY)
-        model = PQ.pq_train(corpus, m=8, k=32, dim=64)
-        enc = PQ.pq_encode(corpus, model).persist()
-        cur = (model, enc)
-        _PQ_CACHE[key] = cur
-    return cur
+    if cur is not None and not rebuild:
+        return cur
+    with key_lock("pq_index", key):
+        cur = _PQ_CACHE.get(key)
+        if rebuild and cur is not None:
+            cur[1].unpersist()
+            _PQ_CACHE.pop(key, None)
+            cur = None
+        if cur is None:
+            e = T(spark, sf_dir, "embeddings")
+            corpus = e.filter(F.col("vec_id") >= N_QUERY)
+            model = PQ.pq_train(corpus, m=8, k=32, dim=64)
+            enc = PQ.pq_encode(corpus, model).persist()
+            cur = (model, enc)
+            _PQ_CACHE[key] = cur
+        return cur
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1142,11 +1158,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, queries, k=TOP_K, dim=64, num_planes=LSH_PLANES,
         num_tables=LSH_TABLES,
     ).select("query_id", "neighbor_id")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    index = _IVF_CACHE.get(key)
-    if index is None:
-        index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
-        _IVF_CACHE[key] = index
+    index = _ivf_index(spark, sf_dir)
     ivf = S.ivf_probe(index, queries, k=TOP_K, n_probe=4).select(
         "query_id", "neighbor_id"
     )
@@ -1238,12 +1250,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = T(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    index = _IVF_CACHE.get(key)
-    if index is None:
-        corpus = e.filter(F.col("vec_id") >= N_QUERY)
-        index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
-        _IVF_CACHE[key] = index
+    index = _ivf_index(spark, sf_dir)
     # Self-norms staged once per row (sqrt(dot(v,v)) is the identical
     # fp factor whether computed per row or per pair), so the
     # quadratic inner loop pays ONE interpreted dot product per pair
@@ -1418,11 +1425,18 @@ def materialized_ann_index(spark: SparkSession, sf_dir: str) -> str:
 
     base = _index_base(sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _DISK_INDEX or not os.path.exists(
-        os.path.join(base, "ivf_centroids")
-    ):
-        _write_ann_index(spark, sf_dir, base)
-        _DISK_INDEX.add(key)
+
+    def _built() -> bool:
+        return key in _DISK_INDEX and os.path.exists(
+            os.path.join(base, "ivf_centroids")
+        )
+
+    if _built():
+        return base
+    with key_lock("ann_disk_index", key):
+        if not _built():
+            _write_ann_index(spark, sf_dir, base)
+            _DISK_INDEX.add(key)
     return base
 
 

@@ -1,0 +1,155 @@
+"""Concurrent multi-query serving (the deployment mode the reference
+never exercises: one SparkSession, many simultaneous callers).
+
+Spark's scheduler is thread-safe and a real deployment serves parallel
+queries from one session (FAIR pools exist for exactly this). What the
+ENGINE must guarantee on top is that its build-once session caches —
+IVF index, graph edge table, BPE merge table, .scratch exports — are
+safe under concurrent first-touch: exactly one thread builds, nobody
+observes a half-built entry, and no two overlapping mode("overwrite")
+writes ever target the same scratch directory. workload/util.py::
+once_per_key / key_lock provide that; these tests pin it.
+
+Correctness of VALUES never depended on the locks (builds are
+deterministic, so a lost race would still produce identical results) —
+the single-build property and write integrity did, which is why the
+unit test counts builder invocations and the integration test runs the
+cache-heavy queries first-touch-concurrently against the sequential
+ground truth.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+    key_lock,
+    once_per_key,
+)
+
+SF = "/root/testdata/sf0.001"
+
+# Queries chosen to collide on every shared cache family:
+#   ann_ivf + ivf_probe + semantic_dedup  → _IVF_CACHE (incl. the
+#       cold-rebuild swap racing two probes)
+#   bpe_train + bpe_encode + token_count_bpe → _BPE_CACHE
+#   csv_ingest / orc_ingest / jsonl_ingest → .scratch export caches
+#   bfs_hops + ppr                        → _EDGE_CACHE
+#   groupby_count / window_ranks          → cache-free controls
+CONCURRENT_QUERIES = [
+    "ann_ivf",
+    "ivf_probe",
+    "semantic_dedup",
+    "bpe_encode",
+    "token_count_bpe",
+    "csv_ingest",
+    "orc_ingest",
+    "jsonl_ingest",
+    "bfs_hops",
+    "ppr",
+    "groupby_count",
+    "window_ranks",
+]
+
+
+def test_once_per_key_single_build_under_contention():
+    """16 threads racing one key: the builder runs EXACTLY once and
+    every thread gets the identical object."""
+    cache: dict = {}
+    calls = []
+    gate = threading.Barrier(16)
+
+    def build():
+        calls.append(1)
+        return object()
+
+    def worker():
+        gate.wait()
+        return once_per_key(cache, "test_ns", "k", build)
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(pool.map(lambda _: worker(), range(16)))
+    assert len(calls) == 1
+    assert all(r is results[0] for r in results)
+
+
+def test_once_per_key_distinct_keys_do_not_serialize():
+    """Different keys build independently (per-key locks, not one
+    global lock): two builders that each wait on the OTHER key's
+    builder having started can only finish if they run concurrently."""
+    cache: dict = {}
+    started_a = threading.Event()
+    started_b = threading.Event()
+
+    def build_a():
+        started_a.set()
+        assert started_b.wait(timeout=10), "key-b builder never started"
+        return "a"
+
+    def build_b():
+        started_b.set()
+        assert started_a.wait(timeout=10), "key-a builder never started"
+        return "b"
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(once_per_key, cache, "test_ns2", "ka", build_a)
+        fb = pool.submit(once_per_key, cache, "test_ns2", "kb", build_b)
+        assert fa.result(timeout=30) == "a"
+        assert fb.result(timeout=30) == "b"
+
+
+def test_key_lock_is_stable_per_key():
+    assert key_lock("ns", ("x", 1)) is key_lock("ns", ("x", 1))
+    assert key_lock("ns", ("x", 1)) is not key_lock("ns", ("x", 2))
+    assert key_lock("ns", ("x", 1)) is not key_lock("other", ("x", 1))
+
+
+def _rows_sorted(df):
+    return sorted(repr(r) for r in df.collect())
+
+
+def test_concurrent_queries_match_sequential(spark):
+    """The cache-colliding query set, all first-touched CONCURRENTLY in
+    one session, must produce row-for-row the results of a sequential
+    run. Caches are cleared first so every shared builder (IVF k-means,
+    edge table, BPE merges, scratch exports) races for real."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
+        all_queries,
+        graph,
+        text,
+        vector,
+    )
+
+    qs = all_queries()
+
+    def clear_caches():
+        for idx in vector._IVF_CACHE.values():
+            idx.unpersist()
+        vector._IVF_CACHE.clear()
+        for _, enc in vector._PQ_CACHE.values():
+            enc.unpersist()
+        vector._PQ_CACHE.clear()
+        for e in graph._EDGE_CACHE.values():
+            e.unpersist()
+        graph._EDGE_CACHE.clear()
+        text._BPE_CACHE.clear()
+
+    clear_caches()
+    gate = threading.Barrier(len(CONCURRENT_QUERIES))
+
+    def run(name: str):
+        gate.wait(timeout=120)
+        return name, _rows_sorted(qs[name](spark, SF))
+
+    with ThreadPoolExecutor(max_workers=len(CONCURRENT_QUERIES)) as pool:
+        concurrent = dict(pool.map(run, CONCURRENT_QUERIES))
+
+    # Sequential ground truth AFTER another cache clear, so both runs
+    # pay the same cold builds and neither depends on the other's
+    # session state.
+    clear_caches()
+    for name in CONCURRENT_QUERIES:
+        assert concurrent[name] == _rows_sorted(qs[name](spark, SF)), (
+            f"{name}: concurrent result differs from sequential"
+        )
