@@ -2,7 +2,7 @@
 # thin wrapper over a tools/ script so a judge can run the identical
 # command directly.
 
-ROUND ?= 5
+ROUND ?= 6
 SEED ?= $(ROUND)
 SF ?= /root/testdata/sf0.01
 

@@ -15,6 +15,14 @@ code runs correctly on local[N] for tests and on a real cluster:
 - shuffle partitions sized to the machine, not Spark's legacy 200. On a
   real cluster this should be ~2-3x total executor cores or left to AQE
   with a high initial value; AQE coalesces down.
+
+Concurrent serving: one session safely runs parallel queries from
+multiple threads — Spark's scheduler is thread-safe and the workload's
+build-once caches lock per key (workload/util.py::once_per_key,
+pinned by tests/test_concurrency.py). For latency fairness under
+concurrency, pass ``extra_conf={"spark.scheduler.mode": "FAIR"}``
+(a SparkConf — must be set at session creation, not runtime) so one
+heavy query's stages don't head-of-line-block the rest.
 """
 
 from __future__ import annotations
