@@ -1,0 +1,129 @@
+"""Concurrent-serving throughput probe: the same query batch run
+sequentially and then from N parallel client threads against ONE
+SparkSession (the deployment mode tests/test_concurrency.py proves
+safe). Reports both walls and the speedup — the number that justifies
+FAIR-pool multi-tenant serving on a real cluster: while one query's
+stages stall on a narrow exchange, other queries' tasks fill the idle
+cores.
+
+Caches are cleared before EACH phase so both pay the same cold
+builds; the batch is the cache-colliding set from the concurrency
+test plus a spread of light relational/text rows, each executed into
+a noop sink exactly like bench.py.
+
+Usage: python tools/concurrency_bench.py [sf_dir] [n_threads]
+Writes CONCURRENCY_BENCH.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERIES = [
+    "ann_ivf",
+    "ivf_probe",
+    "semantic_dedup",
+    "bpe_encode",
+    "token_count_bpe",
+    "csv_ingest",
+    "orc_ingest",
+    "jsonl_ingest",
+    "bfs_hops",
+    "ppr",
+    "groupby_count",
+    "window_ranks",
+    "pricing_summary",
+    "tfidf",
+    "sessionize",
+    "topk",
+]
+
+
+def _clear_caches() -> None:
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
+        graph,
+        text,
+        vector,
+    )
+
+    for idx in vector._IVF_CACHE.values():
+        idx.unpersist()
+    vector._IVF_CACHE.clear()
+    for _, enc in vector._PQ_CACHE.values():
+        enc.unpersist()
+    vector._PQ_CACHE.clear()
+    for e in graph._EDGE_CACHE.values():
+        e.unpersist()
+    graph._EDGE_CACHE.clear()
+    text._BPE_CACHE.clear()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_threads = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.session import (
+        get_session,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
+        all_queries,
+    )
+
+    spark = get_session("concurrency-bench")
+    qs = all_queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # Warm the JVM/codegen the same way bench.py does (one throwaway
+    # light query), so neither phase eats one-time JIT cost.
+    run("groupby_count")
+
+    _clear_caches()
+    t0 = time.perf_counter()
+    seq = {name: round(run(name), 3) for name in QUERIES}
+    seq_wall = round(time.perf_counter() - t0, 3)
+
+    _clear_caches()
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        conc = dict(
+            zip(QUERIES, (round(t, 3) for t in pool.map(run, QUERIES)))
+        )
+    conc_wall = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "purpose": (
+            "Concurrent multi-query serving throughput on ONE "
+            "SparkSession (safety pinned by tests/test_concurrency.py): "
+            "same batch, same cold caches, sequential vs "
+            f"{n_threads}-thread clients."
+        ),
+        "sf_dir": sf_dir,
+        "n_queries": len(QUERIES),
+        "n_threads": n_threads,
+        "sequential_wall_sec": seq_wall,
+        "concurrent_wall_sec": conc_wall,
+        "speedup": round(seq_wall / conc_wall, 2) if conc_wall else None,
+        "sequential_per_query": seq,
+        "concurrent_per_query_latency": conc,
+    }
+    path = os.path.join(REPO, "CONCURRENCY_BENCH.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: out[k] for k in (
+        "sequential_wall_sec", "concurrent_wall_sec", "speedup")}))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
