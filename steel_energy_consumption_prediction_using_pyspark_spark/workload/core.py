@@ -65,6 +65,10 @@ def _orders_csv(spark: SparkSession, sf_dir: str) -> str:
         path = _CSV_EXPORT_CACHE.get(key)
         if path is not None and os.path.isdir(path):
             return path
+        # Invalidate BEFORE the overwrite-write: a stale entry (dir
+        # deleted externally, now being recreated) would let lock-free
+        # fast-path readers isdir-validate a half-written directory.
+        _CSV_EXPORT_CACHE.pop(key, None)
         repo_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
@@ -136,6 +140,8 @@ def _orders_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         path = _FMT_EXPORT_CACHE.get(key)
         if path is not None and os.path.isdir(path):
             return path
+        # Invalidate before the write — see _orders_csv.
+        _FMT_EXPORT_CACHE.pop(key, None)
         repo_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
@@ -230,6 +236,8 @@ def _dirty_export(spark: SparkSession, sf_dir: str, kind: str) -> str:
         path = _DIRTY_CACHE.get(key)
         if path is not None and os.path.isdir(path):
             return path
+        # Invalidate before the write — see _orders_csv.
+        _DIRTY_CACHE.pop(key, None)
         return _dirty_export_build(spark, sf_dir, kind, key)
 
 

@@ -201,6 +201,9 @@ def materialized_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     with key_lock("graph_edges_table", key):
         if key in _MATERIALIZED and spark.catalog.tableExists(name):
             return spark.table(name)
+        # Invalidate before the write so no lock-free reader validates
+        # a half-written table (see util.key_lock docstring).
+        _MATERIALIZED.discard(key)
         repo_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )

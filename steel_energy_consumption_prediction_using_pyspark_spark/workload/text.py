@@ -2280,6 +2280,9 @@ def materialized_sig_store(spark: SparkSession, sf_dir: str) -> str:
     with key_lock("sig_store", key):
         if _built():
             return base
+        # Invalidate before the write so no lock-free reader validates
+        # a half-written store (see util.key_lock docstring).
+        _SIG_STORE.discard(key)
         d = T(spark, sf_dir, "documents").select("doc_id", "text")
         D.shingled_sets(d).write.mode("overwrite").parquet(
             os.path.join(base, "corpus_shingled")

@@ -38,7 +38,17 @@ def key_lock(namespace: str, key) -> threading.Lock:
     """The lock serializing builders of (namespace, key). For cache
     sites with bespoke validity checks (filesystem existence, staleness
     eviction): re-check the condition AFTER acquiring (double-checked
-    locking); plain value caches can use :func:`once_per_key`."""
+    locking), and INVALIDATE the fast-path marker (pop the dict entry /
+    discard the set key) before starting a rebuild-over-existing-path,
+    so no lock-free reader can validate against a half-written
+    directory. Plain value caches can use :func:`once_per_key`.
+
+    Lock objects are never evicted; that is deliberate, not a leak:
+    every namespace keys by (applicationId, sf_dir) (or a scratch base
+    derived from them), so cardinality is bounded by sessions ×
+    sf_dirs × namespaces — a few dozen ~100-byte locks in any real
+    process. Eviction would reintroduce the race this exists to close
+    (two threads holding DIFFERENT lock objects for one key)."""
     with _KEY_LOCKS_GUARD:
         return _KEY_LOCKS.setdefault((namespace, key), threading.Lock())
 
@@ -57,6 +67,37 @@ def once_per_key(cache: dict, namespace: str, key, build):
             val = build()
             cache[key] = val
         return val
+
+
+def clear_session_caches() -> None:
+    """Reset EVERY build-once session cache (unpersisting what holds
+    executor memory) — the cold-start lever for concurrency tests and
+    benchmarks: after this, every shared builder races/pays for real.
+    Lazy imports: util is imported by the workload modules that own
+    the caches."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
+        core,
+        graph,
+        text,
+        vector,
+    )
+
+    for idx in vector._IVF_CACHE.values():
+        idx.unpersist()
+    vector._IVF_CACHE.clear()
+    for _, enc in vector._PQ_CACHE.values():
+        enc.unpersist()
+    vector._PQ_CACHE.clear()
+    vector._DISK_INDEX.clear()
+    for e in graph._EDGE_CACHE.values():
+        e.unpersist()
+    graph._EDGE_CACHE.clear()
+    graph._MATERIALIZED.clear()
+    text._BPE_CACHE.clear()
+    text._SIG_STORE.clear()
+    core._CSV_EXPORT_CACHE.clear()
+    core._FMT_EXPORT_CACHE.clear()
+    core._DIRTY_CACHE.clear()
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

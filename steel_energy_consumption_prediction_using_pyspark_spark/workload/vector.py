@@ -1435,6 +1435,9 @@ def materialized_ann_index(spark: SparkSession, sf_dir: str) -> str:
         return base
     with key_lock("ann_disk_index", key):
         if not _built():
+            # Invalidate before the write so no lock-free reader
+            # validates a half-written index (util.key_lock docstring).
+            _DISK_INDEX.discard(key)
             _write_ann_index(spark, sf_dir, base)
             _DISK_INDEX.add(key)
     return base

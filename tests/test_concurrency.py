@@ -24,6 +24,7 @@ import threading
 from concurrent.futures import ThreadPoolExecutor
 
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+    clear_session_caches,
     key_lock,
     once_per_key,
 )
@@ -33,17 +34,25 @@ SF = "/root/testdata/sf0.001"
 # Queries chosen to collide on every shared cache family:
 #   ann_ivf + ivf_probe + semantic_dedup  → _IVF_CACHE (incl. the
 #       cold-rebuild swap racing two probes)
-#   bpe_train + bpe_encode + token_count_bpe → _BPE_CACHE
+#   bpe_encode + token_count_bpe          → _BPE_CACHE
 #   csv_ingest / orc_ingest / jsonl_ingest → .scratch export caches
 #   bfs_hops + ppr                        → _EDGE_CACHE
 #   groupby_count / window_ranks          → cache-free controls
+# Duplicated names are TWO CLIENTS issuing the identical query — the
+# only way a single-key cache (one export dir per key) actually races
+# itself: both threads miss the fast path and contend for the same
+# key_lock while the first write is in flight.
 CONCURRENT_QUERIES = [
     "ann_ivf",
     "ivf_probe",
+    "ivf_probe",
     "semantic_dedup",
+    "bpe_encode",
     "bpe_encode",
     "token_count_bpe",
     "csv_ingest",
+    "csv_ingest",
+    "orc_ingest",
     "orc_ingest",
     "jsonl_ingest",
     "bfs_hops",
@@ -116,40 +125,28 @@ def test_concurrent_queries_match_sequential(spark):
     edge table, BPE merges, scratch exports) races for real."""
     from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
         all_queries,
-        graph,
-        text,
-        vector,
     )
 
     qs = all_queries()
 
-    def clear_caches():
-        for idx in vector._IVF_CACHE.values():
-            idx.unpersist()
-        vector._IVF_CACHE.clear()
-        for _, enc in vector._PQ_CACHE.values():
-            enc.unpersist()
-        vector._PQ_CACHE.clear()
-        for e in graph._EDGE_CACHE.values():
-            e.unpersist()
-        graph._EDGE_CACHE.clear()
-        text._BPE_CACHE.clear()
-
-    clear_caches()
+    clear_session_caches()
     gate = threading.Barrier(len(CONCURRENT_QUERIES))
 
     def run(name: str):
-        gate.wait(timeout=120)
-        return name, _rows_sorted(qs[name](spark, SF))
+        gate.wait(timeout=180)
+        return _rows_sorted(qs[name](spark, SF))
 
     with ThreadPoolExecutor(max_workers=len(CONCURRENT_QUERIES)) as pool:
-        concurrent = dict(pool.map(run, CONCURRENT_QUERIES))
+        concurrent = list(pool.map(run, CONCURRENT_QUERIES))
 
     # Sequential ground truth AFTER another cache clear, so both runs
     # pay the same cold builds and neither depends on the other's
-    # session state.
-    clear_caches()
-    for name in CONCURRENT_QUERIES:
-        assert concurrent[name] == _rows_sorted(qs[name](spark, SF)), (
+    # session state. Duplicate clients must ALSO agree with each other
+    # (same list compare, run once per instance).
+    clear_session_caches()
+    sequential = {n: _rows_sorted(qs[n](spark, SF))
+                  for n in dict.fromkeys(CONCURRENT_QUERIES)}
+    for name, got in zip(CONCURRENT_QUERIES, concurrent):
+        assert got == sequential[name], (
             f"{name}: concurrent result differs from sequential"
         )

@@ -47,22 +47,14 @@ QUERIES = [
 
 
 def _clear_caches() -> None:
-    from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
-        graph,
-        text,
-        vector,
+    # EVERY session cache, exports included — an asymmetric clear
+    # would gift the second phase warm .scratch exports and bias the
+    # published speedup (review finding, round 6 session 3).
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+        clear_session_caches,
     )
 
-    for idx in vector._IVF_CACHE.values():
-        idx.unpersist()
-    vector._IVF_CACHE.clear()
-    for _, enc in vector._PQ_CACHE.values():
-        enc.unpersist()
-    vector._PQ_CACHE.clear()
-    for e in graph._EDGE_CACHE.values():
-        e.unpersist()
-    graph._EDGE_CACHE.clear()
-    text._BPE_CACHE.clear()
+    clear_session_caches()
 
 
 def main() -> None:

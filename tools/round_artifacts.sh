@@ -2,7 +2,10 @@
 # Regenerate every per-round artifact on the current tree, in order,
 # stopping at the first failure. Run from the repo root:
 #   bash tools/round_artifacts.sh 2>&1 | tee .scratch/round_artifacts.log
-set -e
+# pipefail is load-bearing: every stage pipes through `tail`, which
+# would otherwise swallow the stage's exit code and let set -e sail
+# past a failing gate into regenerating artifacts from a broken tree.
+set -eo pipefail
 cd "$(dirname "$0")/.."
 
 echo "=== [1/9] pytest ==="
