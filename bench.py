@@ -267,7 +267,56 @@ BENCH_QUERIES = [
     "jsonl_corrupt",
     # incremental index append: base-trained quantizer, delta assigned
     "ann_index_update",
+    # staleness monitor: recall + list-crowding at 0/25/50% drifted
+    # delta fractions against the base-trained index (round 7)
+    "ann_index_staleness",
+    # fitted-PipelineModel save→load→params+predict roundtrip (S7)
+    "pipeline_roundtrip",
 ]
+
+
+# Box-speed calibration (round 7, VERDICT r6 #1): a CONSTANT pinned
+# micro-workload run before the suite, so every bench artifact
+# self-reports how fast the box was during the run and cross-round
+# ratios can be box-normalized without worktree A/B archaeology
+# (the BENCH_CONTROL_r06 lesson: a transient slow regime inflated the
+# committed numbers 1.4× and couldn't be seen from the artifact
+# itself). Fixed input (spark.range — no fixture data), fixed
+# partitioning (32, independent of SPARK_GRAFT_CPUS), exercising the
+# three cost centers bench queries live in: hash aggregation, a
+# shuffle exchange, and a sort. BOX_CALIBRATION_REF_SEC is the median
+# measured on the reference box in a verified-quiet window; the
+# emitted box_factor = median_probe_sec / REF (1.0 = reference speed,
+# >1 = slow regime — scale per-query comparisons accordingly).
+# Median of 7 quiet-window reps on the round-7 reference box
+# (runs 0.64–0.81 s with one 2.2 s GC outlier; load avg < 2).
+BOX_CALIBRATION_REF_SEC = 0.78
+
+
+def calibration_probe(spark, reps: int = 3) -> dict:
+    import time as _time
+
+    def once() -> float:
+        t0 = _time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 4999 AS k", "id")
+            .groupBy("k")
+            .sum("id")
+            .orderBy("k")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return _time.perf_counter() - t0
+
+    runs = sorted(once() for _ in range(reps))
+    med = runs[len(runs) // 2]
+    return {
+        "calibration_sec": round(med, 3),
+        "calibration_runs": [round(r, 3) for r in runs],
+        "box_factor": round(med / BOX_CALIBRATION_REF_SEC, 3),
+    }
 
 
 def main() -> None:
@@ -305,6 +354,10 @@ def main() -> None:
     spark.range(100).selectExpr(
         "aggregate(sequence(1, 10), 0L, (a, x) -> a + x) s"
     ).agg({"s": "sum"}).collect()
+
+    # Box-speed self-report: AFTER warm-up (so the probe measures the
+    # box, not first-call JIT), BEFORE the suite.
+    calib = calibration_probe(spark)
 
     def run_once(fn) -> float:
         t0 = time.perf_counter()
@@ -354,6 +407,10 @@ def main() -> None:
         "signature_store_build", "incremental_dedup",
         # cold base-index build + delta assign each call; once is the signal
         "ann_index_update",
+        # three drift scenarios, each with its own brute-force truth
+        "ann_index_staleness",
+        # MLlib fit + MLWriter save/load roundtrip; once is the signal
+        "pipeline_roundtrip",
     }
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
@@ -390,6 +447,8 @@ def main() -> None:
         "queries": {k: timings[k] for k in headline if k in timings},
         "sf": float(sf),
         "n_queries": len(timings),
+        "box_factor": calib["box_factor"],
+        "calibration_sec": calib["calibration_sec"],
     }
     # Like-for-like comparability in the artifact itself (VERDICT r5
     # #6): the headline total grows with COVERAGE every round, so the
@@ -422,7 +481,12 @@ def main() -> None:
         # inputs: sf001 / sf1).
         with open(detail_path, "w") as fh:
             json.dump(
-                {"summary": summary, "queries": timings, "detail": detail},
+                {
+                    "summary": summary,
+                    "calibration": calib,
+                    "queries": timings,
+                    "detail": detail,
+                },
                 fh,
                 indent=1,
             )

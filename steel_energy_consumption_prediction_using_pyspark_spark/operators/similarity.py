@@ -494,7 +494,13 @@ def ivf_assign(
     incremental-ingest path (round 6): a daily embedding batch joins
     the serving index without retraining the coarse quantizer, exactly
     how IVF systems operate (the quantizer is retrained on drift
-    schedules, not per batch). Map-only argmax-cosine projection
+    schedules, not per batch). WHEN to retrain is answered by the
+    staleness monitor (workload/vector.py::q_ann_index_staleness,
+    round 7): rebuild when the max inverted-list share exceeds
+    STALENESS_CROWD_CEIL (3.5×) its balanced share — drifted ingest
+    crowds the lists nearest the drift direction — or when
+    brute-force-relative recall@5 drops below STALENESS_REBUILD_FLOOR
+    (0.3). Map-only argmax-cosine projection
     against the index's centroids (driver-side doubles; collected from
     centroids_df — 16 bounded rows — when the index came from disk);
     returns (neighbor_id, _cv, _list) rows union-compatible with

@@ -149,6 +149,7 @@ def stream_dedup(
     events: DataFrame,
     keys: list[str] | None = None,
     watermark: str = "2 hours",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Streaming exact dedup: dropDuplicates on the key within the
     watermark horizon. On a stream, state holds one entry per key seen
@@ -156,13 +157,26 @@ def stream_dedup(
     ingest-dedup primitive a training-data firehose needs (re-delivered
     events, at-least-once sources). On batch, semantics are plain
     dropDuplicates and match a groupBy-key count of 1 row per key.
-    The event-time column must be in `keys`' companion watermark for
-    eviction to engage (Spark requires withWatermark before
-    dropDuplicates on streams for bounded state).
+
+    On streams the EVENT-TIME column is appended to the dedup keys:
+    Spark only evicts dropDuplicates state when the watermark column
+    is part of the key subset — without it, state grows one entry per
+    key FOREVER (caught live by tests/test_streaming_soak.py in round
+    7: a 50-batch rate-source soak showed a linear state curve, ~45k
+    rows and climbing, where the fixed operator plateaus at the
+    watermark horizon). Semantics are unchanged for the operator's
+    contract — at-least-once REDELIVERY carries the original event
+    time, so (key, ts) collapses exactly the redelivered copies.
+    Duplicates whose retry rewrites the timestamp are
+    :func:`stream_dedup_within_watermark`'s job (last-sighting
+    eviction, key-only state).
     """
     keys = keys or ["event_id"]
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
-    return src.dropDuplicates(keys)
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    if ts_col not in keys:
+        keys = [*keys, ts_col]
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
 def stream_dedup_within_watermark(

@@ -27,7 +27,10 @@ from steel_energy_consumption_prediction_using_pyspark_spark.operators.relationa
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
     T,
     exact_pct_sql,
+    fs_key_lock,
+    is_published,
     key_lock,
+    publish_dir,
     register,
     ts_str,
 )
@@ -59,15 +62,15 @@ def _orders_csv(spark: SparkSession, sf_dir: str) -> str:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _CSV_EXPORT_CACHE.get(key)
-    if path is not None and os.path.isdir(path):
+    if path is not None and is_published(path):
         return path
     with key_lock("csv_export", key):
         path = _CSV_EXPORT_CACHE.get(key)
-        if path is not None and os.path.isdir(path):
+        if path is not None and is_published(path):
             return path
         # Invalidate BEFORE the overwrite-write: a stale entry (dir
         # deleted externally, now being recreated) would let lock-free
-        # fast-path readers isdir-validate a half-written directory.
+        # fast-path readers validate a half-written directory.
         _CSV_EXPORT_CACHE.pop(key, None)
         repo_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -76,20 +79,26 @@ def _orders_csv(spark: SparkSession, sf_dir: str) -> str:
             repo_root, ".scratch",
             "csv_orders_" + os.path.basename(sf_dir.rstrip("/")),
         )
+
         # Reference-style unsafe headers (dots + parens,
         # SteelPred.py:139-146) so the normalization path is genuinely
         # exercised by the read-back.
-        (
-            T(spark, sf_dir, "orders")
-            .select(
-                F.col("o_orderkey").alias("Order_Key"),
-                F.col("o_orderpriority").alias("Order.Priority"),
-                F.col("o_totalprice").alias("Total(Price)"),
+        def _build(tmp: str) -> None:
+            (
+                T(spark, sf_dir, "orders")
+                .select(
+                    F.col("o_orderkey").alias("Order_Key"),
+                    F.col("o_orderpriority").alias("Order.Priority"),
+                    F.col("o_totalprice").alias("Total(Price)"),
+                )
+                .write.mode("overwrite")
+                .option("header", True)
+                .csv(tmp)
             )
-            .write.mode("overwrite")
-            .option("header", True)
-            .csv(path)
-        )
+
+        # Cross-process single build + atomic publish (VERDICT r6 #2).
+        with fs_key_lock("csv_export", os.path.basename(path)):
+            publish_dir(path, _build, app_id=key[0])
         _CSV_EXPORT_CACHE[key] = path
         return path
 
@@ -134,11 +143,11 @@ def _orders_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
 
     key = (spark.sparkContext.applicationId, sf_dir, fmt)
     path = _FMT_EXPORT_CACHE.get(key)
-    if path is not None and os.path.isdir(path):
+    if path is not None and is_published(path):
         return path
     with key_lock("fmt_export", key):
         path = _FMT_EXPORT_CACHE.get(key)
-        if path is not None and os.path.isdir(path):
+        if path is not None and is_published(path):
             return path
         # Invalidate before the write — see _orders_csv.
         _FMT_EXPORT_CACHE.pop(key, None)
@@ -150,13 +159,19 @@ def _orders_export(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             ".scratch",
             f"{fmt}_orders_" + os.path.basename(sf_dir.rstrip("/")),
         )
-        (
-            T(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_orderpriority", "o_totalprice")
-            .write.mode("overwrite")
-            .format(fmt)
-            .save(path)
-        )
+
+        def _build(tmp: str) -> None:
+            (
+                T(spark, sf_dir, "orders")
+                .select("o_orderkey", "o_orderpriority", "o_totalprice")
+                .write.mode("overwrite")
+                .format(fmt)
+                .save(tmp)
+            )
+
+        # Cross-process single build + atomic publish (VERDICT r6 #2).
+        with fs_key_lock("fmt_export", os.path.basename(path)):
+            publish_dir(path, _build, app_id=key[0])
         _FMT_EXPORT_CACHE[key] = path
         return path
 
@@ -230,30 +245,36 @@ def _dirty_export(spark: SparkSession, sf_dir: str, kind: str) -> str:
 
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     path = _DIRTY_CACHE.get(key)
-    if path is not None and os.path.isdir(path):
+    if path is not None and is_published(path):
         return path
     with key_lock("dirty_export", key):
         path = _DIRTY_CACHE.get(key)
-        if path is not None and os.path.isdir(path):
+        if path is not None and is_published(path):
             return path
         # Invalidate before the write — see _orders_csv.
         _DIRTY_CACHE.pop(key, None)
-        return _dirty_export_build(spark, sf_dir, kind, key)
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        path = os.path.join(
+            repo_root,
+            ".scratch",
+            f"{kind}_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        )
+        # Cross-process single build + atomic publish (VERDICT r6 #2).
+        with fs_key_lock("dirty_export", os.path.basename(path)):
+            publish_dir(
+                path,
+                lambda tmp: _dirty_export_build(spark, sf_dir, kind, tmp),
+                app_id=key[0],
+            )
+        _DIRTY_CACHE[key] = path
+        return path
 
 
 def _dirty_export_build(
-    spark: SparkSession, sf_dir: str, kind: str, key: tuple
-) -> str:
-    import os
-
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    path = os.path.join(
-        repo_root,
-        ".scratch",
-        f"{kind}_orders_" + os.path.basename(sf_dir.rstrip("/")),
-    )
+    spark: SparkSession, sf_dir: str, kind: str, path: str
+) -> None:
     o = T(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("p"),
@@ -278,8 +299,6 @@ def _dirty_export_build(
             .otherwise(F.concat(head, vs, F.lit("}")))
         )
     o.select(line.alias("value")).write.mode("overwrite").text(path)
-    _DIRTY_CACHE[key] = path
-    return path
 
 
 _DIRTY_SCHEMA = "k long, p string, v double, _corrupt string"

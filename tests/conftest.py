@@ -9,6 +9,12 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running subprocess/soak tests"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     from steel_energy_consumption_prediction_using_pyspark_spark.session import (

