@@ -2,7 +2,7 @@
 # thin wrapper over a tools/ script so a judge can run the identical
 # command directly.
 
-ROUND ?= 6
+ROUND ?= 7
 SEED ?= $(ROUND)
 SF ?= /root/testdata/sf0.01
 
@@ -26,4 +26,5 @@ bench:
 # (inputs: bench_detail files produced by `SPARK_GRAFT_SF_DIR=... make bench`)
 scale-ladder:
 	python tools/scale_ladder.py --out $(shell printf 'SCALE_LADDER_r%02d.json' $(ROUND)) \
-	    bench_detail_sf001.json bench_detail.json bench_detail_sf1.json
+	    bench_detail_sf001.json bench_detail.json bench_detail_sf1.json \
+	    bench_detail_sf10.json

@@ -333,6 +333,16 @@ def main() -> None:
     spark = get_session("bench")
     qs = all_queries()
 
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2,... : bench a subset (round 7 — the
+    # sf10 dedup/similarity/text decade rung runs only the families
+    # whose fixtures that SF grows; scale_ladder compares shared
+    # queries, so a subset detail file ladders cleanly).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    bench_queries = BENCH_QUERIES
+    if only:
+        keep = {q.strip() for q in only.split(",") if q.strip()}
+        bench_queries = [q for q in BENCH_QUERIES if q in keep]
+
     # JVM/codegen warm-up so the first queries don't pay one-time JIT /
     # expression-compile cost that has nothing to do with their plans.
     # Tiny in-memory inputs only (never the fixtures): each statement
@@ -415,7 +425,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         fn = qs[name]
         n = 1 if name in NO_RERUN else reps
         runs = sorted(run_once(fn) for _ in range(n))

@@ -37,14 +37,25 @@ def _refresh_hint(registry: set, hint_path: str, rnd: int) -> dict:
     both — the dark-matter count that must visibly converge to zero
     across rounds (VERDICT r5 #8)."""
     import glob
+    import re
+
+    def _round_of(path: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else 0
 
     sampled: set = set()
+    last_verified: dict[str, int] = {}
     for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         try:
             with open(f) as fh:
                 sheet = json.load(fh)
             if isinstance(sheet, dict):
-                sampled |= set(sheet) & registry
+                hit = set(sheet) & registry
+                sampled |= hit
+                for q in hit:
+                    last_verified[q] = max(
+                        last_verified.get(q, 0), _round_of(f)
+                    )
         except (OSError, ValueError):
             continue
     certified: set = set()
@@ -52,7 +63,10 @@ def _refresh_hint(registry: set, hint_path: str, rnd: int) -> dict:
         try:
             with open(f) as fh:
                 art = json.load(fh)
-            certified |= set(art.get("sample", [])) & registry
+            hit = set(art.get("sample", [])) & registry
+            certified |= hit
+            for q in hit:
+                last_verified[q] = max(last_verified.get(q, 0), _round_of(f))
         except (OSError, ValueError):
             continue
     hint = {
@@ -72,6 +86,16 @@ def _refresh_hint(registry: set, hint_path: str, rnd: int) -> dict:
         "ever_certified": sorted(certified),
         "never_driver_sampled": sorted(registry - sampled),
         "never_touched": sorted(registry - sampled - certified),
+        # Certification freshness (round 7, VERDICT r6 #8): a
+        # certification stamps the TREE as of its run, so after
+        # refactors the oldest stamps go stale. last_verified_round
+        # records, per query, the newest round whose driver sheet or
+        # certify batch touched it; oldest_verified_round is the
+        # freshness floor the age-based re-certification pool drains.
+        "last_verified_round": dict(sorted(last_verified.items())),
+        "oldest_verified_round": (
+            min(last_verified.values()) if last_verified else None
+        ),
     }
     with open(hint_path, "w") as fh:
         json.dump(hint, fh, indent=1, sort_keys=True)
@@ -112,10 +136,29 @@ def main() -> int:
     sample = sorted(rng.sample(never_touched, min(args.n, len(never_touched))))
     if len(sample) < args.n and backfill:
         sample += rng.sample(backfill, min(args.n - len(sample), len(backfill)))
+    # Age-based re-certification (round 7, VERDICT r6 #8): with the
+    # dark matter at zero, keep certification FRESH under refactors by
+    # topping the sample up with the queries whose last verification
+    # (driver sheet or certify batch) is OLDEST — grouped by that
+    # round ascending, seeded shuffle within each group so repeated
+    # same-seed runs are reproducible.
+    if len(sample) < args.n:
+        last = hint.get("last_verified_round", {})
+        pool = [q for q in sorted(registry - set(sample))]
+        by_age: dict[int, list[str]] = {}
+        for q in pool:
+            by_age.setdefault(last.get(q, 0), []).append(q)
+        aged: list[str] = []
+        for rnd_key in sorted(by_age):
+            grp = sorted(by_age[rnd_key])
+            rng.shuffle(grp)
+            aged.extend(grp)
+        sample += aged[: args.n - len(sample)]
     sample = sorted(set(sample) | (set(args.extra) & registry))
     print(f"certifying {len(sample)} queries (seed={seed}) from a pool of "
           f"{len(never_touched)} never-touched "
-          f"(+{len(backfill)} never-driver-sampled backfill)")
+          f"(+{len(backfill)} never-driver-sampled backfill, "
+          f"then oldest-certified first)")
 
     out_path = os.path.join(REPO, f"CERTIFY_r{args.round:02d}{args.part}.json")
     env = dict(os.environ, CHECK_JSON_OUT=out_path + ".sheet")

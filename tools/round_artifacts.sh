@@ -8,27 +8,27 @@
 set -eo pipefail
 cd "$(dirname "$0")/.."
 
-echo "=== [1/9] pytest ==="
+echo "=== [1/10] pytest ==="
 python -m pytest tests/ -x -q 2>&1 | tail -2
 
-echo "=== [2/9] sf1 fixture (regenerate if absent) ==="
+echo "=== [2/10] sf1 fixture (regenerate if absent) ==="
 if [ ! -d .testdata/sf1 ]; then
   python tools/gen_sf.py /root/testdata/sf0.1 .testdata/sf1 10 2
 fi
 
-echo "=== [3/9] full gate sf0.001 ==="
+echo "=== [3/10] full gate sf0.001 ==="
 CHECK_JSON_OUT=CORRECTNESS_FULL_sf0.001.json \
   python tools/check_correctness.py /root/testdata/sf0.001 2>/dev/null | tail -2
 
-echo "=== [4/9] full gate sf0.01 ==="
+echo "=== [4/10] full gate sf0.01 ==="
 CHECK_JSON_OUT=CORRECTNESS_FULL_sf0.01.json \
   python tools/check_correctness.py /root/testdata/sf0.01 2>/dev/null | tail -2
 
-echo "=== [5/9] full gate sf0.1 ==="
+echo "=== [5/10] full gate sf0.1 ==="
 CHECK_JSON_OUT=CORRECTNESS_FULL_sf0.1.json \
   python tools/check_correctness.py /root/testdata/sf0.1 2>/dev/null | tail -2
 
-echo "=== [6/9] full gate sf1 ==="
+echo "=== [6/10] full gate sf1 ==="
 CHECK_JSON_OUT=CORRECTNESS_FULL_sf1.json \
   python tools/check_correctness.py .testdata/sf1 2>/dev/null | tail -2
 
