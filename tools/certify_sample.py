@@ -129,24 +129,22 @@ def main() -> int:
     # driver-sampled AND never certified by a previous CERTIFY round;
     # top up from the never-driver-sampled remainder once exhausted.
     never_touched = sorted(set(hint["never_touched"]) & registry)
-    backfill = sorted(
-        (set(hint["never_driver_sampled"]) & registry) - set(never_touched)
-    )
     rng = random.Random(seed)
     sample = sorted(rng.sample(never_touched, min(args.n, len(never_touched))))
-    if len(sample) < args.n and backfill:
-        sample += rng.sample(backfill, min(args.n - len(sample), len(backfill)))
     # Age-based re-certification (round 7, VERDICT r6 #8): with the
     # dark matter at zero, keep certification FRESH under refactors by
     # topping the sample up with the queries whose last verification
     # (driver sheet or certify batch) is OLDEST — grouped by that
     # round ascending, seeded shuffle within each group so repeated
-    # same-seed runs are reproducible.
+    # same-seed runs are reproducible. This single age-ordered pool
+    # subsumes the old never-driver-sampled backfill (those queries'
+    # last_verified is simply their last certify round) — the r7 first
+    # cut kept the backfill step ahead of the age ordering, which let
+    # round-1-verified queries sit stale behind a large backfill pool.
     if len(sample) < args.n:
         last = hint.get("last_verified_round", {})
-        pool = [q for q in sorted(registry - set(sample))]
         by_age: dict[int, list[str]] = {}
-        for q in pool:
+        for q in sorted(registry - set(sample)):
             by_age.setdefault(last.get(q, 0), []).append(q)
         aged: list[str] = []
         for rnd_key in sorted(by_age):
@@ -156,9 +154,7 @@ def main() -> int:
         sample += aged[: args.n - len(sample)]
     sample = sorted(set(sample) | (set(args.extra) & registry))
     print(f"certifying {len(sample)} queries (seed={seed}) from a pool of "
-          f"{len(never_touched)} never-touched "
-          f"(+{len(backfill)} never-driver-sampled backfill, "
-          f"then oldest-certified first)")
+          f"{len(never_touched)} never-touched, then oldest-verified first")
 
     out_path = os.path.join(REPO, f"CERTIFY_r{args.round:02d}{args.part}.json")
     env = dict(os.environ, CHECK_JSON_OUT=out_path + ".sheet")
@@ -191,7 +187,9 @@ def main() -> int:
                 "seed": seed,
                 "n_requested": args.n,
                 "pool_never_touched": len(never_touched),
-                "pool_backfill": len(backfill),
+                "oldest_verified_round_before": hint.get(
+                    "oldest_verified_round"
+                ),
                 "sample": sample,
                 **sheet,
             },
