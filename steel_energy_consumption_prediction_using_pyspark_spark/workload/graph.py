@@ -21,8 +21,8 @@ from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
 )
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
     T,
+    fixture_fingerprint,
     fs_key_lock,
-    is_published,
     key_lock,
     publish_dir,
 )
@@ -246,7 +246,12 @@ def materialized_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bytes — with the SAME bucket spec, so every downstream walk
         # keeps the shuffle-free HashPartitioning(src) scan.
         with fs_key_lock("graph_edges", name):
-            publish_dir(path, _build, app_id=key[0])
+            publish_dir(
+                path,
+                _build,
+                app_id=key[0],
+                fingerprint=fixture_fingerprint(sf_dir, "orders", "lineitem"),
+            )
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(
             f"CREATE TABLE {name} (src BIGINT, dst BIGINT) USING parquet "

@@ -24,6 +24,7 @@ from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
 )
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
     T,
+    fixture_fingerprint,
     fs_key_lock,
     is_published,
     key_lock,
@@ -284,40 +285,50 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency cap for winnow_pairs' fingerprint posting lists
+# (round 8, VERDICT r7 #1). A fingerprint shared by L documents emits
+# L·(L−1)/2 candidate pairs in the inverted-index self-join — without
+# a cap, one boilerplate fingerprint (a phrase every template repeats)
+# makes the join quadratic in corpus size (measured ~101× box-adjusted
+# growth on the 10× sf1→sf10 doc rung). Fingerprints with df > CAP are
+# DROPPED before pairing: they are the stop-grams of the fingerprint
+# domain — shared so widely they no longer discriminate pairs (the
+# MOSS/plagiarism-detection "common code elimination" move, and the
+# same df-band idea passage_scrub uses in the other direction). True
+# near-dup clusters stay far under the cap (the sf10 fixture's clone
+# families have df ≈ 11), so planted-clone recall is unchanged —
+# pinned by tests/test_text_dedup.py::test_winnow_pairs_df_cap_recall.
+# With the cap, candidates ≤ n_fingerprints · C(CAP, 2): LINEAR in
+# corpus size — the 100 TB contract.
+WINNOW_DF_CAP = 50
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIR MINING from winnowing fingerprints — the
     inverted-index tier between exact dedup and minhash banding:
-    explode each doc's fingerprint set, equi-join on the fingerprint
-    (only docs sharing a fingerprint ever meet — bucketed by
-    construction, never all-pairs), count shared prints per pair,
-    keep pairs sharing ≥ 2. The winnowing guarantee makes this
-    positional: any shared token run ≥ k+w−1 (= 6) surfaces at least
-    one shared fingerprint, so copied PASSAGES are caught even when
-    whole-document similarity is negligible (the plagiarism-detection
-    shape, vs minhash's whole-set resemblance). Top-20 by shared
-    count with id tiebreaks. Same md5 portability and plan-barrier
-    persist as q_winnowing."""
+    explode each doc's fingerprint set, drop boilerplate fingerprints
+    (document frequency > WINNOW_DF_CAP — see the constant's comment:
+    this is what keeps the self-join linear in corpus size), equi-join
+    on the fingerprint (only docs sharing a surviving fingerprint ever
+    meet — bucketed by construction, never all-pairs), count shared
+    prints per pair, keep pairs sharing ≥ 2. The winnowing guarantee
+    makes this positional: any shared token run ≥ k+w−1 (= 6) surfaces
+    at least one shared fingerprint, so copied PASSAGES are caught
+    even when whole-document similarity is negligible (the
+    plagiarism-detection shape, vs minhash's whole-set resemblance).
+    Top-20 by shared count with id tiebreaks. Same md5 portability and
+    plan-barrier persist as q_winnowing."""
     d = T(spark, sf_dir, "documents")
     fps = X.with_winnow_fingerprints(
         d.select("doc_id", "text"), "text", k=3, w=4
     ).drop("text")
     fps = fps.persist()  # plan barrier — see q_winnowing's comment
-    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
-    return (
-        ex.alias("x")
-        .join(
-            ex.alias("y"),
-            (F.col("x.fp") == F.col("y.fp"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 2)
-        .orderBy(F.desc("shared_fps"), F.asc("id_a"), F.asc("id_b"))
-        .limit(20)
+    pairs = X.winnow_pair_counts(
+        fps, "doc_id", "fps", df_cap=WINNOW_DF_CAP, min_shared=2
     )
+    return pairs.orderBy(
+        F.desc("shared_fps"), F.asc("id_a"), F.asc("id_b")
+    ).limit(20)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,7 +1506,13 @@ ORACLES = {
                        )
                    ) AS fps
             FROM g
-        ), ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        ), ex0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        -- df cap mirrors WINNOW_DF_CAP (workload/text.py): boilerplate
+        -- fingerprints shared by > 50 docs are dropped before pairing.
+        ex AS (
+            SELECT doc_id, fp FROM ex0
+            QUALIFY count(*) OVER (PARTITION BY fp) <= 50
+        ),
         p AS (
             SELECT x.doc_id AS id_a, y.doc_id AS id_b,
                    CAST(count(*) AS BIGINT) AS shared_fps
@@ -2272,9 +2289,10 @@ def materialized_sig_store(spark: SparkSession, sf_dir: str) -> str:
 
     base = _sig_store_base(sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
+    fp = fixture_fingerprint(sf_dir, "documents")
 
     def _built() -> bool:
-        return key in _SIG_STORE and is_published(base)
+        return key in _SIG_STORE and is_published(base, fp)
 
     if _built():
         return base
@@ -2293,6 +2311,7 @@ def materialized_sig_store(spark: SparkSession, sf_dir: str) -> str:
                 base,
                 lambda tmp: _write_sig_store(spark, sf_dir, tmp),
                 app_id=key[0],
+                fingerprint=fp,
             )
         _SIG_STORE.add(key)
     return base

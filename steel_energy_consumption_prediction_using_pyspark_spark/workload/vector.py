@@ -23,6 +23,7 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload.util impor
     KMEANS_ITERS,
     KMEANS_MAX_TRAIN,
     T,
+    fixture_fingerprint,
     fs_key_lock,
     is_published,
     key_lock,
@@ -1449,9 +1450,10 @@ def materialized_ann_index(spark: SparkSession, sf_dir: str) -> str:
 
     base = _index_base(sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
+    fp = fixture_fingerprint(sf_dir, "embeddings")
 
     def _built() -> bool:
-        return key in _DISK_INDEX and is_published(base)
+        return key in _DISK_INDEX and is_published(base, fp)
 
     if _built():
         return base
@@ -1465,6 +1467,7 @@ def materialized_ann_index(spark: SparkSession, sf_dir: str) -> str:
                     base,
                     lambda tmp: _write_ann_index(spark, sf_dir, tmp),
                     app_id=key[0],
+                    fingerprint=fp,
                 )
             _DISK_INDEX.add(key)
     return base
@@ -1802,7 +1805,24 @@ def q_ann_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the full unrolled quantizer chain trained on the base
     slice only, with the drifted delta assigned to the EXISTING
     lists — a retrain-on-delta, a dropped delta vector, a wrong drift,
-    or a drifted recall/crowd value all break the hash."""
+    or a drifted recall/crowd value all break the hash.
+
+    Amortization (round 8, VERDICT r7 #7): the base slice is
+    IDENTICAL in every fraction's serving set, so its exact scores
+    are computed ONCE — per-query base top-k is persisted and each
+    fraction's brute-force truth is the re-ranked union of that
+    shared table with the fraction's own delta top-k (lossless:
+    every global winner is a side-local winner under the same
+    (cos desc, id asc) order — the ann_recall single-statement
+    pattern; UNROUNDED doubles on both sides, so the merged ranking
+    is bit-identical to a full-set scan). The assigned table is
+    persisted too, so the probe and crowd branches of all three
+    fractions scan the quantizer projection once instead of six
+    times."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.similarity import (
+        cosine as _cosine,
+    )
+
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1811,7 +1831,35 @@ def q_ann_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= N_QUERY) & (F.pmod("vec_id", F.lit(4)) >= 2)
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     index = S.ivf_build(base, n_centroids=_N_LISTS, seed=42, persist=False)
+    index = S.IvfIndex(
+        index.assigned.persist(),
+        index.centroids_df,
+        centroids=index.centroids,
+    )
     flr6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+
+    q_bcast = F.broadcast(
+        queries.select(
+            "query_id", F.col("embedding").cast("array<double>").alias("_qv")
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cs"), F.asc("neighbor_id")
+    )
+
+    def _side_topk(corpus: DataFrame) -> DataFrame:
+        scored = corpus.crossJoin(q_bcast).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("_qv"), F.col("embedding")).alias("_cs"),
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(rank_w))
+            .filter(F.col("_r") <= TOP_K)
+            .drop("_r")
+        )
+
+    base_top = _side_topk(base).persist()  # shared across all fractions
 
     out = None
     for pct, mods in STALENESS_FRACTIONS:
@@ -1832,20 +1880,23 @@ def q_ann_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 index.centroids_df,
                 centroids=index.centroids,
             )
-            serving = base.unionByName(delta)
+            truth_cand = base_top.unionByName(_side_topk(delta))
             n_delta = delta.agg(
                 F.count(F.lit(1)).cast("long").alias("n_delta")
             )
         else:
-            serving_idx, serving = index, base
+            serving_idx = index
+            truth_cand = base_top
             n_delta = spark.range(1).select(
                 F.lit(0).cast("long").alias("n_delta")
             )
         approx = S.ivf_probe(
             serving_idx, queries, k=TOP_K, n_probe=4
         ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
-        truth = S.brute_force_topk(serving, queries, k=TOP_K).select(
-            "query_id", "neighbor_id"
+        truth = (
+            truth_cand.withColumn("_r", F.row_number().over(rank_w))
+            .filter(F.col("_r") <= TOP_K)
+            .select("query_id", "neighbor_id")
         )
         rec = truth.join(approx, ["query_id", "neighbor_id"], "left").agg(
             F.count(F.lit(1)).cast("long").alias("n_truth"),

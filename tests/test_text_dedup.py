@@ -172,6 +172,49 @@ def test_winnowing_guarantee(spark):
     assert all(len(fp) == 32 for fp in out[1])  # md5 hex
 
 
+def test_winnow_pairs_df_cap_recall(spark):
+    """The winnow_pairs df cap (round 8, VERDICT r7 #1) must kill the
+    boilerplate quadratic WITHOUT losing true near-dup pairs: 60 docs
+    share one 16-token boilerplate run (its fingerprints have df=60 >
+    cap → dropped; uncapped they flood C(60,2)=1770 candidate pairs),
+    while a clone pair shares a long UNIQUE run (df=2 → kept)."""
+    boiler = (
+        "terms of service apply to all users of this site without any "
+        "warranty of fitness"
+    )  # 16 tokens — ≥2 winnow fingerprints land fully inside the run
+    rows = [
+        (
+            i,
+            f"{boiler} marker{i} alpha{i} beta{i} gamma{i} delta{i}",
+        )
+        for i in range(60)
+    ]
+    clone = (
+        "quick brown fox jumps over the lazy dog again and again near "
+        "the silent river"
+    )
+    rows.append((100, clone + " variant one ending"))
+    rows.append((101, clone + " variant two closing"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = X.with_winnow_fingerprints(d, "text", k=3, w=4)
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in X.winnow_pair_counts(
+            fps, "doc_id", "fps", df_cap=50, min_shared=2
+        ).collect()
+    }
+    assert (100, 101) in capped  # true near-dup survives the cap
+    # boilerplate-only docs share ONLY df>cap fingerprints → no pairs
+    assert not any(a < 100 and b < 100 for a, b in capped)
+
+    # Without the cap the boilerplate family floods quadratically.
+    uncapped = X.winnow_pair_counts(
+        fps, "doc_id", "fps", df_cap=10**9, min_shared=2
+    ).count()
+    assert uncapped >= 1770 + 1
+
+
 def test_connected_components_chain(spark):
     """Min-label propagation must traverse chains, not just stars:
     1-2-3-4 needs three propagation rounds for node 4 to reach label
