@@ -366,13 +366,51 @@ def main() -> None:
     ).agg({"s": "sum"}).collect()
 
     # Box-speed self-report: AFTER warm-up (so the probe measures the
-    # box, not first-call JIT), BEFORE the suite.
+    # box, not first-call JIT), BEFORE the suite — then re-probed
+    # mid-suite and at the end (round 8, VERDICT r7 #4): a single
+    # up-front probe can't see a regime shift that lands mid-run (the
+    # r7 sf0.01 "1.45x regression" smell), so the artifact now carries
+    # the whole probe series and flags >1.3x intra-run drift.
     calib = calibration_probe(spark)
+    box_probes = [{"after_n_queries": 0, **calib}]
+    CALIB_EVERY = 60  # re-probe every N queries (~2.5 s each)
 
     def run_once(fn) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
+
+    # Cold-build consistency (round 8, VERDICT r7 #2): the *_build
+    # queries exist to measure the BUILD, but their assets persist in
+    # .scratch across bench invocations — a second run at the same SF
+    # would time the is_published fast path (~1 s) while a first-ever
+    # SF times the full build (~40 s at sf10), and the scale ladder
+    # then compares warm sf1 against cold sf10 (the r7
+    # signature_store_build "31x" flag was exactly this, not
+    # super-linear growth). Evict the published asset AND its session
+    # marker right before timing, so every round at every SF measures
+    # the same thing: one cold build. Downstream warm-path queries
+    # (incremental_dedup, *_materialized probes) run AFTER the build
+    # in BENCH_QUERIES order, so they keep their warm contract.
+    import shutil as _shutil
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload import (
+        text as _wtext,
+        vector as _wvector,
+    )
+
+    def _evict_sig_store() -> None:
+        _wtext._SIG_STORE.clear()
+        _shutil.rmtree(_wtext._sig_store_base(sf_dir), ignore_errors=True)
+
+    def _evict_ann_index() -> None:
+        _wvector._DISK_INDEX.clear()
+        _shutil.rmtree(_wvector._index_base(sf_dir), ignore_errors=True)
+
+    COLD_BUILD_EVICT = {
+        "signature_store_build": _evict_sig_store,
+        "ann_index_build": _evict_ann_index,
+    }
 
     # Repetition policy: NOTES documents 10-15% run-to-run variance on
     # local[32] (GC pauses, first-call codegen, neighbor contention), so
@@ -425,8 +463,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     total = 0.0
+    n_done = 0
     for name in bench_queries:
         fn = qs[name]
+        evict = COLD_BUILD_EVICT.get(name)
+        if evict is not None:
+            evict()
         n = 1 if name in NO_RERUN else reps
         runs = sorted(run_once(fn) for _ in range(n))
         med = runs[len(runs) // 2]
@@ -437,6 +479,25 @@ def main() -> None:
             "runs": [round(r, 3) for r in runs],
         }
         total += med
+        n_done += 1
+        if n_done % CALIB_EVERY == 0 and n_done < len(bench_queries):
+            box_probes.append(
+                {"after_n_queries": n_done, **calibration_probe(spark)}
+            )
+    # End-of-suite probe: with the start probe this bounds intra-run
+    # regime drift even for short subset runs.
+    box_probes.append(
+        {"after_n_queries": n_done, **calibration_probe(spark)}
+    )
+    factors = [p["box_factor"] for p in box_probes]
+    # Drift over the POST-START probes only: the start probe's own
+    # code is not yet C2-compiled and reads ~1.4-1.5x the steady
+    # mid-suite probes (measured: start 1.15 vs steady 0.67-0.77 on a
+    # quiet box), so including it would flag every run. The steady
+    # series is what detects a genuine mid-run regime shift (measured
+    # transient: a 2.0 probe amid 0.6s — exactly the r7 sf0.01 story).
+    steady = factors[1:] if len(factors) > 2 else factors
+    box_drift = round(max(steady) / max(min(steady), 1e-9), 3)
 
     # The driver keeps only the stdout TAIL, so the compact summary
     # line — metric/value/unit/sf plus a small headline subset of
@@ -459,6 +520,13 @@ def main() -> None:
         "n_queries": len(timings),
         "box_factor": calib["box_factor"],
         "calibration_sec": calib["calibration_sec"],
+        # Median over the whole probe series — the value to normalize
+        # per-query comparisons by (robust to a transient regime at
+        # either end); box_factor above stays the start probe for
+        # cross-round continuity with r7 artifacts.
+        "box_factor_median": sorted(factors)[len(factors) // 2],
+        "box_drift": box_drift,
+        "box_drift_flag": box_drift > 1.3,
     }
     # Like-for-like comparability in the artifact itself (VERDICT r5
     # #6): the headline total grows with COVERAGE every round, so the
@@ -494,6 +562,7 @@ def main() -> None:
                 {
                     "summary": summary,
                     "calibration": calib,
+                    "box_probes": box_probes,
                     "queries": timings,
                     "detail": detail,
                 },

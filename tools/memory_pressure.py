@@ -49,9 +49,16 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 # shingle-set-array rows of 34 concurrent tasks — out of contract,
 # while minhash_lsh at the same scale/cap passes with ~815 MB
 # spilled and a green oracle hash.
+#
+# The GRAPH tier joins the sf1 phase in round 8 (VERDICT r7 #5):
+# iterative lineage + persisted rank/frontier vectors is the classic
+# OOM site the sort/window/text phases never touch. pagerank builds
+# the bucketed edge table under the cap; bfs_hops and ppr then ride
+# the same session's edge cache — the serving shape, measured cold
+# (pagerank) and warm (the walks).
 PHASES: dict[str, list[str]] = {
     "sf1": ["percentiles", "window_running", "table_maintenance",
-            "dedup_clusters"],
+            "dedup_clusters", "pagerank", "bfs_hops", "ppr"],
     "sf10": ["minhash_lsh", "simhash", "tfidf", "bm25"],
 }
 

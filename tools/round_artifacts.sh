@@ -52,7 +52,7 @@ SPARK_GRAFT_SF_DIR=.testdata/sf10 SPARK_GRAFT_BENCH_ONLY=fingerprint_dedup,dedup
   python bench.py 2>/dev/null | tail -1
 
 echo "=== [9/10] scale ladder (sf0.01 -> sf0.1 -> sf1 -> sf10) ==="
-python tools/scale_ladder.py --out SCALE_LADDER_r07.json \
+python tools/scale_ladder.py --out SCALE_LADDER_r08.json \
   bench_detail_sf001.json bench_detail.json bench_detail_sf1.json \
   bench_detail_sf10.json | tail -3
 

@@ -21,6 +21,13 @@ exact tiers (the O(n^2)-by-design pair generators) are reported in a
 separate section rather than flagged — their growth law is quadratic
 on purpose and their volume path is the LSH/sketch tier.
 
+BOX NORMALIZATION (round 8, VERDICT r7 #2): each bench_detail file
+self-reports its run's box speed (`box_factor` / `box_factor_median`
+— the pinned calibration probe); every timing is divided by its run's
+factor BEFORE computing growth, so a rung taken in a slow regime
+(sf10's r7 run: box 1.729 vs sf1's 1.019) no longer inflates every
+ratio ~1.7x. Raw growth is kept alongside as `growth_raw`.
+
 Output: one human-readable table per rung plus a final JSON line;
 --out additionally writes the committed round artifact (VERDICT r4
 #6) with every rung's per-query growth ratios and the flag lists.
@@ -46,42 +53,52 @@ EXPECTED_QUADRATIC = {
 }
 
 
-def load(path: str) -> tuple[float, dict[str, float]]:
+def load(path: str) -> tuple[float, float, dict[str, float]]:
     d = json.load(open(path))
-    if "summary" in d:  # bench_detail.json shape
-        return float(d["summary"]["sf"]), dict(d["queries"])
-    return float(str(d.get("sf", "0.1")).replace("sf", "")), dict(d["queries"])
+    s = d.get("summary", d)
+    sf = float(str(s.get("sf", "0.1")).replace("sf", ""))
+    # Prefer the probe-series median (r8 artifacts); fall back to the
+    # single start probe (r7) or neutral 1.0 (pre-r7).
+    box = float(s.get("box_factor_median", s.get("box_factor", 1.0)))
+    return sf, box, dict(d["queries"])
 
 
 def rung(small_path: str, big_path: str) -> dict:
-    sf_s, qs_s = load(small_path)
-    sf_b, qs_b = load(big_path)
+    sf_s, box_s, qs_s = load(small_path)
+    sf_b, box_b, qs_b = load(big_path)
     ratio = sf_b / sf_s
     qs = sorted(set(qs_s) & set(qs_b))
     missing = sorted(set(qs_s) ^ set(qs_b))
-    flagged, quad, rows, growths = [], [], [], {}
+    flagged, quad, rows, growths, growths_raw = [], [], [], {}, {}
     for q in qs:
         ts, tb = qs_s[q], qs_b[q]
-        growth = tb / max(ts, FLOOR)
+        # Box-normalize each side by ITS run's calibration factor
+        # before the floor/ratio — see module docstring.
+        ts_n, tb_n = ts / box_s, tb / box_b
+        growth = tb_n / max(ts_n, FLOOR)
         growths[q] = round(growth, 3)
-        rows.append((growth, q, ts, tb))
+        growths_raw[q] = round(tb / max(ts, FLOOR), 3)
+        rows.append((growth, q, ts_n, tb_n))
         if growth > ratio * SLACK:
             (quad if q in EXPECTED_QUADRATIC else flagged).append(q)
 
     rows.sort(reverse=True)
-    print(f"\n== {small_path} (sf{sf_s:g}) -> {big_path} (sf{sf_b:g}) ==")
+    print(f"\n== {small_path} (sf{sf_s:g}, box {box_s:g}) -> "
+          f"{big_path} (sf{sf_b:g}, box {box_b:g}) ==")
     print(f"data ratio {ratio:g}x  |  flag threshold {ratio * SLACK:g}x  "
-          f"| floor {FLOOR}s")
+          f"| floor {FLOOR}s  | times box-normalized")
     print(f"{'growth':>8}  {'sf_small':>8}  {'sf_big':>8}  query")
-    for growth, q, ts, tb in rows[:25]:
+    for growth, q, ts_n, tb_n in rows[:25]:
         mark = ("  <-- SUPER-LINEAR" if q in flagged
                 else ("  (quadratic tier, by design)" if q in quad else ""))
-        print(f"{growth:8.2f}  {ts:8.2f}  {tb:8.2f}  {q}{mark}")
+        print(f"{growth:8.2f}  {ts_n:8.2f}  {tb_n:8.2f}  {q}{mark}")
     if missing:
         print(f"not in both runs ({len(missing)}): {', '.join(missing)}")
     return {
         "sf_small": sf_s,
         "sf_big": sf_b,
+        "box_small": box_s,
+        "box_big": box_b,
         "ratio": ratio,
         "threshold": ratio * SLACK,
         "n_compared": len(qs),
@@ -89,6 +106,7 @@ def rung(small_path: str, big_path: str) -> dict:
         "expected_quadratic": quad,
         "missing_from_one_side": missing,
         "growth": growths,
+        "growth_raw": growths_raw,
     }
 
 
