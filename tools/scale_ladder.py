@@ -57,8 +57,9 @@ def load(path: str) -> tuple[float, float, dict[str, float]]:
     d = json.load(open(path))
     s = d.get("summary", d)
     sf = float(str(s.get("sf", "0.1")).replace("sf", ""))
-    # Prefer the probe-series median (r8 artifacts); fall back to the
-    # single start probe (r7) or neutral 1.0 (pre-r7).
+    # Prefer the steady-series median (r8+; min-of-reps basis from r9,
+    # computed over post-start probes only — judge advice r8) over the
+    # single start probe (r7); neutral 1.0 before that.
     box = float(s.get("box_factor_median", s.get("box_factor", 1.0)))
     return sf, box, dict(d["queries"])
 
