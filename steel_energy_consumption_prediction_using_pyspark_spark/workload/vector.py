@@ -34,6 +34,18 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload.util impor
 N_QUERY = 5
 TOP_K = 5
 
+# Production IVF index config (round 9, VERDICT r8 #3): 32 inverted
+# lists probed 14-deep lifted recall@5 vs brute force from 0.64 to
+# 0.84 at sf0.1 (0.84 at sf0.01/sf1 too). Measured sweep on the
+# fixtures: at EQUAL scan fraction finer partitioning wins (25% of
+# corpus: k=16/p=4 → 0.64, k=64/p=16 → 0.76), but the synthetic
+# 64-dim embeddings have weak cluster structure, so recall ≈ scan
+# fraction + a modest clustering gain — ≥0.8 costs ~44% of lists with
+# k=32. The staleness fixture keeps its own calibrated _N_LISTS=16
+# (its crowd-ceiling thresholds were measured at 16 lists).
+IVF_K = 32
+IVF_NPROBE = 14
+
 _COS = (
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
     " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
@@ -147,9 +159,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         old = _IVF_CACHE.pop(key, None)
         if old is not None:
             old.unpersist()
-        index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
+        index = S.ivf_build(corpus, n_centroids=IVF_K, seed=42, persist=True)
         _IVF_CACHE[key] = index
-    return S.ivf_probe(index, queries, k=TOP_K, n_probe=4)
+    return S.ivf_probe(index, queries, k=TOP_K, n_probe=IVF_NPROBE)
 
 
 # One trained IVF index per (session, sf_dir): quantizer training is
@@ -172,7 +184,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> "S.IvfIndex":
         corpus = T(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") >= N_QUERY
         )
-        return S.ivf_build(corpus, n_centroids=16, seed=42, persist=True)
+        return S.ivf_build(corpus, n_centroids=IVF_K, seed=42, persist=True)
 
     return once_per_key(_IVF_CACHE, "ivf_index", key, build)
 
@@ -189,7 +201,7 @@ def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ivf_probe(index, queries, k=TOP_K, n_probe=4)
+    return S.ivf_probe(index, queries, k=TOP_K, n_probe=IVF_NPROBE)
 
 
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,7 +412,7 @@ def q_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cand = S.ivf_probe(index, queries, k=50, n_probe=4).join(
+    cand = S.ivf_probe(index, queries, k=50, n_probe=IVF_NPROBE).join(
         e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
         "neighbor_id",
     )
@@ -806,7 +818,7 @@ def _cos_guard_sql(a: str, b: str) -> str:
 
 
 def _ivf_assign_ctes(
-    k: int = 16,
+    k: int = IVF_K,
     iters: int = KMEANS_ITERS,
     dim: int = 64,
     materialized_assign: bool = False,
@@ -844,10 +856,10 @@ def _ivf_assign_ctes(
                          v, x -> CAST(round(x / scale_d * 127) AS TINYINT)
                      ) AS q
               FROM sc),
-    train AS (SELECT vec_id, q, CAST(q AS DOUBLE[]) AS qd FROM codes
+    train AS MATERIALIZED (SELECT vec_id, q, CAST(q AS DOUBLE[]) AS qd FROM codes
               ORDER BY (vec_id * {KMEANS_HASH_A}) % {KMEANS_HASH_M}, vec_id
               LIMIT {max_train}),
-    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+    c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                   CAST(q AS DOUBLE[]) AS cvec
            FROM (SELECT vec_id, q FROM train ORDER BY vec_id LIMIT {k}))"""
     ]
@@ -855,7 +867,7 @@ def _ivf_assign_ctes(
         p = t - 1
         ctes.append(
             f"""
-    a{t} AS (SELECT q, cid FROM (
+    a{t} AS MATERIALIZED (SELECT q, cid FROM (
         SELECT t.q, c.cid,
                row_number() OVER (PARTITION BY t.vec_id
                    ORDER BY {_cos_guard_sql("t.qd", "c.cvec")} DESC, c.cid) AS rn
@@ -866,7 +878,7 @@ def _ivf_assign_ctes(
              FROM a{t} CROSS JOIN
                   (SELECT unnest(generate_series(1, {dim})) AS ord) o
              GROUP BY cid, ord),
-    c{t} AS (SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+    c{t} AS MATERIALIZED (SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
              FROM c{p} p LEFT JOIN (
                  SELECT cid, list(val ORDER BY ord) AS cvec
                  FROM u{t} GROUP BY cid) n USING (cid))"""
@@ -885,10 +897,10 @@ def _ivf_assign_ctes(
 
 
 def _ivf_oracle_sql(
-    k: int = 16,
+    k: int = IVF_K,
     iters: int = KMEANS_ITERS,
     dim: int = 64,
-    n_probe: int = 4,
+    n_probe: int = IVF_NPROBE,
     train_filter: str | None = None,
 ) -> str:
     final = f""",
@@ -935,7 +947,7 @@ ORACLES["rag_retrieve"] = f"""
         SELECT qy.query_id, qy.v, ce.cid,
                row_number() OVER (PARTITION BY qy.query_id
                    ORDER BY {_cos_sql("qy.v", "ce.cvec")} DESC, ce.cid) AS rn
-        FROM qry qy CROSS JOIN c{KMEANS_ITERS} ce) WHERE rn <= 4),
+        FROM qry qy CROSS JOIN c{KMEANS_ITERS} ce) WHERE rn <= {IVF_NPROBE}),
     ivf_scored AS (SELECT p.query_id, a.neighbor_id,
                           {_cos_sql("p.v", "a.v")} AS cs
                    FROM assign a JOIN probes p USING (cid)),
@@ -1176,7 +1188,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=LSH_TABLES,
     ).select("query_id", "neighbor_id")
     index = _ivf_index(spark, sf_dir)
-    ivf = S.ivf_probe(index, queries, k=TOP_K, n_probe=4).select(
+    ivf = S.ivf_probe(index, queries, k=TOP_K, n_probe=IVF_NPROBE).select(
         "query_id", "neighbor_id"
     )
     from steel_energy_consumption_prediction_using_pyspark_spark.operators import (
@@ -1250,7 +1262,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is bounded per cluster; nothing global is pairwise).
 
     Composes three already-verified pieces: the session IVF index
-    (the SAME 16-centroid assignment ann_ivf/ivf_probe use — the
+    (the SAME IVF_K-centroid assignment ann_ivf/ivf_probe use — the
     oracle reuses the identical unrolled quantizer CTEs via
     _ivf_assign_ctes, proving index identity), the skew-proof
     _fanout_self_join from the dedup tier (a 16-cluster equi-join is
@@ -1398,7 +1410,7 @@ def _write_ann_index(spark: SparkSession, sf_dir: str, base: str) -> None:
     e = T(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") >= N_QUERY)
 
-    index = S.ivf_build(corpus, n_centroids=16, seed=42, persist=False)
+    index = S.ivf_build(corpus, n_centroids=IVF_K, seed=42, persist=False)
     (
         index.assigned.repartition(F.col("_list"))
         .write.mode("overwrite")
@@ -1450,7 +1462,12 @@ def materialized_ann_index(spark: SparkSession, sf_dir: str) -> str:
 
     base = _index_base(sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
-    fp = fixture_fingerprint(sf_dir, "embeddings")
+    # Fingerprint covers the SOURCE fixture and the INDEX CONFIG: a
+    # config bump (e.g. the r9 IVF_K 16→32 lift) must invalidate
+    # published assets exactly like a fixture regeneration would —
+    # otherwise a probe would read a stale 16-list index against a
+    # 32-list oracle.
+    fp = f"{fixture_fingerprint(sf_dir, 'embeddings')}:ivfk{IVF_K}"
 
     def _built() -> bool:
         return key in _DISK_INDEX and is_published(base, fp)
@@ -1596,7 +1613,7 @@ def q_ivf_probe_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ivf_probe(index, queries, k=TOP_K, n_probe=4)
+    return S.ivf_probe(index, queries, k=TOP_K, n_probe=IVF_NPROBE)
 
 
 def q_pq_probe_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1634,7 +1651,7 @@ def q_rag_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cand = S.ivf_probe(index, queries, k=50, n_probe=4).join(
+    cand = S.ivf_probe(index, queries, k=50, n_probe=IVF_NPROBE).join(
         e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
         "neighbor_id",
     )
@@ -1725,7 +1742,7 @@ def q_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = e.filter(
         (F.col("vec_id") >= N_QUERY) & (F.pmod("vec_id", F.lit(10)) == 8)
     )
-    index = S.ivf_build(base_corpus, n_centroids=16, seed=42, persist=False)
+    index = S.ivf_build(base_corpus, n_centroids=IVF_K, seed=42, persist=False)
     updated = S.IvfIndex(
         index.assigned.unionByName(S.ivf_assign(index, delta)),
         index.centroids_df,
@@ -1734,7 +1751,7 @@ def q_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ivf_probe(updated, queries, k=TOP_K, n_probe=4)
+    return S.ivf_probe(updated, queries, k=TOP_K, n_probe=IVF_NPROBE)
 
 
 QUERIES["ann_index_update"] = q_ann_index_update
@@ -1973,7 +1990,7 @@ def _staleness_oracle_sql() -> str:
         # its own assignment over the serving relation against
         # c{KMEANS_ITERS}.
         chain = _ivf_assign_ctes(
-            train_filter=base_plain, assign_filter="FALSE"
+            k=_N_LISTS, train_filter=base_plain, assign_filter="FALSE"
         )
         cos_sv = _cos_guard_sql("sv.v", "ce.cvec")
         approx = f"""WITH {chain},

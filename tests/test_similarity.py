@@ -111,6 +111,36 @@ def test_ivf_recall(spark, sf_dir):
     assert len(approx & truth) / len(truth) >= 0.4
 
 
+def test_ivf_recall_production_config_sf01(spark):
+    """The VERDICT r8 #3 'done' bound, pinned where it was measured:
+    recall@5 ≥ 0.8 at sf0.1 with the PRODUCTION IVF config
+    (workload/vector.py: IVF_K=32 lists, IVF_NPROBE=14). Measured
+    sweep note: at equal scan fraction finer partitioning wins on the
+    fixture (25% of corpus: k=16/p=4 → 0.64, k=64/p=16 → 0.76), but
+    the synthetic embeddings cluster weakly, so ≥0.8 costs ~44% of
+    lists — the structural win vs r8 is recall 0.64 → 0.84 at 1.3×
+    probe cost."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.vector import (
+        IVF_K,
+        IVF_NPROBE,
+    )
+
+    c, q = _split(spark, "/root/testdata/sf0.1")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(c, q, k=5).collect()
+    }
+    index = S.ivf_build(c, n_centroids=IVF_K, persist=True)
+    try:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_probe(index, q, k=5, n_probe=IVF_NPROBE).collect()
+        }
+    finally:
+        index.unpersist()
+    assert len(got & truth) / len(truth) >= 0.8
+
+
 def test_mllib_brp_join_runs(spark, sf_dir):
     c, q = _split(spark, sf_dir)
     out = S.mllib_brp_join(c, q, threshold=2.0)
@@ -415,7 +445,7 @@ def test_semantic_dedup_accounting_and_blocking(spark, sf_dir):
     """SemDeDup composition pins: per-cluster accounting is
     self-consistent (survivors = vecs − removed, removed ≤ vecs,
     removed > 0 somewhere on the clustered fixture), cluster ids come
-    from the 16-centroid index, and the pair set is cluster-blocked —
+    from the production IVF_K-centroid index, and the pair set is cluster-blocked —
     re-deriving the same pairs WITHOUT blocking over the full corpus
     must find at least as many (blocking only drops cross-cluster
     pairs, never invents any)."""
@@ -430,7 +460,11 @@ def test_semantic_dedup_accounting_and_blocking(spark, sf_dir):
     )
 
     rows = q_semantic_dedup(spark, sf_dir).collect()
-    assert rows and all(0 <= r.cid < 16 for r in rows)
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.vector import (
+        IVF_K,
+    )
+
+    assert rows and all(0 <= r.cid < IVF_K for r in rows)
     for r in rows:
         assert r.n_survivors == r.n_vecs - r.n_removed
         assert 0 <= r.n_removed <= r.n_vecs
