@@ -186,6 +186,31 @@ def fixture_fingerprint(sf_dir: str, *names: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
+def dir_fingerprint(path: str) -> str:
+    """Content fingerprint of an arbitrary (possibly partitioned)
+    table DIRECTORY: (relpath, size, mtime_ns) per data file,
+    md5-packed — the fixture_fingerprint recipe generalized to nested
+    layouts so publish protocols can key on non-fixture sources (e.g.
+    a small-files table being compacted). Underscore-prefixed files
+    (_PUBLISHED, _SUCCESS) are excluded, so publishing a directory
+    never changes the fingerprint of its own contents."""
+    import hashlib
+
+    parts = []
+    for dirpath, _dirs, files in sorted(os.walk(path)):
+        for fn in sorted(files):
+            if fn.startswith("_") or fn.startswith("."):
+                continue
+            p = os.path.join(dirpath, fn)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            rel = os.path.relpath(p, path)
+            parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
 def scratch_root() -> str:
     """`.scratch/` at the repo root — the shared warehouse every
     materialize-if-missing path publishes under."""

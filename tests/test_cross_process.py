@@ -321,3 +321,117 @@ def test_two_process_cold_build_single_builder(tmp_path):
     emarker = json.load(open(os.path.join(edge_base, "_PUBLISHED")))
     assert emarker["builder_pid"] in pids
     assert glob.glob(edge_base + ".tmp.*") == []
+
+
+_COMPACT_WORKER = textwrap.dedent("""
+    import json, os, sys
+    sys.path.insert(0, sys.argv[1])
+    small_dir, final_dir = sys.argv[2], sys.argv[3]
+    from pyspark.sql import functions as F
+    from steel_energy_consumption_prediction_using_pyspark_spark.session import (
+        get_session,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.quality import (
+        table_fingerprint,
+    )
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.maintenance import (
+        publish_compacted,
+    )
+
+    spark = get_session("xproc-compact", shuffle_partitions=4)
+    built = publish_compacted(spark, small_dir, final_dir)
+
+    def fp(path):
+        df = spark.read.parquet(path)
+        row_str = F.concat_ws(
+            "|", "part", "l_orderkey", "l_linenumber",
+            F.format_number(F.col("l_quantity"), 2),
+        )
+        r = table_fingerprint(df, row_str).collect()[0]
+        return [r.n_rows, r.fp_lo, r.fp_hi]
+
+    print("RESULT " + json.dumps({
+        "pid": os.getpid(),
+        "built": built,
+        "src_fp": fp(small_dir),
+        "compacted_fp": fp(final_dir),
+    }), flush=True)
+    spark.stop()
+""")
+
+
+@pytest.mark.slow
+def test_two_process_compaction_single_winner(tmp_path, spark):
+    """Round 9 (VERDICT r8 #7): two driver processes compact the SAME
+    small-files table concurrently under the fcntl/publish protocol —
+    exactly one winner writes, the loser reads the published bytes,
+    no torn directory or stale tmp survives, and the order-insensitive
+    table fingerprint is IDENTICAL across source and both processes'
+    views of the compacted table (compaction moved bytes, not rows)."""
+    from pyspark.sql import functions as F
+
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
+        T,
+        dir_fingerprint,
+    )
+
+    small_dir = str(tmp_path / "small")
+    final_dir = str(tmp_path / "compacted")
+    # The pathological layout: one file per (month, day) of 1996.
+    (
+        T(spark, "/root/testdata/sf0.001", "lineitem")
+        .filter(F.year(F.to_date("l_shipdate")) == 1996)
+        .select(
+            F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias("part"),
+            F.dayofmonth(F.to_date("l_shipdate")).alias("f"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+        )
+        .repartition("part", "f")
+        .write.mode("overwrite")
+        .partitionBy("part", "f")
+        .parquet(small_dir)
+    )
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _COMPACT_WORKER, REPO, small_dir, final_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for _ in range(2)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err[-3000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert line, out[-2000:]
+        results.append(json.loads(line[-1][len("RESULT "):]))
+
+    # Exactly one winner; the marker names it; no torn state.
+    import glob
+
+    assert sorted(r["built"] for r in results) == [False, True]
+    assert is_published(final_dir, dir_fingerprint(small_dir))
+    marker = json.load(open(os.path.join(final_dir, "_PUBLISHED")))
+    winner = next(r for r in results if r["built"])
+    assert marker["builder_pid"] == winner["pid"]
+    assert glob.glob(final_dir + ".tmp.*") == []
+
+    # Fingerprint unchanged: source == compacted, in both processes.
+    fps = {tuple(r["src_fp"]) for r in results} | {
+        tuple(r["compacted_fp"]) for r in results
+    }
+    assert len(fps) == 1 and results[0]["src_fp"][0] > 0
+
+    # And it actually compacted: one file per month vs one per day.
+    def n_files(root):
+        return sum(
+            1
+            for dp, _d, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert n_files(final_dir) < n_files(small_dir) / 5
