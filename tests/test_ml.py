@@ -315,3 +315,45 @@ def test_dt_pinned_structure_matches_live(spark):
         "single-partition DT fit drifted from _DT_PINNED — rerun "
         "tools/pin_dt_tree.py and update workload/ml.py"
     )
+
+
+def test_fm_poisson_replica_gap_adjudication(spark, split):
+    """Pinned adjudication of the two BASELINE_REPLICA residuals
+    (round 9, VERDICT r8 #6): FMRegressor reads ~0.71 vs the
+    reference's 0.89 and GLR-poisson ~0.90 vs 0.94 on the synthetic
+    fixture, and the gap is an OPTIMIZER-BUDGET artifact, not missing
+    signal: the identical pipeline with only the iteration budget
+    raised (maxIter 100→400, every other hyperparameter default)
+    clears the reference's FM number — so the fixture carries
+    reference-grade FM signal, and AdamW@stepSize-1.0 simply hasn't
+    converged within the default 100 iterations on THIS loss surface
+    (measured: default 0.71, maxIter400 0.92, stepSize0.5 0.93).
+    Parity protocol fits default hyperparameters, and data-space
+    tuning toward FM convergence risks the pinned tree band /
+    LR-ceiling invariants (a smooth NSM×weekend interaction variant
+    moved FM by -0.003), so the residuals are accepted and pinned
+    here instead."""
+    from pyspark.ml.regression import FMRegressor
+
+    train, test = split
+    models = baseline_regressors()
+
+    fm_default = build_pipeline(models["FMRegressor"]).fit(train)
+    r2_default = evaluate_predictions(fm_default.transform(test))["r2"]
+    assert 0.55 < r2_default < 0.85, r2_default  # the documented undershoot
+
+    fm_long = build_pipeline(
+        FMRegressor(
+            seed=42,
+            featuresCol="scaledFeatures",
+            labelCol="Usage_kWh",
+            maxIter=400,
+        )
+    ).fit(train)
+    r2_long = evaluate_predictions(fm_long.transform(test))["r2"]
+    assert r2_long >= 0.88, r2_long           # signal is reference-grade
+    assert r2_long >= r2_default + 0.1        # gap closes with budget alone
+
+    poisson = build_pipeline(models["GLR_poisson"]).fit(train)
+    r2_poisson = evaluate_predictions(poisson.transform(test))["r2"]
+    assert 0.85 < r2_poisson < 0.94, r2_poisson  # documented mild undershoot
