@@ -521,7 +521,11 @@ def test_ann_index_build_summary_covers_all_tiers(spark, sf_dir):
     n_corpus = (
         T(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= V.N_QUERY).count()
     )
-    assert len(by_tier["ivf"]) == 16
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.vector import (
+        IVF_K,
+    )
+
+    assert len(by_tier["ivf"]) == IVF_K
     assert sum(r.n_vectors for r in by_tier["ivf"]) == n_corpus
     assert len(by_tier["pq"]) == 8
     assert all(r.n_vectors == n_corpus for r in by_tier["pq"])
