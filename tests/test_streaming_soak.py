@@ -82,11 +82,16 @@ def _assert_plateau(curve, name):
     tail = [s for b, s in curve if b > 40]
     assert mid and tail, f"{name}: windows empty: {curve[-3:]}"
     assert max(mid) > 0, f"{name}: state never filled"
-    # A leak grows ~linearly with batches: the tail would exceed the
-    # middle by ~50% over this horizon. Plateau keeps them comparable.
-    assert max(tail) <= max(mid) * 1.3, (
+    # A leak grows ~linearly with batches: by the tail window the
+    # TYPICAL state would exceed the middle by ~50%+ and keep rising.
+    # Compare the tail MEDIAN (round 9): max-vs-max flaked on a single
+    # GC/lag spike (observed: tail oscillating 4-10k with one 16k
+    # batch while the trend was flat) — a transient spike is one
+    # batch, a leak moves the whole distribution.
+    tail_typical = sorted(tail)[len(tail) // 2]
+    assert tail_typical <= max(mid) * 1.3, (
         f"{name}: state still growing: mid max {max(mid)}, "
-        f"tail max {max(tail)}; curve tail {curve[-5:]}"
+        f"tail median {tail_typical}; curve tail {curve[-5:]}"
     )
 
 
