@@ -79,12 +79,20 @@ def _stage_subspaces(
 ) -> DataFrame:
     """Stage per-subspace int slices and their double casts as NAMED
     columns (HOF lambdas re-evaluate inline subtrees per element —
-    NOTES rule 7)."""
-    for s in range(m):
-        df = df.withColumn(
-            f"_q{s}", F.slice(F.col(code_col), s * subdim + 1, subdim)
-        ).withColumn(f"_qd{s}", F.col(f"_q{s}").cast("array<double>"))
-    return df
+    NOTES rule 7). Built as TWO select()s, not 2·m withColumns: every
+    withColumn re-analyzes the whole (literal-heavy) plan, and the
+    driver-side analysis passes were the measured round-9 bottleneck
+    of the PQ tier (build 4.0 s → 0.7 s collapsed, identical rows)."""
+    slices = [
+        F.slice(F.col(code_col), s * subdim + 1, subdim).alias(f"_q{s}")
+        for s in range(m)
+    ]
+    df = df.select("*", *slices)
+    casts = [
+        F.col(f"_q{s}").cast("array<double>").alias(f"_qd{s}")
+        for s in range(m)
+    ]
+    return df.select("*", *casts)
 
 
 class PqModel:
@@ -262,8 +270,19 @@ def pq_adc_topk(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    for s in range(m):
-        q = q.withColumn(f"_v{s}", F.slice(F.col("_v"), s * subdim + 1, subdim))
+    # One select per staging step, NOT one withColumn per subspace:
+    # each withColumn re-analyzes the whole literal-heavy plan on the
+    # driver — 16 analysis passes over ~256 aggregate/zip_with
+    # subtrees were the measured round-9 cost of this function (build
+    # 4.0 s → 0.7 s collapsed; identical rows, identical expressions).
+    q = q.select(
+        "query_id",
+        *[
+            F.slice(F.col("_v"), s * subdim + 1, subdim).alias(f"_v{s}")
+            for s in range(m)
+        ],
+    )
+    luts = []
     for s in range(m):
         folds = []
         for cv in model.codebooks[s]:
@@ -272,8 +291,8 @@ def pq_adc_topk(
                 f"aggregate(zip_with(_v{s}, {arr}, (x, y) -> x * y), "
                 "0.0D, (acc, x) -> acc + x)"
             )
-        q = q.withColumn(f"_lut{s}", F.expr("array(" + ",".join(folds) + ")"))
-    q = q.select("query_id", *[f"_lut{s}" for s in range(m)])
+        luts.append(F.expr("array(" + ",".join(folds) + ")").alias(f"_lut{s}"))
+    q = q.select("query_id", *luts)
 
     score: Column = F.element_at(F.col("_lut0"), F.col("c0") + 1)
     for s in range(1, m):
