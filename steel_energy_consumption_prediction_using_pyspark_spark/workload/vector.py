@@ -803,9 +803,9 @@ def _cos_sql(a: str, b: str) -> str:
 def _cos_guard_sql(a: str, b: str) -> str:
     """Cosine with each norm factor guarded 0 → 1.0 — mirrors the
     engine's centroid-ASSIGNMENT arithmetic
-    (operators/similarity.py::_nearest_centroid + _guarded_norm): an
-    unguarded zero norm yields NaN, which sorts last in Spark's
-    struct-min but first under ORDER BY cos DESC here, silently
+    (operators/similarity.py::_assign_lists_arrow, both norm factors
+    guarded 0 → 1): an unguarded zero norm yields NaN, which sorts
+    last in an argmin but first under ORDER BY cos DESC here, silently
     splitting engine from oracle on all-zero vectors (judge advice
     r4). Fixtures contain no zero vectors, so hashes are unchanged;
     the guard is for semantic parity on arbitrary inputs."""
@@ -1410,40 +1410,61 @@ def _write_ann_index(spark: SparkSession, sf_dir: str, base: str) -> None:
     e = T(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") >= N_QUERY)
 
-    index = S.ivf_build(corpus, n_centroids=IVF_K, seed=42, persist=False)
-    (
-        index.assigned.repartition(F.col("_list"))
-        .write.mode("overwrite")
-        .partitionBy("_list")
-        .parquet(os.path.join(base, "ivf_assigned"))
-    )
-    # repartition(1), NEVER coalesce(1), for tiny local-relation
-    # writes: coalesce(1) over a LocalTableScan drops the plan onto the
-    # slow Python-parallelize path (~4-5 s per write, measured); the
-    # one-partition shuffle is ~0.45 s and still yields a single file.
-    index.centroids_df.repartition(1).write.mode("overwrite").parquet(
-        os.path.join(base, "ivf_centroids")
-    )
+    # The IVF and PQ artifact chains are independent until publish;
+    # run them from a 2-thread pool so one branch's driver-side work
+    # (bounded-sample collect + numpy Lloyd, plan analysis) overlaps
+    # the other's executor-side writes (guide §2.6 — actions are only
+    # sequential because driver code calls them sequentially). Both
+    # trainings are deterministic arithmetic over collected codes, so
+    # concurrency changes no written byte.
+    def _ivf_branch() -> None:
+        index = S.ivf_build(corpus, n_centroids=IVF_K, seed=42, persist=False)
+        (
+            # Hash on _list keeps one file per inverted list at any
+            # width; 4× cores spreads the per-file open/commit chain
+            # across more tasks (the table_maintenance write lesson).
+            index.assigned.repartition(
+                4 * spark.sparkContext.defaultParallelism, F.col("_list")
+            )
+            .write.mode("overwrite")
+            .partitionBy("_list")
+            .parquet(os.path.join(base, "ivf_assigned"))
+        )
+        # repartition(1), NEVER coalesce(1), for tiny local-relation
+        # writes: coalesce(1) over a LocalTableScan drops the plan onto
+        # the slow Python-parallelize path (~4-5 s per write, measured);
+        # the one-partition shuffle is ~0.45 s and still yields a
+        # single file.
+        index.centroids_df.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(base, "ivf_centroids")
+        )
 
-    model = PQ.pq_train(corpus, m=8, k=32, dim=64)
-    enc = PQ.pq_encode(corpus, model)
-    enc.write.mode("overwrite").parquet(os.path.join(base, "pq_codes"))
-    book_rows = [
-        (s, cid, model.codebooks[s][cid])
-        for s in range(model.m)
-        for cid in range(model.k)
-    ]
-    spark.createDataFrame(
-        book_rows, "s int, cid int, cvec array<double>"
-    ).repartition(1).write.mode("overwrite").parquet(
-        os.path.join(base, "pq_codebooks")
-    )
-    spark.createDataFrame(
-        [(float(model.scale), int(model.m), int(model.subdim))],
-        "scale double, m int, subdim int",
-    ).repartition(1).write.mode("overwrite").parquet(
-        os.path.join(base, "pq_meta")
-    )
+    def _pq_branch() -> None:
+        model = PQ.pq_train(corpus, m=8, k=32, dim=64)
+        enc = PQ.pq_encode(corpus, model)
+        enc.write.mode("overwrite").parquet(os.path.join(base, "pq_codes"))
+        book_rows = [
+            (s, cid, model.codebooks[s][cid])
+            for s in range(model.m)
+            for cid in range(model.k)
+        ]
+        spark.createDataFrame(
+            book_rows, "s int, cid int, cvec array<double>"
+        ).repartition(1).write.mode("overwrite").parquet(
+            os.path.join(base, "pq_codebooks")
+        )
+        spark.createDataFrame(
+            [(float(model.scale), int(model.m), int(model.subdim))],
+            "scale double, m int, subdim int",
+        ).repartition(1).write.mode("overwrite").parquet(
+            os.path.join(base, "pq_meta")
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(_ivf_branch), pool.submit(_pq_branch)]:
+            fut.result()
 
 
 def materialized_ann_index(spark: SparkSession, sf_dir: str) -> str:

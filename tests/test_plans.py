@@ -597,7 +597,10 @@ def test_ivf_probe_materialized_no_training_work(spark, sf_dir):
 
     plan = physical_plan(q_ivf_probe_materialized(spark, sf_dir))
     assert "ann_index" in plan, plan
+    # no assignment work: neither the legacy `negcos` literal argmax
+    # expression nor its round-9 Arrow-kernel replacement
     assert "negcos" not in plan, plan
+    assert "MapInArrow" not in plan, plan
     # every embeddings scan is the bounded query side
     import re
 
@@ -609,7 +612,9 @@ def test_ivf_probe_materialized_no_training_work(spark, sf_dir):
         assert "LessThan(vec_id,5)" in filters, plan
 
     control = physical_plan(q_ann_ivf(spark, sf_dir))
-    assert "negcos" in control, "positive control lost its assignment expr"
+    assert "MapInArrow" in control, (
+        "positive control lost its assignment stage"
+    )
 
 
 def test_rag_probe_and_pq_probe_materialized_read_only_index(spark, sf_dir):
@@ -625,10 +630,12 @@ def test_rag_probe_and_pq_probe_materialized_read_only_index(spark, sf_dir):
     plan = physical_plan(q_rag_probe(spark, sf_dir))
     assert "ann_index" in plan, plan
     assert "negcos" not in plan, plan
+    assert "MapInArrow" not in plan, plan
 
     plan_pq = physical_plan(q_pq_probe_materialized(spark, sf_dir))
     assert "pq_codes" in plan_pq, plan_pq
     assert "negcos" not in plan_pq, plan_pq
+    assert "MapInArrow" not in plan_pq, plan_pq
 
 
 def test_incremental_dedup_never_rescans_corpus(spark, sf_dir):
