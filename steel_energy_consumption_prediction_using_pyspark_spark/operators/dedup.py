@@ -166,41 +166,98 @@ def minhash_banded(
     """(_id, band, bhash) from a (_id, _sh) relation: the banded
     MinHash signature triples — the ONLY rows the LSH bucket join
     shuffles, and the second table a persisted signature store keeps
-    (alongside the shingle sets for verification)."""
+    (alongside the shingle sets for verification).
+
+    The 32 affine permutations + banding run as ONE Arrow-batched
+    numpy kernel over the staged gram hashes (round 9): the HOF form
+    (transform + array_min per permutation) evaluates num_hashes·|set|
+    interpreted lambdas per doc and rebuilds a 32-expression tree
+    through py4j per call (measured at sf0.1: 3.1 s build + 2.0-6.8 s
+    exec; the kernel is 0.15 s + 1.1-3.4 s with IDENTICAL triples).
+    Exactness: (a·h + b) mod (2⁶¹−1) stays in int64 by construction
+    (a < 2³⁰, h < 2³², b < 2³¹ ⇒ a·h + b < 2⁶³), and numpy int64
+    arithmetic is the same ANSI long math the JVM and DuckDB perform —
+    no floats anywhere. The md5-based gram hash itself stays a JVM
+    expression (engine-portable, oracle-mirrored); only the
+    permutation/min/banding arithmetic moves. Empty sets keep the
+    modulus sentinel; rows arrive pre-filtered non-empty from
+    shingled_sets."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # Stage the gram hashes as a NAMED column: 32 affine permutations
-    # all read it, and an inline subtree would re-md5 every shingle per
+    params = _minhash_params(num_hashes)
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # Stage the gram hashes as a NAMED column: all permutations read
+    # it, and an inline subtree would re-md5 every shingle per
     # permutation (the winnowing O(n²) lesson).
     hashed = shingled.select(
         "_id", F.transform("_sh", gram_hash32).alias("_hs")
     )
-    sig = hashed.select(
-        "_id",
-        F.array(
-            *[_affine_min(F.col("_hs"), a, b) for a, b in _minhash_params(num_hashes)]
-        ).alias("_sig"),
+    schema = StructType(
+        [
+            StructField("_id", LongType()),
+            StructField("band", IntegerType()),
+            StructField("bhash", StringType()),
+        ]
     )
-    # band key = the band's signature slice itself (comma-joined) —
-    # an exact, engine-portable join key; hashing it again would only
-    # narrow the shuffle rows at the cost of oracle opacity.
-    return sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.element_at("_sig", b * r + i + 1).cast("string") for i in range(r)]
-                        ).alias("bhash"),
+
+    def _band(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column("_id").to_numpy(zero_copy_only=False)
+            hs = b.column("_hs")
+            if hasattr(hs, "combine_chunks"):
+                hs = hs.combine_chunks()
+            offs = np.asarray(hs.offsets, dtype=np.int64)
+            # flatten() already honors the slice base: rebase offsets
+            flat = np.asarray(hs.flatten(), dtype=np.int64)
+            starts = offs[:-1] - offs[0]
+            sizes = offs[1:] - offs[:-1]
+            empty = sizes == 0
+            sig = np.empty((n, num_hashes), dtype=np.int64)
+            if flat.size:
+                safe_starts = np.minimum(starts, flat.size - 1)
+                for i, (a, c) in enumerate(params):
+                    vals = (a * flat + c) % MERSENNE61
+                    mins = np.minimum.reduceat(vals, safe_starts)
+                    sig[:, i] = np.where(empty, MERSENNE61, mins)
+            else:
+                sig[:, :] = MERSENNE61
+            out_id: list[int] = []
+            out_band: list[int] = []
+            out_hash: list[str] = []
+            for row in range(n):
+                s = sig[row]
+                rid = int(ids[row])
+                for bd in range(bands):
+                    out_id.append(rid)
+                    out_band.append(bd)
+                    out_hash.append(
+                        ",".join(str(int(s[bd * r + i])) for i in range(r))
                     )
-                    for b in range(bands)
-                ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_band, pa.int32()),
+                    pa.array(out_hash, pa.string()),
+                ],
+                ["_id", "band", "bhash"],
             )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bhash")
+
+    return hashed.mapInArrow(_band, schema)
 
 
 def minhash_stages(
@@ -357,6 +414,104 @@ def simhash64(text: Column | str) -> Column:
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
+def _simhash64_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str | None = None,
+) -> DataFrame:
+    """(_id[, _blk], _sh): SimHash signatures as an Arrow-batched numpy
+    kernel — the hot-path twin of the :func:`simhash64` expression
+    (round 9). The HOF form folds a 64-element zip_with per TOKEN in
+    interpreted lambdas (O(tokens·64) per doc — the dominant cost of
+    q_simhash at sf0.1); here the JVM still computes the portable
+    md5-derived uint32 halves per token (the oracle-mirrored part) and
+    numpy does the integer-only sign-sum + Horner packing. Exactness:
+    every intermediate is an exact integer — bit extraction, ±1 sums,
+    Σ bit·2^b packing (≡ the expression's MSB-first Horner fold), and
+    the final hi<<32|lo wraps identically in numpy int64 and JVM long.
+    Parity with the expression is pinned by
+    tests/test_text_dedup.py::test_simhash_kernel_matches_expression."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    toks = F.filter(
+        F.array_distinct(tokens(normalize_text(text_col))),
+        lambda w: F.length(w) > 0,
+    )
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+        F.transform(toks, lambda t: F.md5(t)).alias("_dg"),
+    )
+    staged = staged.select(
+        "_id",
+        *(["_blk"] if block_col else []),
+        F.transform(
+            "_dg", lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+        ).alias("_lo"),
+        F.transform(
+            "_dg", lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+        ).alias("_hi"),
+    )
+    keep = ["_id"] + (["_blk"] if block_col else [])
+    schema = StructType(
+        [staged.schema[c] for c in keep] + [StructField("_sh", LongType())]
+    )
+
+    def _sig(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            lo_arr = b.column("_lo")
+            hi_arr = b.column("_hi")
+            if hasattr(lo_arr, "combine_chunks"):
+                lo_arr = lo_arr.combine_chunks()
+                hi_arr = hi_arr.combine_chunks()
+            offs = np.asarray(lo_arr.offsets, dtype=np.int64)
+            flat_lo = np.asarray(lo_arr.flatten(), dtype=np.uint64)
+            flat_hi = np.asarray(hi_arr.flatten(), dtype=np.uint64)
+            starts = offs[:-1] - offs[0]
+            empty = (offs[1:] - offs[:-1]) == 0
+            lo_val = np.zeros(n, dtype=np.uint64)
+            hi_val = np.zeros(n, dtype=np.uint64)
+            if flat_lo.size:
+                safe = np.minimum(starts, flat_lo.size - 1)
+                for bit in range(32):
+                    pm = (
+                        ((flat_lo >> np.uint64(bit)) & np.uint64(1)).astype(
+                            np.int64
+                        )
+                        * 2
+                        - 1
+                    )
+                    cnt = np.where(
+                        empty, 0, np.add.reduceat(pm, safe)
+                    )
+                    lo_val |= (cnt > 0).astype(np.uint64) << np.uint64(bit)
+                    pm = (
+                        ((flat_hi >> np.uint64(bit)) & np.uint64(1)).astype(
+                            np.int64
+                        )
+                        * 2
+                        - 1
+                    )
+                    cnt = np.where(
+                        empty, 0, np.add.reduceat(pm, safe)
+                    )
+                    hi_val |= (cnt > 0).astype(np.uint64) << np.uint64(bit)
+            sh = ((hi_val << np.uint64(32)) | lo_val).view(np.int64)
+            cols = [b.column(c) for c in keep]
+            yield pa.RecordBatch.from_arrays(
+                cols + [pa.array(sh, pa.int64())], keep + ["_sh"]
+            )
+
+    return staged.mapInArrow(_sig, schema)
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -377,15 +532,15 @@ def simhash_pairs(
     language, ~40% of docs hence ~70% of pairs) would otherwise
     serialize the quadratic compare on the handful of tasks a plain
     blocked join plans."""
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-        simhash64(text_col).alias("_sh"),
-    )
+    # Signatures via the Arrow numpy kernel (bit-identical to the
+    # simhash64 expression — parity-pinned); the expression form folds
+    # a 64-element zip_with per token in interpreted lambdas and was
+    # the dominant cost of this operator.
+    sig = _simhash64_arrow(df, text_col, id_col, block_col)
     # Materialize the signatures once: the self-join would otherwise
-    # evaluate the interpreted O(tokens×64) signature fold on BOTH
-    # sides (same lesson as _materialized_postings; one int64 per doc,
-    # so the checkpoint is tiny).
+    # evaluate the signature kernel on BOTH sides (same lesson as
+    # _materialized_postings; one int64 per doc, so the checkpoint is
+    # tiny).
     sig = sig.localCheckpoint(eager=True)
     cond = F.col("x._id") < F.col("y._id")
     if block_col:

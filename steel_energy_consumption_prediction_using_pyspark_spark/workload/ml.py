@@ -112,6 +112,15 @@ def q_ml_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     data = steel_energy(spark, QUERY_ROWS)
     train, test = _portable_split(data)
+    # Persist both split sides: every pipeline-stage fit (3 indexers,
+    # scaler, regressor) and every transform otherwise replays the
+    # fixture-generation + split chain from scratch — ~12 replays
+    # across the two models. Caching changes no values: partition
+    # layout and row order are identical, so the indexer counts, the
+    # scaler moments, the LR normal equations and the single-partition
+    # DT accumulation see the same rows in the same order.
+    train = train.persist()
+    test = test.persist()
     models = baseline_regressors()
 
     def _fit_eval(arg):
@@ -135,6 +144,8 @@ def q_ml_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     with ThreadPoolExecutor(max_workers=2) as pool:
         results = dict(pool.map(_fit_eval, pairs))
+    train.unpersist(blocking=False)
+    test.unpersist(blocking=False)
     results = {name: results[name] for name, _ in pairs}
     table = comparison_table(spark, results)
     return table.select(
@@ -779,9 +790,14 @@ def q_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     data = steel_energy(spark, QUERY_ROWS)
     train, test = _portable_split(data)
+    # Persist the fit input: each of the six stage fits otherwise
+    # replays the fixture-generation + split chain (same rationale and
+    # same bit-identity argument as q_ml_regression).
+    train = train.persist()
     fitted = build_pipeline(baseline_regressors()["LinearRegression"]).fit(
         train
     )
+    train.unpersist(blocking=False)
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )

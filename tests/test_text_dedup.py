@@ -98,6 +98,23 @@ def test_simhash_identical_distance_zero(spark, sf_dir):
         assert by_id[i] == by_id[i + 10_000_000]
 
 
+def test_simhash_kernel_matches_expression(spark, sf_dir):
+    """The Arrow numpy SimHash kernel (round 9, simhash_pairs' hot
+    path) must reproduce the simhash64 EXPRESSION bit for bit on every
+    fixture doc — integer-only arithmetic on both sides, so any
+    divergence is a packing/fold bug, not float noise."""
+    d = T(spark, sf_dir, "documents")
+    expr_sig = {
+        r.doc_id: r.sh
+        for r in d.select("doc_id", D.simhash64("text").alias("sh")).collect()
+    }
+    kern_sig = {
+        r._id: r._sh
+        for r in D._simhash64_arrow(d, "text", "doc_id").collect()
+    }
+    assert expr_sig == kern_sig
+
+
 def test_simhash_pairs_planted(spark, sf_dir):
     d, n = _planted(spark, sf_dir, n=3)
     pairs = D.simhash_pairs(d, "text", "doc_id", max_hamming=0)
