@@ -465,16 +465,26 @@ def bpe_learn(
         F.col(freq_col).cast("bigint").alias("freq"),
         chars_of(word_col).alias("s"),
     )
-    # localCheckpoint per round (the pagerank/connected-components
-    # recipe): materializes the vocabulary relation once — the corpus
-    # scan happens exactly one time — and truncates lineage so round t
-    # does not recompile t nested merge folds (measured 13.9 s → ~3 s
-    # for 10 merges; plans stay O(1)).
+    # One eager localCheckpoint of the BASE vocabulary relation (the
+    # pagerank/connected-components recipe): the corpus scan happens
+    # exactly one time (round 3: replacing per-round full recomputes
+    # measured 13.9 s -> ~3 s for 10 merges). Round 9 drops the
+    # PER-ROUND checkpoints: each round folds its accumulated merge
+    # list into the argmax's projection (the bpe_apply shape), so a
+    # round is ONE job instead of two (argmax + an eager checkpoint
+    # materialization). Round t re-applies t nested folds over the
+    # Heaps-bounded checkpointed vocabulary - bounded extra JVM work
+    # (sum t = n^2/2 folds over tiny rows) traded for n fewer driver
+    # round trips and materializations; lineage stays truncated at the
+    # single base checkpoint, so plans remain O(n_merges), never
+    # corpus-deep.
     w = w.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
+    col = F.col("s")
     for _ in range(n_merges):
+        staged = w.withColumn("s", col) if merges else w
         top = (
-            adjacent_pair_counts(w)
+            adjacent_pair_counts(staged)
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()
@@ -483,9 +493,7 @@ def bpe_learn(
             break
         a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
         merges.append((a, b, cnt))
-        w = w.withColumn(
-            "s", merge_pair_greedy("s", a, b)
-        ).localCheckpoint(eager=True)
+        col = merge_pair_greedy(col, a, b)
     return merges
 
 
