@@ -497,6 +497,37 @@ def main() -> None:
         # MLlib fit + MLWriter save/load roundtrip; once is the signal
         "pipeline_roundtrip",
     }
+    # NO_RERUN conflates two reasons (round 9 split): (a) a re-run
+    # would LIE WARM — the query's first call populates a session
+    # cache or leaves persisted frames that CacheManager plan-matching
+    # would silently substitute on the second call; (b) a re-run is
+    # merely EXPENSIVE (scenario queries that rebuild everything from
+    # scratch each call — localCheckpoints are not plan-matched, fresh
+    # scratch dirs, no session caches). The drift-rescue pass below
+    # may honestly re-measure class (b); only class (a) is
+    # untouchable. Without this split, one bad box window landing on
+    # the expensive scenario rows was unrescuable (observed: a 3.8x
+    # excursion over the last suite segment stamped pipeline_roundtrip
+    # at 68 s for a ~9 s tree). The two *_build rows are rescuable
+    # because COLD_BUILD_EVICT restores their cold contract first.
+    WARM_BIASED = {
+        "pagerank", "bfs_hops", "ppr", "graph_edges_build",
+        "csv_ingest", "orc_ingest", "jsonl_ingest",
+        "csv_dirty", "jsonl_corrupt",
+        "dedup_clusters", "minhash_lsh", "prefix_jaccard",
+        "winnowing", "winnow_pairs", "phrase_search",
+        "tpch_important_stock", "customer_deciles", "keyword_pagerank",
+        "bpe_train", "bpe_encode",
+        "ann_pq", "pq_probe", "ann_recall", "semantic_dedup",
+        "rag_retrieve",
+        # persists assigned/base_top frames it cannot unpersist before
+        # its lazy result is consumed — a re-run plan-matches them
+        "ann_index_staleness",
+        # the probe persists batch shingles (plan-matched on re-run)
+        "incremental_dedup",
+        # first-of-suite streaming row: keep its cold-session reading
+        "stream_full_join",
+    }
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     order: list[str] = []  # suite position — keys probe-local factors
@@ -565,8 +596,11 @@ def main() -> None:
             affected_idx.update(range(lo, min(hi, len(order))))
         for j in sorted(affected_idx):
             name = order[j]
-            if name in NO_RERUN:
+            if name in WARM_BIASED:
                 continue
+            evict = COLD_BUILD_EVICT.get(name)
+            if evict is not None:
+                evict()  # restore the cold-build contract before re-run
             t = run_once(qs[name])
             if t < timings[name]:
                 detail[name]["remeasured_from"] = timings[name]
