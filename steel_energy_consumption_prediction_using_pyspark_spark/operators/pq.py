@@ -226,9 +226,11 @@ def pq_encode(
             n = b.num_rows
             if n == 0:
                 continue
-            X = np.array(
-                b.column("_q").to_pylist(), dtype=np.int64
-            ).astype(np.float64)
+            from steel_energy_consumption_prediction_using_pyspark_spark.operators.similarity import (
+                _fixed_width_f64,
+            )
+
+            X = _fixed_width_f64(b.column("_q"), m * subdim)
             cols = [b.column("neighbor_id")]
             for s in range(m):
                 sub = X[:, s * subdim : (s + 1) * subdim]

@@ -182,6 +182,73 @@ def shingles_from(toks: Column | str, n: int = 3) -> Column:
     )
 
 
+def pos_grams_arrow(
+    staged: DataFrame, n: int, keep: list[str]
+) -> DataFrame:
+    """(keep..., p, gram) exploded positional word n-grams from a
+    (keep..., _tk tokens) relation — the Arrow-kernel twin of
+    ``select(keep..., posexplode(shingles_from(_tk, n)))`` (round 10).
+    One vectorized binary_join_element_wise over the flat token buffer
+    replaces the per-gram interpreted HOF lambda; row boundaries are
+    re-imposed from the list offsets, and `p` is the 0-based gram
+    index posexplode emits. Rows with NULL or < n tokens emit nothing,
+    exactly as non-outer posexplode over the empty/guarded
+    shingles_from output does. Parity pinned by tests/
+    test_text_dedup.py::test_pos_grams_kernel_matches_expression."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [staged.schema[c] for c in keep]
+        + [StructField("p", IntegerType()), StructField("gram", StringType())]
+    )
+
+    def _kern(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            nrows = b.num_rows
+            if nrows == 0:
+                continue
+            tk = b.column("_tk")
+            if hasattr(tk, "combine_chunks"):
+                tk = tk.combine_chunks()
+            offs = np.asarray(tk.offsets, dtype=np.int64)
+            valid = np.asarray(
+                tk.is_valid().to_numpy(zero_copy_only=False), dtype=bool
+            )
+            sizes = offs[1:] - offs[:-1]
+            counts = np.where(valid, np.maximum(sizes - (n - 1), 0), 0)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            vals = tk.values
+            M = int(offs[-1]) - (n - 1)
+            joined = pc.binary_join_element_wise(
+                *[vals.slice(j, M) for j in range(n)], " "
+            )
+            cum = np.cumsum(counts) - counts
+            local = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+            idx = np.repeat(offs[:-1], counts) + local
+            row_of = pa.array(np.repeat(np.arange(nrows), counts))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(c).take(row_of) for c in keep]
+                + [
+                    pa.array(local.astype(np.int32), pa.int32()),
+                    joined.take(pa.array(idx)),
+                ],
+                keep + ["p", "gram"],
+            )
+
+    return staged.mapInArrow(_kern, schema)
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Shingles straight from raw text. Convenience for tests/small
     inputs — the inline tokenization is re-evaluated per gram (see
@@ -206,12 +273,172 @@ def winnow_windows(hashes: Column | str, w: int = 4) -> Column:
     return F.array_distinct(wins)
 
 
+def _winnow_arrow(
+    staged: DataFrame, k: int, w: int, keep: list[str], out_col: str
+) -> DataFrame:
+    """(keep..., out_col) from a (keep..., _tk tokens) relation: the
+    deduped winnowing fingerprint set per row as ONE Arrow-batched
+    kernel — the round-10 replacement for the interpreted HOF chain
+    array_distinct(transform(idx, i -> array_min(slice(md5-grams, i,
+    w)))) of :func:`winnow_windows` over transform(shingles_from(...),
+    md5).
+
+    Exactness, stage by stage:
+    - grams: Arrow binary_join_element_wise over k shifted slices of
+      the flat token values buffer — byte-identical to concat_ws(' ',
+      element_at...), row boundaries re-imposed from the list offsets
+      (same recipe as dedup._shingle_arrow).
+    - md5: hashlib produces the identical 16-byte digest the JVM md5()
+      hex-encodes; the kernel compares digests as big-endian (hi, lo)
+      uint64 pairs — lowercase-hex string order IS digest byte order
+      (hex encoding is monotone), so numeric (hi, lo) minima equal
+      array_min's lexicographic string minima.
+    - window minima: w-1 vectorized compare/select passes over shifted
+      views; the winning gram's absolute position is tracked so the
+      output hex is re-encoded from the winner's digest bytes (equal
+      digests ⟺ equal hex, so tie choice is value-invariant).
+    - distinct: first-occurrence per row (lexsort + group-min of the
+      original window index) — exactly array_distinct's order.
+    Rows with NULL/short token arrays yield an empty set, as the
+    expression's when/otherwise guards do.
+
+    Parity is pinned by tests/test_text_dedup.py::
+    test_winnow_kernel_matches_expression."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [staged.schema[c] for c in keep]
+        + [StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def _kern(batches):
+        import binascii
+        from hashlib import md5
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            nrows = b.num_rows
+            if nrows == 0:
+                continue
+            tk = b.column("_tk")
+            if hasattr(tk, "combine_chunks"):
+                tk = tk.combine_chunks()
+            offs = np.asarray(tk.offsets, dtype=np.int64)
+            valid = np.asarray(
+                tk.is_valid().to_numpy(zero_copy_only=False), dtype=bool
+            )
+            sizes = offs[1:] - offs[:-1]
+            g = np.where(valid, np.maximum(sizes - (k - 1), 0), 0)
+            wc = np.maximum(g - (w - 1), 0)
+            total = int(wc.sum())
+            if total == 0:
+                empty_offs = pa.array(
+                    np.zeros(nrows + 1, dtype=np.int32), pa.int32()
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [b.column(c) for c in keep]
+                    + [
+                        pa.ListArray.from_arrays(
+                            empty_offs, pa.array([], pa.string())
+                        )
+                    ],
+                    keep + [out_col],
+                )
+                continue
+            vals = tk.values
+            M = int(offs[-1]) - (k - 1)
+            joined = pc.binary_join_element_wise(
+                *[vals.slice(j, M) for j in range(k)], " "
+            )
+            jb = joined.buffers()
+            goffs = np.frombuffer(jb[1], dtype=np.int32)[
+                joined.offset : joined.offset + len(joined) + 1
+            ]
+            mv = memoryview(jb[2])
+            raw = np.frombuffer(
+                b"".join(
+                    md5(mv[goffs[i] : goffs[i + 1]]).digest()
+                    for i in range(len(joined))
+                ),
+                dtype=np.uint8,
+            ).reshape(-1, 16)
+            dig = raw.view(">u8")
+            hi = dig[:, 0].astype(np.uint64)
+            lo = dig[:, 1].astype(np.uint64)
+            # Absolute joined-index of each window's first gram: window
+            # t of row i covers grams offs[i]+t .. offs[i]+t+w-1, all
+            # inside row i's gram range by construction (t+w-1 < g_i).
+            cum = np.cumsum(wc) - wc
+            idx = np.repeat(offs[:-1], wc) + (
+                np.arange(total, dtype=np.int64) - np.repeat(cum, wc)
+            )
+            wh = hi[idx].copy()
+            wl = lo[idx].copy()
+            wpos = idx.copy()
+            for j in range(1, w):
+                ch = hi[idx + j]
+                cl = lo[idx + j]
+                lt = (ch < wh) | ((ch == wh) & (cl < wl))
+                wh[lt] = ch[lt]
+                wl[lt] = cl[lt]
+                wpos[lt] = idx[lt] + j
+            row_of = np.repeat(np.arange(nrows, dtype=np.int64), wc)
+            # First-occurrence distinct per (row, digest): group by
+            # sorted (row, hi, lo), keep the MIN original window index
+            # of each group, then restore window order.
+            order = np.lexsort((wl, wh, row_of))
+            rs, hs_, ls_ = row_of[order], wh[order], wl[order]
+            new_grp = np.empty(total, dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (
+                (rs[1:] != rs[:-1])
+                | (hs_[1:] != hs_[:-1])
+                | (ls_[1:] != ls_[:-1])
+            )
+            grp_starts = np.nonzero(new_grp)[0]
+            first_orig = np.minimum.reduceat(order, grp_starts)
+            keep_idx = np.sort(first_orig)
+            out_rows = row_of[keep_idx]
+            kept_raw = raw[wpos[keep_idx]]
+            m = len(keep_idx)
+            hexdata = binascii.hexlify(kept_raw.tobytes())
+            soffs = np.arange(0, 32 * (m + 1), 32, dtype=np.int32)
+            out_vals = pa.Array.from_buffers(
+                pa.utf8(),
+                m,
+                [None, pa.py_buffer(soffs.tobytes()), pa.py_buffer(hexdata)],
+            )
+            cnt = np.bincount(out_rows, minlength=nrows)
+            new_offs = np.zeros(nrows + 1, dtype=np.int32)
+            np.cumsum(cnt, out=new_offs[1:])
+            yield pa.RecordBatch.from_arrays(
+                [b.column(c) for c in keep]
+                + [
+                    pa.ListArray.from_arrays(
+                        pa.array(new_offs, pa.int32()), out_vals
+                    )
+                ],
+                keep + [out_col],
+            )
+
+    return staged.mapInArrow(_kern, schema)
+
+
 def with_winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     k: int = 3,
     w: int = 4,
     out_col: str = "fps",
+    drop_text: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD 2003): hash every word k-gram, keep the minimum hash of
@@ -222,24 +449,23 @@ def with_winnow_fingerprints(
     (MinHash sketches the SET of shingles; winnowing samples their
     SEQUENCE).
 
-    Entirely higher-order functions per row — no explode, no shuffle.
-    md5 (not xxhash64) so the fingerprints are engine-portable and
-    the operator stays oracle-checkable. Tokens and gram hashes are
-    each materialized as named intermediate columns so every pass
-    reads its input once instead of re-deriving it per element
-    (CollapseProject keeps multiply-referenced non-trivial
-    projections staged)."""
-    staged = (
-        df.withColumn("_wf_t", tokens(normalize_text(text_col)))
-        .withColumn(
-            "_wf_h",
-            F.transform(shingles_from("_wf_t", n=k), lambda g: F.md5(g)),
-        )
+    No explode, no shuffle. md5 (not xxhash64) so the fingerprints are
+    engine-portable and the operator stays oracle-checkable. The
+    tokenize stays a JVM builtin; the gram→md5→window-min→distinct
+    chain runs as the :func:`_winnow_arrow` kernel (round 10) — the
+    interpreted HOF form evaluated one lambda per gram for the md5
+    map plus one array_min(slice) lambda per window, the dominant
+    per-row cost of the winnowing tiers.
+
+    ``drop_text``: omit ``text_col`` from the output (hot paths that
+    would immediately .drop() it anyway — an opaque kernel defeats
+    column pruning, so the bytes must be excluded BEFORE the Python
+    boundary, guide §4.1)."""
+    keep = [c for c in df.columns if not (drop_text and c == text_col)]
+    staged = df.select(
+        *keep, tokens(normalize_text(text_col)).alias("_tk")
     )
-    return (
-        staged.withColumn(out_col, winnow_windows("_wf_h", w=w))
-        .drop("_wf_t", "_wf_h")
-    )
+    return _winnow_arrow(staged, k, w, keep, out_col)
 
 
 def winnow_pair_counts(

@@ -198,8 +198,8 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-oracle-checked."""
     d = T(spark, sf_dir, "documents")
     fps = X.with_winnow_fingerprints(
-        d.select("doc_id", "lang", "text"), "text", k=3, w=4
-    ).drop("text")
+        d.select("doc_id", "lang", "text"), "text", k=3, w=4, drop_text=True
+    )
     # The persist is a CORRECTNESS-OF-PLAN barrier, not a cache nicety:
     # the explode below makes the optimizer infer `size(fps) > 0` and
     # push it beneath the staged projections, substituting the whole
@@ -320,8 +320,8 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-barrier persist as q_winnowing."""
     d = T(spark, sf_dir, "documents")
     fps = X.with_winnow_fingerprints(
-        d.select("doc_id", "text"), "text", k=3, w=4
-    ).drop("text")
+        d.select("doc_id", "text"), "text", k=3, w=4, drop_text=True
+    )
     fps = fps.persist()  # plan barrier — see q_winnowing's comment
     pairs = X.winnow_pair_counts(
         fps, "doc_id", "fps", df_cap=WINNOW_DF_CAP, min_shared=2
@@ -973,8 +973,16 @@ def q_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         X.tokens(X.normalize_text(F.col("text"))).alias("_tk"),
     ).withColumn("n_tok", F.size("_tk").cast("bigint"))
-    grams = toks.select(
-        "doc_id", F.posexplode(X.shingles_from("_tk", 5)).alias("p", "gram")
+    # positional gram stream via the Arrow kernel (round 10) — the
+    # interpreted shingles_from HOF + posexplode Generate was the
+    # dominant per-row cost, and this query evaluates the stream TWICE
+    # (boilerplate mining + coverage join below).
+    grams = X.pos_grams_arrow(
+        d.select(
+            "doc_id", X.tokens(X.normalize_text(F.col("text"))).alias("_tk")
+        ),
+        5,
+        ["doc_id"],
     )
     boiler = (
         grams.select("doc_id", "gram")

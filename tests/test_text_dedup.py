@@ -116,6 +116,69 @@ def test_minhash_lsh_finds_planted(spark, sf_dir):
     assert expected <= found  # exact clones MUST be found (jaccard 1.0)
 
 
+def test_shingle_kernel_matches_expression(spark, sf_dir):
+    """The Arrow shingle-set kernel (round 10, shingled_sets /
+    _hashed_shingle_sets hot path) must reproduce the interpreted HOF
+    chain element for element IN ORDER: same grams (concat_ws-joined
+    UTF-8 bytes), same array_distinct first-occurrence order, same
+    md5-prefix gram hashes, same outer distinct on the hash values.
+    Crafted rows (null text, empty, sub-shingle length, repeated
+    grams, unicode, trailing spaces) exercise the filter and the
+    kernel's null/empty guards alongside the fixture corpus."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+        normalize_text,
+        shingles_from,
+        tokens,
+    )
+
+    crafted = spark.createDataFrame(
+        [
+            Row(doc_id=900_001, text=None),
+            Row(doc_id=900_002, text=""),
+            Row(doc_id=900_003, text="one two"),
+            Row(doc_id=900_004, text="a b c a b c a b c"),
+            Row(doc_id=900_005, text="héllo wörld ünïcode çafé naïve"),
+            Row(doc_id=900_006, text="  pad   pad  pad pad   "),
+        ],
+        "doc_id long, text string",
+    )
+    d = T(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        crafted
+    )
+    staged = d.select(
+        F.col("doc_id").alias("_id"),
+        tokens(normalize_text("text")).alias("_tk"),
+    ).filter(F.size("_tk") >= 3)
+    plain_expr = {
+        r._id: r._sh
+        for r in staged.select(
+            "_id", F.array_distinct(shingles_from("_tk", 3)).alias("_sh")
+        ).collect()
+    }
+    plain_kern = {r._id: r._sh for r in D.shingled_sets(d).collect()}
+    assert plain_kern == plain_expr
+    hashed_expr = {
+        r._id: r._sh
+        for r in staged.select(
+            "_id",
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(shingles_from("_tk", 3)), D.gram_hash32
+                )
+            ).alias("_sh"),
+        ).collect()
+    }
+    blocked = d.withColumn("blk", F.col("doc_id") % 7)
+    hashed_kern = {
+        r._id: (r._blk, r._sh)
+        for r in D._hashed_shingle_sets(
+            blocked, "text", "doc_id", "blk", 3
+        ).collect()
+    }
+    assert {k: v[1] for k, v in hashed_kern.items()} == hashed_expr
+    assert all(blk == _id % 7 for _id, (blk, _) in hashed_kern.items())
+
+
 def test_simhash_identical_distance_zero(spark, sf_dir):
     d, _ = _planted(spark, sf_dir, n=3)
     sig = d.select("doc_id", D.simhash64("text").alias("sh")).collect()
@@ -213,6 +276,84 @@ def test_winnowing_guarantee(spark):
     assert out[1] & out[2]                  # shared run → shared fingerprint
     assert not (out[1] & out[4])            # disjoint text → disjoint sketch
     assert all(len(fp) == 32 for fp in out[1])  # md5 hex
+
+
+def test_winnow_kernel_matches_expression(spark, sf_dir):
+    """The Arrow winnowing kernel (round 10) must reproduce the
+    interpreted HOF chain — transform(shingles_from, md5) →
+    winnow_windows (array_min over w-slices + array_distinct) —
+    element for element IN ORDER on the fixture corpus plus crafted
+    edge rows (null text, empty, < k tokens, k..k+w-2 tokens with too
+    few grams for one window, repeated grams, unicode)."""
+    crafted = spark.createDataFrame(
+        [
+            Row(doc_id=900_001, text=None),
+            Row(doc_id=900_002, text=""),
+            Row(doc_id=900_003, text="one two"),
+            Row(doc_id=900_004, text="a b c d"),  # 2 grams < w windows
+            Row(doc_id=900_005, text="a b c a b c a b c a b c"),
+            Row(doc_id=900_006, text="héllo wörld ünïcode çafé naïve ok"),
+        ],
+        "doc_id long, text string",
+    )
+    d = T(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        crafted
+    )
+    staged = d.withColumn(
+        "_wf_t", X.tokens(X.normalize_text("text"))
+    ).withColumn(
+        "_wf_h",
+        F.transform(X.shingles_from("_wf_t", n=3), lambda g: F.md5(g)),
+    )
+    expr = {
+        r.doc_id: r.fps
+        for r in staged.withColumn(
+            "fps", X.winnow_windows("_wf_h", w=4)
+        ).select("doc_id", "fps").collect()
+    }
+    kern = {
+        r.doc_id: r.fps
+        for r in X.with_winnow_fingerprints(
+            d, "text", k=3, w=4, drop_text=True
+        ).collect()
+    }
+    assert kern == expr
+
+
+def test_pos_grams_kernel_matches_expression(spark, sf_dir):
+    """The positional-gram Arrow kernel (round 10, passage_scrub's
+    gram stream) must emit the exact (id, p, gram) multiset that
+    posexplode(shingles_from(_tk, n)) emits — including dropping
+    null/short-token rows entirely, 0-based positions, and
+    duplicate grams kept (no distinct)."""
+    crafted = spark.createDataFrame(
+        [
+            Row(doc_id=900_001, text=None),
+            Row(doc_id=900_002, text=""),
+            Row(doc_id=900_003, text="one two three four"),
+            Row(doc_id=900_004, text="a b c d e a b c d e a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    d = T(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        crafted
+    )
+    staged = d.select(
+        "doc_id", X.tokens(X.normalize_text("text")).alias("_tk")
+    )
+    expr = sorted(
+        map(
+            tuple,
+            staged.select(
+                "doc_id",
+                F.posexplode(X.shingles_from("_tk", 5)).alias("p", "gram"),
+            ).collect(),
+        )
+    )
+    kern = sorted(
+        map(tuple, X.pos_grams_arrow(staged, 5, ["doc_id"]).collect())
+    )
+    assert kern == expr
 
 
 def test_winnow_pairs_df_cap_recall(spark):
