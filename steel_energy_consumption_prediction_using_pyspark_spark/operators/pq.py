@@ -40,7 +40,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from steel_energy_consumption_prediction_using_pyspark_spark.operators.similarity import (
-    _fmt_double_lit,
     _py_dot,
 )
 from steel_energy_consumption_prediction_using_pyspark_spark.workload.util import (
@@ -273,34 +272,62 @@ def pq_adc_topk(
     whole pipeline in whole-stage codegen instead."""
     from pyspark.sql import Window
 
-    m, subdim = model.m, model.subdim
+    m, subdim, kcw = model.m, model.subdim, model.k
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    # One select per staging step, NOT one withColumn per subspace:
-    # each withColumn re-analyzes the whole literal-heavy plan on the
-    # driver — 16 analysis passes over ~256 aggregate/zip_with
-    # subtrees were the measured round-9 cost of this function (build
-    # 4.0 s → 0.7 s collapsed; identical rows, identical expressions).
-    q = q.select(
-        "query_id",
-        *[
-            F.slice(F.col("_v"), s * subdim + 1, subdim).alias(f"_v{s}")
-            for s in range(m)
-        ],
+    # The m×k lookup tables are built by ONE Arrow numpy kernel over
+    # the (tiny) query side (round 10). The expression form — m·k
+    # aggregate(zip_with(...)) folds over literal codeword arrays,
+    # ~256 subtrees — cost ~0.7-1.5 s of DRIVER plan analysis per
+    # action even after the round-9 single-select collapse; the kernel
+    # is one opaque node. Arithmetic is bit-identical: each lut entry
+    # is the same left-to-right sequential dot fold over the same
+    # float64 codeword values (vectorized across query rows), so every
+    # double matches the HOF fold and the DuckDB twin.
+    books_np = model.codebooks  # [m][k][subdim] plain floats
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    q_schema = StructType(
+        [q.schema["query_id"]]
+        + [StructField(f"_lut{s}", ArrayType(DoubleType())) for s in range(m)]
     )
-    luts = []
-    for s in range(m):
-        folds = []
-        for cv in model.codebooks[s]:
-            arr = "array(" + ",".join(_fmt_double_lit(x) for x in cv) + ")"
-            folds.append(
-                f"aggregate(zip_with(_v{s}, {arr}, (x, y) -> x * y), "
-                "0.0D, (acc, x) -> acc + x)"
+
+    def _luts(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from steel_energy_consumption_prediction_using_pyspark_spark.operators.similarity import (
+            _fixed_width_f64,
+        )
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            V = _fixed_width_f64(b.column("_v"), m * subdim)
+            cols = [b.column("query_id")]
+            offs = pa.array(
+                np.arange(0, kcw * (n + 1), kcw, dtype=np.int32), pa.int32()
             )
-        luts.append(F.expr("array(" + ",".join(folds) + ")").alias(f"_lut{s}"))
-    q = q.select("query_id", *luts)
+            for s in range(m):
+                sub = V[:, s * subdim : (s + 1) * subdim]
+                lut = np.empty((n, kcw))
+                for j, cv in enumerate(books_np[s]):
+                    acc = np.zeros(n)
+                    for i in range(subdim):
+                        acc = acc + sub[:, i] * cv[i]
+                    lut[:, j] = acc
+                cols.append(
+                    pa.ListArray.from_arrays(offs, pa.array(lut.ravel()))
+                )
+            yield pa.RecordBatch.from_arrays(
+                cols, ["query_id"] + [f"_lut{s}" for s in range(m)]
+            )
+
+    q = q.mapInArrow(_luts, q_schema)
 
     score: Column = F.element_at(F.col("_lut0"), F.col("c0") + 1)
     for s in range(1, m):

@@ -507,16 +507,19 @@ def ivf_build(
         col="_v",
         qcol="_q",
     ).select("_tid", "_q")
-    # Row count only — read it off the raw corpus so the sampling
-    # decision doesn't evaluate the quantize HOF pipeline an extra time.
-    n_corpus = corpus.count()
+    # The hash-ordered limit applies UNCONDITIONALLY (round 10): when
+    # the corpus fits under max_train it returns the full training set
+    # (kmeans_cosine_det re-sorts its collect by _tid, so arrival order
+    # is irrelevant and the centroids are identical), and when it
+    # doesn't, this was already the path — a TakeOrdered top-k
+    # selection, no full sort. The former `corpus.count()` gate spent a
+    # whole extra driver job deciding something the limit answers for
+    # free.
     max_train = max(n_centroids * 100, KMEANS_MAX_TRAIN)
-    train = qz
-    if n_corpus > max_train:
-        train = qz.orderBy(
-            (F.col("_tid") * F.lit(KMEANS_HASH_A)) % F.lit(KMEANS_HASH_M),
-            F.col("_tid"),
-        ).limit(max_train)
+    train = qz.orderBy(
+        (F.col("_tid") * F.lit(KMEANS_HASH_A)) % F.lit(KMEANS_HASH_M),
+        F.col("_tid"),
+    ).limit(max_train)
     cents = kmeans_cosine_det(
         train, k=n_centroids, iters=KMEANS_ITERS, dim=dim
     )

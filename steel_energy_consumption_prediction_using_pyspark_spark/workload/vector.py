@@ -159,7 +159,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         old = _IVF_CACHE.pop(key, None)
         if old is not None:
             old.unpersist()
-        index = S.ivf_build(corpus, n_centroids=IVF_K, seed=42, persist=True)
+        index = S.ivf_build(corpus, n_centroids=IVF_K, seed=42, persist=True, dim=64)
         _IVF_CACHE[key] = index
     return S.ivf_probe(index, queries, k=TOP_K, n_probe=IVF_NPROBE)
 
@@ -184,7 +184,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> "S.IvfIndex":
         corpus = T(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") >= N_QUERY
         )
-        return S.ivf_build(corpus, n_centroids=IVF_K, seed=42, persist=True)
+        return S.ivf_build(corpus, n_centroids=IVF_K, seed=42, persist=True, dim=64)
 
     return once_per_key(_IVF_CACHE, "ivf_index", key, build)
 
@@ -1418,7 +1418,7 @@ def _write_ann_index(spark: SparkSession, sf_dir: str, base: str) -> None:
     # trainings are deterministic arithmetic over collected codes, so
     # concurrency changes no written byte.
     def _ivf_branch() -> None:
-        index = S.ivf_build(corpus, n_centroids=IVF_K, seed=42, persist=False)
+        index = S.ivf_build(corpus, n_centroids=IVF_K, seed=42, persist=False, dim=64)
         (
             # Hash on _list keeps one file per inverted list at any
             # width; 4× cores spreads the per-file open/commit chain
@@ -1763,7 +1763,7 @@ def q_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = e.filter(
         (F.col("vec_id") >= N_QUERY) & (F.pmod("vec_id", F.lit(10)) == 8)
     )
-    index = S.ivf_build(base_corpus, n_centroids=IVF_K, seed=42, persist=False)
+    index = S.ivf_build(base_corpus, n_centroids=IVF_K, seed=42, persist=False, dim=64)
     updated = S.IvfIndex(
         index.assigned.unionByName(S.ivf_assign(index, delta)),
         index.centroids_df,
@@ -1868,7 +1868,7 @@ def q_ann_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.filter(
         (F.col("vec_id") >= N_QUERY) & (F.pmod("vec_id", F.lit(4)) >= 2)
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    index = S.ivf_build(base, n_centroids=_N_LISTS, seed=42, persist=False)
+    index = S.ivf_build(base, n_centroids=_N_LISTS, seed=42, persist=False, dim=64)
     index = S.IvfIndex(
         index.assigned.persist(),
         index.centroids_df,
