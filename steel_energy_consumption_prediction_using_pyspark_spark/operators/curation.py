@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
+    pos_grams_arrow,
     shingles_from,
 )
 
@@ -89,11 +90,13 @@ def top_gram_fraction(
     on keys that include the document id, so skew is bounded by the
     largest single document, not by any corpus-level hot key."""
     staged = df.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_tk")
     )
-    grams = staged.select(
-        id_col, F.explode_outer(shingles_from("_t", n=n)).alias("gram")
-    ).filter(F.col("gram").isNotNull())
+    # Arrow positional-gram kernel (round 10): identical rows to
+    # explode_outer(shingles_from) + isNotNull — the kernel emits
+    # nothing for empty/short/null token arrays, which is exactly what
+    # the notNull filter removed (shingles_from grams are non-null).
+    grams = pos_grams_arrow(staged, n, [id_col]).drop("p")
     per_gram = grams.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -127,15 +130,21 @@ def contamination(
     """
 
     def doc_grams(d: DataFrame) -> DataFrame:
-        staged = d.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
+        from steel_energy_consumption_prediction_using_pyspark_spark.operators.dedup import (
+            _shingle_arrow,
         )
-        return staged.select(
-            F.col(id_col),
-            F.explode_outer(F.array_distinct(shingles_from("_t", n=n))).alias(
-                "gram"
-            ),
-        ).filter(F.col("gram").isNotNull())
+
+        staged = d.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_tk")
+        )
+        # Arrow shingle-set kernel (round 10): identical rows to
+        # explode_outer(array_distinct(shingles_from)) + isNotNull —
+        # the kernel's distinct set explodes to the same gram multiset
+        # (order irrelevant to the counts), and rows whose set is
+        # empty contribute nothing either way.
+        return _shingle_arrow(staged, n, [id_col], hashed=False).select(
+            F.col(id_col), F.explode("_sh").alias("gram")
+        )
 
     bench_grams = doc_grams(bench).select("gram").distinct()
     if broadcast_bench:
@@ -335,12 +344,12 @@ def dsir_scores(
 
     def postings(d: DataFrame) -> DataFrame:
         staged = d.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
-        ).filter(F.size("_t") >= 2)
-        return staged.select(
-            F.col(id_col),
-            F.explode(shingles_from("_t", n=2)).alias("gram"),
-        ).select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_tk")
+        ).filter(F.size("_tk") >= 2)
+        # Arrow positional-gram kernel (round 10) for the bigram
+        # stream; the md5 bucket hash stays the JVM gram_hash32
+        # expression (one codegen'd scalar per exploded row).
+        return pos_grams_arrow(staged, 2, [id_col]).select(
             F.col(id_col),
             F.pmod(gram_hash32(F.col("gram")), F.lit(n_buckets)).alias("_b"),
         )

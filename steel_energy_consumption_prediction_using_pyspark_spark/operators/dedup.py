@@ -1177,7 +1177,6 @@ def prefix_jaccard_pairs(
     """
     from steel_energy_consumption_prediction_using_pyspark_spark.operators.text import (
         normalize_text,
-        shingles_from,
         tokens as _tokens,
     )
 
@@ -1187,14 +1186,16 @@ def prefix_jaccard_pairs(
     # interpreted shingle chain per occurrence (see
     # _hashed_shingle_sets).
     base = df.select(
-        F.col(id_col).alias("_id"), _tokens(normalize_text(text_col)).alias("_w")
-    ).filter(F.size("_w") >= max(shingle_n, 1))
+        F.col(id_col).alias("_id"), _tokens(normalize_text(text_col)).alias("_tk")
+    ).filter(F.size("_tk") >= max(shingle_n, 1))
     if shingle_n >= 2:
-        base = base.select(
-            "_id", F.array_distinct(shingles_from("_w", shingle_n)).alias("_tk")
-        )
+        # distinct shingle sets via the Arrow kernel (round 10) — same
+        # first-occurrence sets as array_distinct(shingles_from(...)).
+        base = _shingle_arrow(
+            base, shingle_n, ["_id"], hashed=False
+        ).withColumnRenamed("_sh", "_tk")
     else:
-        base = base.select("_id", F.array_distinct("_w").alias("_tk"))
+        base = base.select("_id", F.array_distinct("_tk").alias("_tk"))
     if persist:
         # The (id, set) projection feeds three consumers (explode for
         # the prefix join, both verify sides) and sits under an

@@ -603,7 +603,10 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cw"))
     )
     big = (
-        d.select(F.explode(X.shingles_from("tk", 2)).alias("ab"))
+        # Arrow positional-gram kernel (round 10) — same rows as
+        # explode(shingles_from(tk, 2)).
+        X.pos_grams_arrow(d.select(F.col("tk").alias("_tk")), 2, [])
+        .select(F.col("gram").alias("ab"))
         .groupBy("ab")
         .agg(F.count(F.lit(1)).alias("cab"))
         .filter(F.col("cab") >= 5)
@@ -845,12 +848,14 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams are small enough to group directly, which keeps the DuckDB
     twin byte-identical."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", X.tokens(X.normalize_text(F.col("text"))).alias("_tk")
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(F.array_distinct(X.shingles_from("_tk", 5))).alias("gram"),
+    # distinct 5-gram sets via the Arrow shingle kernel (round 10) —
+    # explode(array_distinct(shingles_from)) evaluated one interpreted
+    # lambda per gram; shingled_sets' kernel emits the identical
+    # first-occurrence-distinct sets (explode order is irrelevant to
+    # the groupBy), and its ≥n-token pre-filter only drops rows that
+    # exploded to nothing anyway.
+    grams = D.shingled_sets(d, "text", "doc_id", shingle_n=5).select(
+        F.col("_id").alias("doc_id"), F.explode("_sh").alias("gram")
     )
     return (
         grams.groupBy("gram")
@@ -919,10 +924,10 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         X.tokens(X.normalize_text(F.col("text"))).alias("_tk"),
     )
-    bigrams = toks.select(
-        "doc_id",
-        "lang",
-        F.explode(X.shingles_from("_tk", 2)).alias("gram"),
+    # exploded bigram stream via the Arrow positional-gram kernel
+    # (round 10) — same rows as explode(shingles_from(_tk, 2)).
+    bigrams = X.pos_grams_arrow(toks, 2, ["doc_id", "lang"]).drop(
+        "p"
     ).withColumn("w1", F.element_at(F.split(F.col("gram"), " "), 1))
     cb = bigrams.groupBy("gram").agg(F.count(F.lit(1)).alias("cb"))
     cw = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
