@@ -729,32 +729,108 @@ def _content_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     too: keyword_pagerank reads it twice (symmetrization) and
     word_triangles three times (wedge join)."""
     d = T(spark, sf_dir, "documents").select(
-        X.tokens(X.normalize_text("text")).alias("tk")
+        X.tokens(X.normalize_text("text")).alias("_tk")
     )
-    wcol = F.filter(
-        F.transform(F.col("tk"), lambda t: F.regexp_replace(t, "[^a-z]", "")),
-        lambda t: F.length(t) >= 5,
-    )
-    docs = (
-        d.select(wcol.alias("w"))
-        .localCheckpoint(eager=True)
-        .filter(F.size("w") >= 3)
-    )
-    n = F.size("w")
+    # The clean→filter→pair chain runs as ONE Arrow kernel (round 10):
+    # the HOF form paid an interpreted regexp_replace lambda per token,
+    # a length lambda per word, and a struct lambda per pair — plus an
+    # eager checkpoint of the word projection solely to stop Catalyst
+    # re-substituting that chain into every slice/size consumer
+    # (~8×). The kernel is opaque (nothing to re-substitute), so that
+    # barrier job disappears too; only the distinct-pair checkpoint
+    # remains (consumers read it 2-3×). Exactness: Arrow's RE2
+    # '[^a-z]' removes exactly the characters Java's does (single
+    # codepoint class, no syntax divergence); cleaned words are pure
+    # a-z so byte length == char length; least/greatest is the same
+    # binary UTF-8 comparison; pair order is irrelevant under the
+    # distinct. Parity pinned by tests/test_text_dedup.py::
+    # test_content_pairs_kernel_matches_expression.
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    def off_pairs(k: int):
-        return F.zip_with(
-            F.slice(F.col("w"), 1, n - k),
-            F.slice(F.col("w"), k + 1, n - k),
-            lambda a, b: F.struct(
-                F.least(a, b).alias("src"), F.greatest(a, b).alias("dst")
-            ),
-        )
+    schema = StructType(
+        [StructField("src", StringType()), StructField("dst", StringType())]
+    )
+
+    def _pairs(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            nrows = b.num_rows
+            if nrows == 0:
+                continue
+            tk = b.column("_tk")
+            if hasattr(tk, "combine_chunks"):
+                tk = tk.combine_chunks()
+            offs = np.asarray(tk.offsets, dtype=np.int64)
+            valid = np.asarray(
+                tk.is_valid().to_numpy(zero_copy_only=False), dtype=bool
+            )
+            limit = int(offs[-1])
+            if limit == 0:
+                continue
+            cleaned = pc.replace_substring_regex(
+                tk.values.slice(0, limit), pattern="[^a-z]", replacement=""
+            )
+            keep = np.asarray(
+                pc.greater_equal(pc.binary_length(cleaned), 5).to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=bool,
+            )
+            # Dense [0, limit) row/validity maps — offsets are absolute
+            # into .values, so positions before offs[0] (sliced input)
+            # are padded out and never kept.
+            sizes = offs[1:] - offs[:-1]
+            row_of_tok = np.zeros(limit, dtype=np.int64)
+            row_of_tok[offs[0] :] = np.repeat(
+                np.arange(nrows, dtype=np.int64), sizes
+            )
+            tok_ok = np.zeros(limit, dtype=bool)
+            tok_ok[offs[0] :] = np.repeat(valid, sizes)
+            keep &= tok_ok
+            kept_pos = np.nonzero(keep)[0]
+            if kept_pos.size == 0:
+                continue
+            W = cleaned.take(pa.array(kept_pos))
+            wrow = row_of_tok[kept_pos]
+            wcnt = np.bincount(wrow, minlength=nrows)
+            wcnt = np.where(wcnt >= 3, wcnt, 0)  # docs filter size(w)>=3
+            woffs = np.zeros(nrows + 1, dtype=np.int64)
+            np.cumsum(np.bincount(wrow, minlength=nrows), out=woffs[1:])
+            out_a, out_b = [], []
+            for k in (1, 2):
+                cnt_k = np.maximum(wcnt - k, 0)
+                tot = int(cnt_k.sum())
+                if tot == 0:
+                    continue
+                cum = np.cumsum(cnt_k) - cnt_k
+                idx = np.repeat(woffs[:-1], cnt_k) + (
+                    np.arange(tot, dtype=np.int64) - np.repeat(cum, cnt_k)
+                )
+                a = W.take(pa.array(idx))
+                bb = W.take(pa.array(idx + k))
+                le = pc.less_equal(a, bb)
+                out_a.append(pc.if_else(le, a, bb))
+                out_b.append(pc.if_else(le, bb, a))
+            if not out_a:
+                continue
+            src = pa.concat_arrays(
+                [x.combine_chunks() if hasattr(x, "combine_chunks") else x
+                 for x in out_a]
+            )
+            dst = pa.concat_arrays(
+                [x.combine_chunks() if hasattr(x, "combine_chunks") else x
+                 for x in out_b]
+            )
+            ne = pc.not_equal(src, dst)
+            yield pa.RecordBatch.from_arrays(
+                [src.filter(ne), dst.filter(ne)], ["src", "dst"]
+            )
 
     return (
-        docs.select(F.explode(F.concat(off_pairs(1), off_pairs(2))).alias("p"))
-        .select("p.src", "p.dst")
-        .filter(F.col("src") != F.col("dst"))
+        d.mapInArrow(_pairs, schema)
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -356,6 +356,93 @@ def test_pos_grams_kernel_matches_expression(spark, sf_dir):
     assert kern == expr
 
 
+def test_content_pairs_kernel_matches_expression(spark, sf_dir, tmp_path):
+    """The Arrow content-word-pair kernel (round 10, keyword_pagerank /
+    word_triangles edge builder) must emit the exact distinct canonical
+    pair set the HOF chain emits: regexp-cleaned alphabetic words of
+    length ≥ 5, docs with ≥ 3 such words, ±1/±2 co-occurrence pairs,
+    least/greatest canonicalized, self-pairs dropped."""
+    from steel_energy_consumption_prediction_using_pyspark_spark.workload.text import (
+        _content_word_pairs,
+    )
+
+    crafted = [
+        Row(doc_id=900_001, source="x", lang="en", text=None),
+        Row(doc_id=900_002, source="x", lang="en", text="short of it"),
+        Row(
+            doc_id=900_003,
+            source="x",
+            lang="en",
+            text="alpha9wolf bravoteam bravoteam charlie12horse delta",
+        ),
+        Row(
+            doc_id=900_004,
+            source="x",
+            lang="en",
+            text="zebra7 ünïcodé grande grande grande wording",
+        ),
+    ]
+    base = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    d = base.unionByName(
+        spark.createDataFrame(
+            crafted, "doc_id long, source string, lang string, text string"
+        )
+    )
+    out = tmp_path / "docs.parquet"
+    d.write.mode("overwrite").parquet(str(out))
+    # expression twin, inline (the pre-round-10 form)
+    toks = spark.read.parquet(str(out)).select(
+        X.tokens(X.normalize_text("text")).alias("tk")
+    )
+    wcol = F.filter(
+        F.transform(F.col("tk"), lambda t: F.regexp_replace(t, "[^a-z]", "")),
+        lambda t: F.length(t) >= 5,
+    )
+    docs = toks.select(wcol.alias("w")).filter(F.size("w") >= 3)
+    n = F.size("w")
+
+    def off_pairs(k: int):
+        return F.zip_with(
+            F.slice(F.col("w"), 1, n - k),
+            F.slice(F.col("w"), k + 1, n - k),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("src"), F.greatest(a, b).alias("dst")
+            ),
+        )
+
+    expr = {
+        (r.src, r.dst)
+        for r in docs.select(
+            F.explode(F.concat(off_pairs(1), off_pairs(2))).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .collect()
+    }
+    import steel_energy_consumption_prediction_using_pyspark_spark.workload.util as U
+
+    orig_t = U.T
+    try:
+        U.T = lambda sp, sd, name: (
+            sp.read.parquet(str(out)) if name == "documents" else orig_t(sp, sd, name)
+        )
+        import steel_energy_consumption_prediction_using_pyspark_spark.workload.text as WT
+
+        orig_wt_t = WT.T
+        WT.T = U.T
+        kern = {
+            (r.src, r.dst)
+            for r in _content_word_pairs(spark, sf_dir).collect()
+        }
+    finally:
+        U.T = orig_t
+        WT.T = orig_wt_t
+    assert kern == expr
+
+
 def test_winnow_pairs_df_cap_recall(spark):
     """The winnow_pairs df cap (round 8, VERDICT r7 #1) must kill the
     boilerplate quadratic WITHOUT losing true near-dup pairs: 60 docs
