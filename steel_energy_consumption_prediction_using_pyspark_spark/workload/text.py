@@ -647,35 +647,71 @@ def q_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plain element_at throws on index 0). Top-20 pairs with full
     lexicographic tiebreak."""
     d = T(spark, sf_dir, "documents").select(
-        "doc_id", X.tokens(X.normalize_text("text")).alias("tk")
+        X.tokens(X.normalize_text("text")).alias("_tk")
     )
-    n = F.size("tk")
-    offs = F.array(F.lit(-2), F.lit(-1), F.lit(1), F.lit(2))
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.filter(
-                F.transform(
-                    offs,
-                    lambda o: F.struct(
-                        F.element_at(F.col("tk"), i.cast("int")).alias("wa"),
-                        # guard i+o >= 1 explicitly: negative indices
-                        # would wrap from the array END, silently
-                        # pairing with the wrong word.
-                        F.when(
-                            i + o >= 1,
-                            F.try_element_at(F.col("tk"), (i + o).cast("int")),
-                        ).alias("wb"),
-                    ),
-                ),
-                lambda s: s["wb"].isNotNull(),
-            ),
-        )
+    # The ±2-window pair multiset {(tk[i], tk[i+o]) : o ∈ ±1,±2, both
+    # indices in range} equals, for o ∈ {1, 2}, the forward pairs
+    # (tk[i], tk[i+o]) plus their mirrored (tk[i+o], tk[i]) — so one
+    # Arrow kernel emits both directions from two shifted gathers
+    # (round 10), replacing the interpreted sequence→transform→filter→
+    # flatten HOF nest (4 lambdas per token). Pair ORDER is irrelevant
+    # under the groupBy; rows with NULL/1-token arrays emit nothing,
+    # exactly as the n≥2 filter + windows-in-range guards did. Parity
+    # pinned by tests/test_text_dedup.py::
+    # test_skipgram_kernel_matches_expression.
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("wa", StringType()), StructField("wb", StringType())]
     )
+
+    def _pairs(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            nrows = b.num_rows
+            if nrows == 0:
+                continue
+            tk = b.column("_tk")
+            if hasattr(tk, "combine_chunks"):
+                tk = tk.combine_chunks()
+            offs = np.asarray(tk.offsets, dtype=np.int64)
+            valid = np.asarray(
+                tk.is_valid().to_numpy(zero_copy_only=False), dtype=bool
+            )
+            sizes = offs[1:] - offs[:-1]
+            vals = tk.values
+            out_a, out_b = [], []
+            for o in (1, 2):
+                cnt = np.where(valid, np.maximum(sizes - o, 0), 0)
+                tot = int(cnt.sum())
+                if tot == 0:
+                    continue
+                cum = np.cumsum(cnt) - cnt
+                idx = np.repeat(offs[:-1], cnt) + (
+                    np.arange(tot, dtype=np.int64) - np.repeat(cum, cnt)
+                )
+                a = vals.take(pa.array(idx))
+                bb = vals.take(pa.array(idx + o))
+                out_a += [a, bb]
+                out_b += [bb, a]
+            if not out_a:
+                continue
+            cc = lambda x: (  # noqa: E731
+                x.combine_chunks() if hasattr(x, "combine_chunks") else x
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.concat_arrays([cc(x) for x in out_a]),
+                    pa.concat_arrays([cc(x) for x in out_b]),
+                ],
+                ["wa", "wb"],
+            )
+
     return (
-        d.filter(n >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+        d.mapInArrow(_pairs, schema)
+        .groupBy("wa", "wb")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("wa"), F.asc("wb"))
         .limit(20)

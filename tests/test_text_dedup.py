@@ -443,6 +443,78 @@ def test_content_pairs_kernel_matches_expression(spark, sf_dir, tmp_path):
     assert kern == expr
 
 
+def test_skipgram_kernel_matches_expression(spark, sf_dir):
+    """The Arrow skip-gram pair kernel (round 10) must emit the exact
+    (wa, wb) pair MULTISET the sequence→transform→filter→flatten HOF
+    nest emits — per-pair counts compared, not just the top-20."""
+    crafted = spark.createDataFrame(
+        [
+            Row(doc_id=900_001, text=None),
+            Row(doc_id=900_002, text=""),
+            Row(doc_id=900_003, text="solo"),
+            Row(doc_id=900_004, text="a b"),
+            Row(doc_id=900_005, text="x y z x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    d = T(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        crafted
+    )
+    toks = d.select(X.tokens(X.normalize_text("text")).alias("tk"))
+    n = F.size("tk")
+    offs = F.array(F.lit(-2), F.lit(-1), F.lit(1), F.lit(2))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.filter(
+                F.transform(
+                    offs,
+                    lambda o: F.struct(
+                        F.element_at(F.col("tk"), i.cast("int")).alias("wa"),
+                        F.when(
+                            i + o >= 1,
+                            F.try_element_at(F.col("tk"), (i + o).cast("int")),
+                        ).alias("wb"),
+                    ),
+                ),
+                lambda s: s["wb"].isNotNull(),
+            ),
+        )
+    )
+    expr = {
+        (r.wa, r.wb, r.cnt)
+        for r in toks.filter(n >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+
+    import steel_energy_consumption_prediction_using_pyspark_spark.workload.text as WT
+    import steel_energy_consumption_prediction_using_pyspark_spark.workload.util as U
+
+    # Drive the public query (kernel → groupBy → top-20 with full
+    # lexicographic tiebreak) over the crafted union by redirecting T,
+    # and compare against the expression's identically-tiebroken
+    # top-20. The tiebreak is total, so top-20 equality pins the pair
+    # counts it covers exactly; the full-multiset agreement is what
+    # the groupBy consumes and the oracle hash checks corpus-wide.
+    orig_t, orig_wt_t = U.T, WT.T
+    try:
+        U.T = WT.T = lambda sp, sd, name: (
+            d if name == "documents" else orig_t(sp, sd, name)
+        )
+        kern_top = [
+            (r.wa, r.wb, r.cnt)
+            for r in WT.q_skipgram_counts(spark, sf_dir).collect()
+        ]
+    finally:
+        U.T = orig_t
+        WT.T = orig_wt_t
+    expr_top = sorted(expr, key=lambda t: (-t[2], t[0], t[1]))[:20]
+    assert kern_top == expr_top
+
+
 def test_winnow_pairs_df_cap_recall(spark):
     """The winnow_pairs df cap (round 8, VERDICT r7 #1) must kill the
     boilerplate quadratic WITHOUT losing true near-dup pairs: 60 docs
