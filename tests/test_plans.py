@@ -635,7 +635,19 @@ def test_rag_probe_and_pq_probe_materialized_read_only_index(spark, sf_dir):
     plan_pq = physical_plan(q_pq_probe_materialized(spark, sf_dir))
     assert "pq_codes" in plan_pq, plan_pq
     assert "negcos" not in plan_pq, plan_pq
-    assert "MapInArrow" not in plan_pq, plan_pq
+    # Exactly ONE MapInArrow node since round 10: the ADC lookup-table
+    # kernel over the BOUNDED query side (it replaced the m·k
+    # literal-expression tree whose driver analysis cost ~1 s/action).
+    # The corpus side must still be the persisted pq_codes relation
+    # with no kernel/encoding stage — pinned by the node count staying
+    # at one and by the negcos/pq_codes asserts above. (Formatted
+    # plans mention each node twice — tree + details — so count the
+    # numbered detail headers.)
+    import re as _re
+
+    assert (
+        len(_re.findall(r"^\(\d+\) MapInArrow", plan_pq, _re.M)) == 1
+    ), plan_pq
 
 
 def test_incremental_dedup_never_rescans_corpus(spark, sf_dir):
